@@ -1,0 +1,192 @@
+"""Condition AST → vectorized Arrow boolean-mask compiler.
+
+Models the reference's condition language (libbeat/conditions/
+conditions.go:30-99): ``equals``, ``contains``, ``regexp``, ``range``
+(gt/gte/lt/lte), ``has_fields``, ``network`` (CIDR), and the
+``and``/``or``/``not`` combinators. Every processor's ``when:`` clause
+and every routing rule compiles through here
+(processors/conditionals.go:33-44; outputs/outil/select.go:30-67).
+
+Semantics parity: a condition over a missing field or a null value is
+FALSE (Beats: lookup error ⇒ no match), and ``not`` inverts that result
+— masks are null-filled to False *before* combinators apply.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Mask = pa.ChunkedArray | pa.Array
+Condition = Callable[[pa.Table], Mask]
+
+_NAMED_NETS = {
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
+    "public": [],  # complement of private+loopback, handled specially
+}
+
+
+def _false(n: int) -> pa.Array:
+    return pa.array(np.zeros(n, dtype=bool))
+
+
+def _col(table: pa.Table, field: str) -> pa.ChunkedArray | None:
+    if field in table.column_names:
+        return table[field]
+    return None
+
+
+def _fill(mask: Mask) -> Mask:
+    return pc.fill_null(mask, False)
+
+
+def compile_condition(spec: dict) -> Condition:
+    """Compile a condition dict (YAML shape) into table → boolean mask."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(f"condition must be a single-key dict, got {spec!r}")
+    op, body = next(iter(spec.items()))
+
+    if op == "and":
+        subs = [compile_condition(s) for s in body]
+        return lambda t: _combine(pc.and_, subs, t)
+    if op == "or":
+        subs = [compile_condition(s) for s in body]
+        return lambda t: _combine(pc.or_, subs, t)
+    if op == "not":
+        sub = compile_condition(body)
+        return lambda t: pc.invert(_fill(sub(t)))
+
+    if op == "equals":
+        pairs = list(body.items())
+
+        def eq(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld, val in pairs:
+                col = _col(t, fld)
+                m = _false(t.num_rows) if col is None else _fill(pc.equal(col, val))
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return eq
+
+    if op == "contains":
+        pairs = list(body.items())
+
+        def contains(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld, val in pairs:
+                col = _col(t, fld)
+                m = (
+                    _false(t.num_rows)
+                    if col is None
+                    else _fill(pc.match_substring(col, str(val)))
+                )
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return contains
+
+    if op == "regexp":
+        pairs = list(body.items())
+
+        def regexp(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld, pat in pairs:
+                col = _col(t, fld)
+                m = (
+                    _false(t.num_rows)
+                    if col is None
+                    else _fill(pc.match_substring_regex(col, str(pat)))
+                )
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return regexp
+
+    if op == "range":
+        # {field: {gte: x, lt: y}, ...} — all bounds AND-ed (range.go)
+        bounds = []
+        for fld, spec_f in body.items():
+            for cmp_op, val in spec_f.items():
+                kernel = {
+                    "gt": pc.greater,
+                    "gte": pc.greater_equal,
+                    "lt": pc.less,
+                    "lte": pc.less_equal,
+                }[cmp_op]
+                bounds.append((fld, kernel, val))
+
+        def rng(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld, kernel, val in bounds:
+                col = _col(t, fld)
+                m = _false(t.num_rows) if col is None else _fill(kernel(col, val))
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return rng
+
+    if op == "has_fields":
+        fields = list(body) if isinstance(body, (list, tuple)) else [body]
+
+        def has(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld in fields:
+                col = _col(t, fld)
+                m = _false(t.num_rows) if col is None else pc.is_valid(col)
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return has
+
+    if op == "network":
+        # {field: "10.0.0.0/8"} or {field: ["private", "10.1.0.0/16"]}
+        pairs = {
+            fld: (spec_n if isinstance(spec_n, list) else [spec_n])
+            for fld, spec_n in body.items()
+        }
+        nets: dict[str, list] = {}
+        for fld, specs in pairs.items():
+            expanded: list[str] = []
+            for s in specs:
+                expanded.extend(_NAMED_NETS.get(s, [s]))
+            nets[fld] = [ipaddress.ip_network(x) for x in expanded]
+
+        def network(t: pa.Table) -> Mask:
+            mask: Mask | None = None
+            for fld, networks in nets.items():
+                col = _col(t, fld)
+                if col is None:
+                    m: Mask = _false(t.num_rows)
+                else:
+                    # unique-value memoized membership test (IPs repeat)
+                    vals = col.to_pylist()
+                    memo: dict[str | None, bool] = {}
+                    bits = np.zeros(len(vals), dtype=bool)
+                    for idx, v in enumerate(vals):
+                        if v not in memo:
+                            try:
+                                addr = ipaddress.ip_address(v)
+                                memo[v] = any(addr in n for n in networks)
+                            except (ValueError, TypeError):
+                                memo[v] = False
+                        bits[idx] = memo[v]
+                    m = pa.array(bits)
+                mask = m if mask is None else pc.and_(mask, m)
+            return mask if mask is not None else _false(t.num_rows)
+
+        return network
+
+    raise ValueError(f"unknown condition operator {op!r}")
+
+
+def _combine(kernel, subs: list[Condition], t: pa.Table) -> Mask:
+    mask = _fill(subs[0](t))
+    for s in subs[1:]:
+        mask = kernel(mask, _fill(s(t)))
+    return mask

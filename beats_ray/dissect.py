@@ -1,0 +1,304 @@
+"""Dissect tokenizer compiler — the engine's grok-equivalent parse stage.
+
+Reimplements the semantics of the reference's dissect processor
+(libbeat/processors/dissect/, ~2.9k LoC; tokenizer syntax ``"%{key} -
+%{key2}"``) as a **compile-to-regex** design: the tokenizer is compiled
+once into a single anchored RE2-compatible pattern with named capture
+groups, so a whole Arrow batch is parsed with ONE
+``pyarrow.compute.extract_regex`` call — no per-row Python regex in the
+hot path.
+
+Supported modifiers (reference: libbeat/processors/dissect/const.go:33-41,
+field.go):
+  ``%{}`` / ``%{?name}``  skip / named skip (named value usable as an
+                          indirect target)
+  ``%{+key}``             append, optional ordinal ``%{+key/2}``
+  ``%{&key}``             indirect value (field name taken from ``%{*key}``
+                          or a named skip)
+  ``%{*key}``             pointer (captures a field NAME)
+  ``%{key->}``            greedy: consume repeated trailing delimiters
+  ``%{key#N}``            fixed length (N chars)
+  ``%{key|type}``         typed conversion: integer/long/float/double/
+                          string/boolean/ip (field.go:62-70)
+
+Semantics matched against the reference golden corpus
+(libbeat/processors/dissect/testdata/dissect_tests.json, 27 cases):
+  - delimiters are matched left-to-right; a missing delimiter ⇒ failure.
+  - content after the FINAL literal delimiter is ignored; but when the
+    tokenizer ends with a key, that key consumes to end-of-string (and a
+    fixed-length final key must land exactly on end-of-string).
+  - append joins pieces in (ordinal, appearance) order using the
+    delimiter that followed each earlier piece (space when none).
+  - a plain ``%{key}`` contributes to the append group of the same name.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = re.compile(r"%\{([^}]*)\}")
+
+CONVERTERS = {
+    "integer": int,
+    "long": int,
+    "float": float,
+    "double": float,
+    "string": str,
+    "boolean": lambda v: v.lower() == "true",
+    "ip": str,  # validated downstream; kept as string
+}
+
+
+class DissectError(ValueError):
+    pass
+
+
+@dataclass
+class _Key:
+    name: str
+    skip: bool = False
+    named_skip: bool = False
+    append: bool = False
+    ordinal: int = 0
+    pointer: bool = False  # %{*key}
+    indirect: bool = False  # %{&key}
+    greedy: bool = False  # ->
+    length: int | None = None  # #N fixed length
+    dtype: str | None = None  # |type
+    next_delim: str = ""  # delimiter FOLLOWING this key (append join sep)
+
+
+@dataclass
+class CompiledDissect:
+    tokenizer: str
+    pattern: str  # RE2- and re-compatible, ^-anchored, DOTALL
+    keys: list[_Key] = field(default_factory=list)
+    out_fields: list[str] = field(default_factory=list)
+    simple: bool = True  # no append/indirect/pointer → pure-Arrow resolve
+
+    _rx: re.Pattern | None = None
+
+    def regex(self) -> re.Pattern:
+        if self._rx is None:
+            self._rx = re.compile(self.pattern)
+        return self._rx
+
+    # ---- single-string API (conformance corpus tests) ----
+    def apply(self, s: str) -> dict[str, object] | None:
+        m = self.regex().match(s)
+        if m is None:
+            return None
+        return self._resolve(m.groups())
+
+    def _resolve(self, groups: tuple[str | None, ...]) -> dict[str, object]:
+        out: dict[str, object] = {}
+        append_names = {k.name for k in self.keys if k.append}
+        appends: dict[str, list[tuple[int, int, str, str]]] = {}
+        pointers: dict[str, str] = {}
+        indirects: list[tuple[str, str]] = []
+        for pos, (k, v) in enumerate(zip(self.keys, groups)):
+            if v is None:
+                v = ""
+            if k.skip:
+                if k.named_skip and k.name:
+                    pointers[k.name] = v
+                continue
+            if k.pointer:
+                pointers[k.name] = v
+                continue
+            if k.indirect:
+                indirects.append((k.name, v))
+                continue
+            if k.name in append_names:
+                appends.setdefault(k.name, []).append(
+                    (k.ordinal, pos, v, k.next_delim)
+                )
+                continue
+            out[k.name] = v
+        for name, parts in appends.items():
+            parts.sort(key=lambda t: (t[0], t[1]))
+            buf = parts[0][2]
+            for prev, cur in zip(parts, parts[1:]):
+                sep = prev[3] if prev[3] else " "
+                buf += sep + cur[2]
+            out[name] = buf
+        for name, v in indirects:
+            target = pointers.get(name)
+            if target is None:
+                target = str(out.get(name, name))
+            out[target] = v
+        for k in self.keys:
+            if k.dtype and not k.skip and k.name in out:
+                try:
+                    out[k.name] = CONVERTERS[k.dtype](out[k.name])  # type: ignore[arg-type]
+                except (ValueError, AttributeError):
+                    pass
+        return out
+
+
+def _parse_key(raw: str) -> _Key:
+    k = _Key(name=raw)
+    body = raw
+    if body.endswith("->"):
+        k.greedy = True
+        body = body[:-2]
+    if "|" in body:
+        body, t = body.rsplit("|", 1)
+        if t not in CONVERTERS:
+            raise DissectError(f"unknown type {t!r} in %{{{raw}}}")
+        k.dtype = t
+    if "#" in body:
+        body, n = body.rsplit("#", 1)
+        try:
+            k.length = int(n)
+        except ValueError as e:
+            raise DissectError(f"bad length in %{{{raw}}}") from e
+    if body.startswith("+"):
+        k.append = True
+        body = body[1:]
+        if "/" in body:
+            body, o = body.rsplit("/", 1)
+            try:
+                k.ordinal = int(o)
+            except ValueError as e:
+                raise DissectError(f"bad ordinal in %{{{raw}}}") from e
+    elif body.startswith("?"):
+        k.skip = True
+        k.named_skip = True
+        body = body[1:]
+    elif body.startswith("*"):
+        k.pointer = True
+        body = body[1:]
+    elif body.startswith("&"):
+        k.indirect = True
+        body = body[1:]
+    if body == "":
+        k.skip = True
+        k.named_skip = False
+    k.name = body
+    return k
+
+
+def compile_tokenizer(tok: str) -> CompiledDissect:
+    """Compile a dissect tokenizer into one anchored regex + key plan."""
+    matches = list(TOKEN_RE.finditer(tok))
+    if not matches:
+        raise DissectError("tokenizer contains no %{} fields")
+    keys: list[_Key] = []
+    parts: list[str] = ["(?s)^", re.escape(tok[: matches[0].start()])]
+    for i, m in enumerate(matches):
+        key = _parse_key(m.group(1))
+        nxt = matches[i + 1].start() if i + 1 < len(matches) else len(tok)
+        delim = tok[m.end() : nxt]
+        key.next_delim = delim
+        keys.append(key)
+        gname = f"g{len(keys) - 1}"
+        last = i + 1 == len(matches)
+        if key.length is not None:
+            cap = f"(?P<{gname}>.{{{key.length}}})"
+        elif delim == "" and last:
+            cap = f"(?P<{gname}>.*)"  # final key: consume to end
+        else:
+            cap = f"(?P<{gname}>.*?)"
+        parts.append(cap)
+        if delim:
+            esc = re.escape(delim)
+            # greedy `->` collapses repeated delimiter runs
+            parts.append(f"(?:{esc})+" if key.greedy else esc)
+        elif last:
+            # tokenizer ends with a key → must consume to end-of-string
+            # (a trailing fixed-length key fails on leftover input);
+            # when it ends with a literal, trailing content is ignored.
+            parts.append("$")
+    pattern = "".join(parts)
+    cd = CompiledDissect(tokenizer=tok, pattern=pattern, keys=keys)
+    cd.simple = not any(k.append or k.indirect or k.pointer for k in keys)
+    seen: list[str] = []
+    for k in keys:
+        if not k.skip and not k.pointer and not k.indirect and k.name not in seen:
+            seen.append(k.name)
+    cd.out_fields = seen
+    return cd
+
+
+def dissect_batch(
+    compiled: CompiledDissect,
+    arr: pa.Array | pa.ChunkedArray,
+    trim_values: str = "none",
+    trim_chars: str = " ",
+) -> tuple[dict[str, pa.Array], pa.Array]:
+    """Vectorized dissect over a string column.
+
+    Returns (field arrays keyed by output name, ok-mask). Rows that fail
+    to parse get null fields — the caller records the failure flag
+    (reference: ``dissect_parsing_error``, dissect/processor.go:33).
+
+    Fast path: tokenizers without append/indirect/pointer are resolved
+    entirely with Arrow kernels (extract_regex → struct_field). Modifier
+    tokenizers still run the regex vectorized, then resolve captured
+    groups per matched row in Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    struct = pc.extract_regex(arr, pattern=compiled.pattern)
+    ok = pc.is_valid(struct)
+    out: dict[str, pa.Array] = {}
+    if compiled.simple:
+        for gi, k in enumerate(compiled.keys):
+            if k.skip:
+                continue
+            col = pc.struct_field(struct, f"g{gi}")
+            col = _trim(col, trim_values, trim_chars)
+            out[k.name] = _convert_arr(col, k.dtype)
+        return out, ok
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    group_cols = [
+        pc.struct_field(struct, f"g{gi}").to_pylist()
+        for gi in range(len(compiled.keys))
+    ]
+    rows: list[dict[str, object] | None] = [
+        compiled._resolve(tuple(c[ri] for c in group_cols)) if ok_np[ri] else None
+        for ri in range(n)
+    ]
+    names: list[str] = []
+    for r in rows:
+        if r:
+            for name in r:
+                if name not in names:
+                    names.append(name)
+    for name in names:
+        col = pa.array([None if r is None else r.get(name) for r in rows])
+        if col.type == pa.null():
+            col = col.cast(pa.string())
+        out[name] = _trim(col, trim_values, trim_chars)
+    return out, ok
+
+
+def _trim(col: pa.Array, mode: str, chars: str) -> pa.Array:
+    if mode == "none" or not pa.types.is_string(col.type):
+        return col
+    if mode == "left":
+        return pc.utf8_ltrim(col, characters=chars)
+    if mode == "right":
+        return pc.utf8_rtrim(col, characters=chars)
+    if mode == "all":
+        return pc.utf8_trim(col, characters=chars)
+    raise DissectError(f"unknown trim mode {mode!r}")
+
+
+def _convert_arr(col: pa.Array, dtype: str | None) -> pa.Array:
+    if dtype in (None, "string", "ip"):
+        return col
+    if dtype in ("integer", "long"):
+        return pc.cast(col, pa.int64(), safe=False)
+    if dtype in ("float", "double"):
+        return pc.cast(col, pa.float64(), safe=False)
+    if dtype == "boolean":
+        return pc.equal(pc.utf8_lower(col), "true")
+    return col

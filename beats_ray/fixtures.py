@@ -1,0 +1,244 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1-§4).
+
+The BASELINE.json input_hint defines the table shape:
+``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us])``.  Everything here is a pure function of
+(scale factor, fixed seed constants) — no wall-clock, no RNG state — so
+the Ray pipeline and the DuckDB oracle read byte-identical inputs.
+
+Text content mix per FIXTURES.md §2 (class decided by a per-row hash):
+  <60  dissect-able tool-call line      (reference: dissect fixtures,
+        libbeat/processors/dissect/testdata/dissect_tests.json)
+  <75  ndjson turn                      (reader/readjson/json.go)
+  <85  RFC3164 syslog-style line        (reader/syslog/rfc3164)
+  <95  multiline stack trace            (reader/multiline pattern mode)
+  <100 malformed (truncated JSON / empty / garbage) — parse-error parity
+
+Skew fixture: every 100th conversation is "hot" (50× the turns), so
+groupby(conv_id) stages see realistic key skew.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import TRANSCRIPT_SCHEMA
+
+BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+TOOLS = np.array(["bash", "read", "write", "grep", "search"])
+ROLES = np.array(["user", "assistant", "tool", "system"])
+LEVELS = np.array(["info", "warn", "error", "debug"])
+EXCEPTIONS = np.array(
+    ["NullPointerException", "IllegalArgumentException", "IOException"]
+)
+
+# Enrichment small sides (FIXTURES.md §3-§4) — broadcast lookup tables
+# modelling add_host_metadata / dns / translate_* processors.
+TOOL_LOOKUP: dict[str, tuple[str, str]] = {
+    "bash": ("shell", "high"),
+    "read": ("fs", "low"),
+    "write": ("fs", "medium"),
+    "grep": ("search", "low"),
+    "search": ("search", "low"),
+    "none": ("n/a", "low"),
+}
+ROLE_LOOKUP: dict[str, str] = {
+    "user": "human",
+    "assistant": "model",
+    "tool": "machine",
+    "system": "control",
+}
+
+_FNV_OFFSET = np.uint32(2166136261)
+_FNV_PRIME = np.uint32(16777619)
+
+
+def fnv1a32(s: str) -> int:
+    """FNV-1a 32-bit string hash — the engine's stable partitioner."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def fnv1a32_series(values: pd.Series) -> np.ndarray:
+    """Vectorized-enough FNV over a string Series (hash per unique value)."""
+    uniq = pd.unique(values)
+    table = {u: fnv1a32(u) for u in uniq}
+    return values.map(table).to_numpy(dtype=np.int64)
+
+
+def scale_turns(sf: float) -> int:
+    """Target turn count: matches the driver's lineitem scaling (6M × sf)."""
+    return max(200, int(6_000_000 * sf))
+
+
+def _conv_layout(n_turns: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Return (conv_num, turn_idx, lengths) covering ≈ n_turns rows."""
+    # Deterministic lengths: 8 + (i*37 % 23); every 100th conv is hot (×50).
+    avg = 19.0 * 0.99 + 19.0 * 50 * 0.01  # ≈ 28.3
+    n_conv = max(10, int(round(n_turns / avg)))
+    i = np.arange(n_conv, dtype=np.int64)
+    lengths = 8 + (i * 37) % 23
+    lengths = np.where(i % 100 == 0, lengths * 50, lengths)
+    conv_num = np.repeat(i, lengths)
+    # turn_idx = position within each conversation
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    turn_idx = np.arange(ends[-1], dtype=np.int64) - np.repeat(starts, lengths)
+    return conv_num, turn_idx, lengths
+
+
+def build_transcripts(sf: float) -> pa.Table:
+    """Build the full transcript table for a scale factor (deterministic)."""
+    n_target = scale_turns(sf)
+    conv_num, turn_idx, _ = _conv_layout(n_target)
+    n = len(conv_num)
+
+    conv_id = pd.Series(conv_num).map(lambda i: f"conv-{i:06d}").astype("string")
+    role_code = (conv_num * 7 + turn_idx * 3) % 20
+    role = np.select(
+        [role_code < 8, role_code < 16, role_code < 19], ROLES[:3], ROLES[3]
+    )
+    tool = np.where(
+        role == "tool", TOOLS[(conv_num + turn_idx) % 5], "none"
+    ).astype(object)
+    ts_us = BASE_TS_US + conv_num * 127_000_000 + turn_idx * 7_000_000
+
+    h = (conv_num * 1_000_003 + turn_idx * 7_919) % 100
+    aux = (conv_num * 31 + turn_idx * 17) % 1_000_000
+
+    ts_iso = pd.to_datetime(ts_us, unit="us", utc=True).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    syslog_ts = pd.to_datetime(ts_us, unit="us", utc=True).strftime(
+        "%b %d %H:%M:%S"
+    )
+
+    level = LEVELS[aux % 4]
+    status = np.where(aux % 5 == 0, "fail", "ok")
+    ncmd = (aux % 7 + 1).astype(str)
+
+    s = pd.Series  # shorthand for object-dtype vectorized concat
+    text_dissect = (
+        "level=" + s(level) + " ts=" + s(np.asarray(ts_iso, dtype=object))
+        + " tool=" + s(tool) + " status=" + s(status)
+        + ' msg="ran ' + s(ncmd.astype(object)) + ' commands"'
+    )
+
+    dur = (aux % 500 + 1).astype(str)
+    jtool = TOOLS[aux % 5]
+    ev = np.where(aux % 4 == 0, "tool_result", "tool_call")
+    text_json = (
+        '{"event":"' + s(ev.astype(object)) + '","tool":"' + s(jtool.astype(object))
+        + '","args":{"pattern":"x"},"duration_ms":' + s(dur.astype(object)) + "}"
+    )
+
+    pri = (aux % 192).astype(str)
+    pid = (aux % 9_000 + 100).astype(str)
+    hostn = "host" + s((aux % 9).astype(str).astype(object))
+    text_syslog = (
+        "<" + s(pri.astype(object)) + ">" + s(np.asarray(syslog_ts, dtype=object))
+        + " " + hostn + " app[" + s(pid.astype(object))
+        + "]: job " + s(dur.astype(object)) + " finished"
+    )
+
+    exc = EXCEPTIONS[aux % 3]
+    lineno = (aux % 400 + 10).astype(str)
+    text_multi = (
+        'Exception in thread "main" java.lang.' + s(exc.astype(object))
+        + ": op failed\n\tat com.example.Foo.bar(Foo.java:"
+        + s(lineno.astype(object))
+        + ")\n\tat com.example.Main.main(Main.java:12)"
+    )
+
+    bad_kind = aux % 3
+    text_bad = np.select(
+        [bad_kind == 0, bad_kind == 1],
+        ['{"event":"tool_call","tool":', ""],
+        "### $$$ not a log line",
+    ).astype(object)
+
+    text = np.select(
+        [h < 60, h < 75, h < 85, h < 95],
+        [
+            text_dissect.to_numpy(dtype=object),
+            text_json.to_numpy(dtype=object),
+            text_syslog.to_numpy(dtype=object),
+            text_multi.to_numpy(dtype=object),
+        ],
+        text_bad,
+    )
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn_idx.astype(np.int32), pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def num_partitions(sf: float) -> int:
+    return 16 if sf >= 0.05 else 8
+
+
+def transcripts_dir(sf: float, root: str = "/tmp/beats_ray_fixtures") -> str:
+    return os.path.join(root, f"sf{sf:g}", "transcripts")
+
+
+def ensure_transcripts(sf: float, root: str = "/tmp/beats_ray_fixtures") -> str:
+    """Write the transcript corpus as P hash(conv_id)-partitioned parquet
+    files (FIXTURES.md: ≥8 files so resume/lineage tests span partitions).
+    Idempotent & cached: a _DONE marker short-circuits regeneration.
+    """
+    out = Path(transcripts_dir(sf, root))
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    tbl = build_transcripts(sf)
+    p = num_partitions(sf)
+    part = fnv1a32_series(pd.Series(tbl["conv_id"].to_pandas())) % p
+    part_arr = np.asarray(part)
+    for k in range(p):
+        sub = tbl.filter(pa.array(part_arr == k))
+        pq.write_table(sub, out / f"part-{k:05d}.parquet")
+    done.write_text("ok")
+    return str(out)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Extract the scale factor from a driver sf dir like /root/testdata/sf0.01."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        return float(name[2:])
+    raise ValueError(f"cannot infer scale factor from {sf_dir!r}")
+
+
+def tool_lookup_table() -> pa.Table:
+    rows = sorted(TOOL_LOOKUP.items())
+    return pa.table(
+        {
+            "tool": [k for k, _ in rows],
+            "tool_category": [v[0] for _, v in rows],
+            "risk_level": [v[1] for _, v in rows],
+        }
+    )
+
+
+def role_lookup_table() -> pa.Table:
+    rows = sorted(ROLE_LOOKUP.items())
+    return pa.table(
+        {"role": [k for k, _ in rows], "role_tag": [v for _, v in rows]}
+    )
