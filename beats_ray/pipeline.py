@@ -1,0 +1,185 @@
+"""The flagship parse → enrich → route pipeline (config-driven).
+
+Mirrors the reference's publisher processing composition
+(libbeat/publisher/processing/default.go:278-416 — a deterministic
+config → ordered-transform-list builder) and Filebeat's end-to-end flow
+(SURVEY §3.1): read transcript Parquet partitions (the harvester pool,
+filebeat/input/filestream/input.go:208-276) → fused stateless parse
+chain (§2.2-2.4) → actor-pool enrichment (§2.3 lookup processors) →
+routing (§2.7 selectors) → per-sink partitioned Parquet + per-sink
+counts (§2.8).
+
+Scale notes
+-----------
+- The whole stateless chain is FUSED into one ``map_batches`` callable:
+  one task launch per block, zero-copy Arrow throughout.
+- Enrichment is an actor pool with the lookup tables broadcast via
+  ``ray.put`` once (not re-shipped per batch).
+- No full materialization: read → map_batches → write streams with
+  backpressure; the only aggregates are per-sink counts read from
+  parquet footers after the write (no second pass over the data).
+- ``part_id`` (FNV-1a of conv_id mod P) is the ONE partitioning key
+  reused everywhere: output layout, lineage, resume, groupby stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fixtures import fnv1a32
+from .processors import build_chain, run_chain
+from .routing import Router
+
+# Default flagship config — the YAML surface a Beats user would write.
+FLAGSHIP_TOKENIZER = (
+    'level=%{level} ts=%{ts} tool=%{tool} status=%{status} msg="%{msg}"'
+)
+
+FLAGSHIP_CONFIG: dict = {
+    "processors": [
+        {"dissect": {"tokenizer": FLAGSHIP_TOKENIZER, "ignore_failure": True}},
+        {
+            "decode_json_fields": {
+                "fields": ["text"],
+                "target": "parsed",
+                "add_error_key": True,
+                "expected": {
+                    "event": "string",
+                    "tool": "string",
+                    "duration_ms": "int64",
+                },
+            }
+        },
+        {"syslog": {"field": "text", "target_prefix": "syslog"}},
+    ],
+    "routes": [
+        {"name": "errors", "when": {"regexp": {"text": "level=error|<\\d+>"}}},
+        {"name": "tool_events", "when": {"equals": {"parsed.event": "tool_call"}}},
+        {
+            "name": "assistant",
+            "when": {
+                "and": [
+                    {"equals": {"role": "assistant"}},
+                    {"not": {"has_fields": ["error.message"]}},
+                ]
+            },
+        },
+        {"name": "default"},
+    ],
+}
+
+_MULTILINE_START = r"^Exception in thread "
+
+
+def classify_kind(t: pa.Table) -> pa.Table:
+    """Derive ``parsed.kind`` + fallback ``error.message`` after the parse
+    chain ran. Precedence: dissect > ndjson > syslog > multiline > none.
+    Unparseable rows are tagged, never dropped (Beats tag-and-keep,
+    SetErrorWithOption, event.go:303-316)."""
+    n = t.num_rows
+    text = pc.fill_null(t["text"].combine_chunks(), "")
+    dissect_ok = (
+        pc.is_valid(t["dissect.level"].combine_chunks())
+        if "dissect.level" in t.column_names
+        else pa.array([False] * n)
+    )
+    json_ok = (
+        pc.is_valid(t["parsed.event"].combine_chunks())
+        if "parsed.event" in t.column_names
+        else pa.array([False] * n)
+    )
+    syslog_ok = (
+        pc.fill_null(t["syslog.ok"].combine_chunks(), False)
+        if "syslog.ok" in t.column_names
+        else pa.array([False] * n)
+    )
+    multi_ok = pc.match_substring_regex(text, _MULTILINE_START)
+    kind = pa.nulls(n, pa.string())
+    for mask, name in (
+        (dissect_ok, "dissect"),
+        (json_ok, "ndjson"),
+        (syslog_ok, "syslog"),
+        (multi_ok, "multiline"),
+    ):
+        kind = pc.if_else(pc.and_(pc.is_null(kind), pc.fill_null(mask, False)),
+                          pa.scalar(name), kind)
+    none_mask = pc.is_null(kind)
+    kind = pc.fill_null(kind, "none")
+    if "parsed.kind" in t.column_names:
+        t = t.set_column(t.column_names.index("parsed.kind"), "parsed.kind", kind)
+    else:
+        t = t.append_column("parsed.kind", kind)
+    # fallback error for rows no parser claimed (decode_json already set
+    # its own message for truncated JSON; set_error keeps the first one)
+    from .processors.base import set_error
+
+    return set_error(t, none_mask, "no parser matched")
+
+
+def add_part_id(t: pa.Table, num_parts: int) -> pa.Table:
+    """Stable partition key: FNV-1a(conv_id) % P — matches the corpus
+    file layout so lineage/resume can skip whole input files."""
+    conv = t["conv_id"].combine_chunks()
+    # hash per unique value (conversations repeat heavily within a block)
+    uniq = pc.unique(conv)
+    lut = {u: fnv1a32(u) % num_parts for u in uniq.to_pylist()}
+    idx = pc.index_in(conv, value_set=uniq)
+    parts = pa.array([lut[u] for u in uniq.to_pylist()], pa.int32())
+    col = pc.take(parts, idx)
+    if "part_id" in t.column_names:
+        return t.set_column(t.column_names.index("part_id"), "part_id", col)
+    return t.append_column("part_id", col)
+
+
+class ParseStage:
+    """Fused stateless chain for ``map_batches`` (tasks): processors +
+    kind classification. Compiled once per worker on deserialize."""
+
+    def __init__(self, config: dict | None = None):
+        self.config = config or FLAGSHIP_CONFIG
+        self._chain = None
+
+    def _ensure(self):
+        if self._chain is None:
+            self._chain = build_chain(self.config.get("processors", []))
+        return self._chain
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = run_chain(t, self._ensure())
+        return classify_kind(t)
+
+
+class RouteStage:
+    """Sink assignment + partition key (stateless tasks)."""
+
+    def __init__(self, config: dict | None = None, num_parts: int = 8):
+        self.config = config or FLAGSHIP_CONFIG
+        self.num_parts = num_parts
+        self._router = None
+
+    def _ensure(self) -> Router:
+        if self._router is None:
+            self._router = Router(self.config.get("routes", []))
+        return self._router
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = self._ensure()(t)
+        return add_part_id(t, self.num_parts)
+
+
+def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
+                  enrich: bool = True, enrich_concurrency=(1, 8)):
+    """Compose the lazy flagship pipeline over a ``ray.data.Dataset``."""
+    from .enrich import LookupEnricher, broadcast_lookups
+
+    ds = ds.map_batches(ParseStage(config), batch_format="pyarrow")
+    if enrich:
+        ds = ds.map_batches(
+            LookupEnricher,
+            fn_constructor_kwargs=broadcast_lookups(),
+            batch_format="pyarrow",
+            concurrency=enrich_concurrency,
+        )
+    ds = ds.map_batches(RouteStage(config, num_parts), batch_format="pyarrow")
+    return ds

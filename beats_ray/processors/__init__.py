@@ -1,0 +1,12 @@
+"""Processor library — importing this package registers every processor
+(mirrors the reference's init-time RegisterPlugin calls,
+libbeat/processors/registry.go)."""
+
+from . import actions, convert, fingerprint, metadata, parse  # noqa: F401
+from .base import (  # noqa: F401
+    Transform,
+    build_chain,
+    build_processor,
+    registry,
+    run_chain,
+)

@@ -1,0 +1,232 @@
+"""Parsing processors: dissect, ndjson decode, syslog, multiline stats,
+include/exclude line filters.
+
+These model the filestream parser chain (libbeat/reader/parser/
+parser.go:142-196) and the parse-class processors
+(actions/decode_json_fields.go, processors/syslog/, reader/multiline/)
+as vectorized Arrow batch transforms.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..dissect import compile_tokenizer, dissect_batch
+from .base import add_flag, get_col, register, set_col, set_error
+
+
+def _named(name: str):
+    def deco(fn):
+        fn.name = name
+        return fn
+
+    return deco
+
+
+@register("dissect")
+def dissect_proc(cfg: dict):
+    """Dissect processor (libbeat/processors/dissect/processor.go:75).
+
+    Config: tokenizer, field (default "message" → our "text"),
+    target_prefix (default "dissect"), ignore_failure, overwrite_keys,
+    trim_values, trim_chars. Failure → flag ``dissect_parsing_error``
+    (processor.go:33)."""
+    tok = cfg["tokenizer"]
+    field = cfg.get("field", "text")
+    prefix = cfg.get("target_prefix", "dissect")
+    ignore_failure = cfg.get("ignore_failure", False)
+    trim_values = cfg.get("trim_values", "none")
+    trim_chars = cfg.get("trim_chars", " ")
+    compiled = compile_tokenizer(tok)
+
+    @_named("dissect")
+    def run(t: pa.Table) -> pa.Table:
+        col = get_col(t, field)
+        if col is None:
+            return t
+        fields, ok = dissect_batch(compiled, col, trim_values, trim_chars)
+        for name, arr in fields.items():
+            out_name = f"{prefix}.{name}" if prefix else name
+            t = set_col(t, out_name, arr)
+        if not ignore_failure:
+            t = add_flag(t, pc.invert(ok), "dissect_parsing_error")
+        return t
+
+    return run
+
+
+@register("decode_json_fields")
+def decode_json_fields(cfg: dict):
+    """Parse JSON strings into typed columns
+    (actions/decode_json_fields.go:50-103).
+
+    Columnar adaptation: instead of open-ended key explosion, the
+    ``expected`` map pins which keys become columns (name → arrow type
+    string); everything else is ignored (schema-first, SURVEY §1.2).
+    Config: fields, target (prefix, default "parsed"), expected,
+    add_error_key, document_id."""
+    fields = cfg.get("fields", ["text"])
+    target = cfg.get("target", "parsed")
+    expected: dict[str, str] = cfg.get(
+        "expected", {"event": "string", "tool": "string", "duration_ms": "int64"}
+    )
+    add_error_key = cfg.get("add_error_key", False)
+    document_id = cfg.get("document_id")
+    types = {
+        "string": pa.string(),
+        "int64": pa.int64(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+    }
+
+    @_named("decode_json_fields")
+    def run(t: pa.Table) -> pa.Table:
+        for field in fields:
+            col = get_col(t, field)
+            if col is None:
+                continue
+            vals = col.to_pylist()
+            looks = [v is not None and v[:1] in "{[" for v in vals]
+            parsed: list[dict | None] = [None] * len(vals)
+            bad = np.zeros(len(vals), dtype=bool)
+            for i, v in enumerate(vals):
+                if not looks[i]:
+                    continue
+                try:
+                    obj = json.loads(v)
+                    if isinstance(obj, dict):
+                        parsed[i] = obj
+                    else:
+                        bad[i] = True
+                except (json.JSONDecodeError, TypeError):
+                    bad[i] = True
+            for key, tname in expected.items():
+                typ = types[tname]
+                out = [None if p is None else p.get(key) for p in parsed]
+                arr = pa.array(out)
+                try:
+                    arr = pc.cast(arr, typ)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    arr = pa.nulls(len(out), typ)
+                pref = f"{target}." if target else ""
+                t = set_col(t, f"{pref}{key}", arr)
+            if document_id:
+                ids = [
+                    None if p is None else str(p.get(document_id, ""))
+                    for p in parsed
+                ]
+                t = set_col(t, "meta.doc_id", pa.array(ids, pa.string()))
+            if add_error_key and bad.any():
+                t = set_error(t, pa.array(bad), "failed to decode json")
+        return t
+
+    return run
+
+
+# RFC3164: "<34>Jan  1 00:00:07 host app[123]: message" — priority math
+# pri>>3 = facility, pri&7 = severity (reference: reader/syslog/rfc3164).
+_SYSLOG_PATTERN = (
+    r"(?s)^<(?P<pri>\d{1,3})>"
+    r"(?P<ts3164>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<host>\S+) "
+    r"(?P<app>[^\[\s:]+)(?:\[(?P<pid>\d+)\])?: "
+    r"(?P<msg>.*)$"
+)
+
+
+@register("syslog")
+def syslog_proc(cfg: dict):
+    """Parse an RFC3164 syslog message from a field
+    (processors/syslog/syslog.go:141; state machines in
+    reader/syslog/rfc3164_gen.go re-expressed as one vectorized regex)."""
+    field = cfg.get("field", "text")
+    prefix = cfg.get("target_prefix", "syslog")
+
+    @_named("syslog")
+    def run(t: pa.Table) -> pa.Table:
+        col = get_col(t, field)
+        if col is None:
+            return t
+        arr = pc.fill_null(col.combine_chunks(), "")
+        struct = pc.extract_regex(arr, pattern=_SYSLOG_PATTERN)
+        ok = pc.is_valid(struct)
+        pri = pc.cast(pc.struct_field(struct, "pri"), pa.int64(), safe=False)
+        t = set_col(t, f"{prefix}.pri", pri)
+        t = set_col(t, f"{prefix}.facility", pc.shift_right(pri, 3))
+        t = set_col(t, f"{prefix}.severity", pc.bit_wise_and(pri, 7))
+        t = set_col(t, f"{prefix}.host", pc.struct_field(struct, "host"))
+        t = set_col(t, f"{prefix}.app", pc.struct_field(struct, "app"))
+        pid = pc.struct_field(struct, "pid")
+        # unmatched optional group captures "" → null before int cast
+        pid = pc.if_else(pc.equal(pid, ""), pa.nulls(t.num_rows, pa.string()), pid)
+        t = set_col(t, f"{prefix}.pid", pc.cast(pid, pa.int64(), safe=False))
+        t = set_col(t, f"{prefix}.msg", pc.struct_field(struct, "msg"))
+        t = set_col(t, f"{prefix}.ok", ok)
+        return t
+
+    return run
+
+
+@register("multiline_stats")
+def multiline_stats(cfg: dict):
+    """Per-row stats for already-joined multiline events: line count and
+    first line (reader/multiline pattern mode produces joined events;
+    max_lines default 500, multiline_config.go:28-45). The cross-row JOIN
+    operator lives in beats_ray.stages.multiline."""
+    field = cfg.get("field", "text")
+    prefix = cfg.get("target_prefix", "multiline")
+    max_lines = cfg.get("max_lines", 500)
+
+    @_named("multiline_stats")
+    def run(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(get_col(t, field).combine_chunks(), "")
+        parts = pc.split_pattern(col, pattern="\n")
+        n = pc.list_value_length(parts)
+        t = set_col(t, f"{prefix}.n_lines", pc.cast(n, pa.int64()))
+        t = set_col(t, f"{prefix}.first_line", pc.list_element(parts, 0))
+        t = add_flag(t, pc.greater(n, max_lines), "multiline")
+        return t
+
+    return run
+
+
+class _IncludeMessage:
+    """Keep only rows whose field matches one of the patterns
+    (reader/filter/ include_message parser; also models filebeat
+    include_lines/exclude_lines, input.go:800+)."""
+
+    name = "include_message"
+    drops_rows = True
+
+    def __init__(self, cfg: dict):
+        self.field = cfg.get("field", "text")
+        self.include = cfg.get("patterns", cfg.get("include", []))
+        self.exclude = cfg.get("exclude", [])
+
+    def keep_mask(self, t: pa.Table) -> pa.Array:
+        col = get_col(t, self.field)
+        if col is None:
+            return pa.array(np.zeros(t.num_rows, dtype=bool))
+        arr = pc.fill_null(col.combine_chunks(), "")
+        if self.include:
+            keep = None
+            for p in self.include:
+                m = pc.match_substring_regex(arr, p)
+                keep = m if keep is None else pc.or_(keep, m)
+        else:
+            keep = pa.array(np.ones(t.num_rows, dtype=bool))
+        for p in self.exclude:
+            keep = pc.and_(keep, pc.invert(pc.match_substring_regex(arr, p)))
+        return keep
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.filter(self.keep_mask(t))
+
+
+@register("include_message")
+def include_message(cfg: dict):
+    return _IncludeMessage(cfg)

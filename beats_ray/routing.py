@@ -1,0 +1,69 @@
+"""Output routing: selector expressions → a ``sink`` column.
+
+Models the reference's selector machinery (outputs/outil/select.go:30-67,
+settings.go:18-40): a prioritized rule list, each rule
+``{name|index: <format-string>, when: <condition>, default?}``, compiled
+to a first-match-wins cascade evaluated vectorized over each batch
+(the ES ``index``/``indices`` form, idxmgmt/index_support.go:190-197,
+and kafka ``topic``/``topics``, kafka/kafka.go:96-106, share this shape).
+
+Rows matching no rule get the ``default`` sink if present, else null
+sink (Beats: event dropped for that output — we keep + null so the
+"dropped" count is observable).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .conditions import compile_condition
+from .processors.metadata import compile_format_string
+
+
+class Router:
+    def __init__(self, rules: list[dict], target: str = "sink"):
+        self.target = target
+        self.compiled: list[tuple] = []
+        self.default: str | None = None
+        self.sink_names: list[str] = []
+        for rule in rules:
+            name = rule.get("name") or rule.get("index") or rule.get("topic")
+            if name is None:
+                raise ValueError(f"routing rule needs a name: {rule!r}")
+            fmt = compile_format_string(name) if "%{" in name else None
+            if "when" in rule:
+                cond = compile_condition(rule["when"])
+                self.compiled.append((name, fmt, cond))
+            else:
+                # unconditional rule = the default/fallback sink
+                self.default = name
+            if "%{" not in name and name not in self.sink_names:
+                self.sink_names.append(name)
+        if self.default and self.default not in self.sink_names:
+            self.sink_names.append(self.default)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sink = pa.nulls(n, pa.string())
+        for name, fmt, cond in self.compiled:
+            mask = pc.fill_null(cond(t), False)
+            assign = pc.and_(pc.is_null(sink), mask)
+            value = fmt(t) if fmt is not None else pa.scalar(name)
+            sink = pc.if_else(assign, value, sink)
+        if self.default is not None:
+            sink = pc.fill_null(sink, self.default)
+        if self.target in t.column_names:
+            idx = t.column_names.index(self.target)
+            return t.set_column(idx, self.target, sink)
+        return t.append_column(self.target, sink)
+
+
+def sink_counts(t: pa.Table, target: str = "sink") -> dict[str, int]:
+    """Per-batch partial counts (combiner before the global groupby —
+    SURVEY §2.8 per-sink aggregate counts)."""
+    vc = t[target].value_counts()
+    out = {}
+    for entry in vc.to_pylist():
+        out[entry["values"]] = entry["counts"]
+    return out

@@ -1,0 +1,170 @@
+"""End-to-end flagship pipeline tests (SURVEY §5 plan items c+d):
+deterministic corpus → parse→enrich→route → assert per-sink counts,
+routed-row sets, per-turn text equality under (conv_id, turn_idx) sort —
+all against an INDEPENDENT pure-pandas oracle — plus the kill/resume
+effectively-once test."""
+
+import glob
+import json
+import re
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from beats_ray.pipeline import build_dataset
+from beats_ray.state import CheckpointRunner
+
+
+# ---------- independent oracle (pure pandas, no engine code) ----------
+
+DISSECT_RE = re.compile(
+    r'^level=(?P<level>.*?) ts=(?P<ts>.*?) tool=(?P<tool>.*?)'
+    r' status=(?P<status>.*?) msg="(?P<msg>.*?)"'
+)
+SYSLOG_RE = re.compile(r"^<(\d{1,3})>")
+
+
+def oracle(df: pd.DataFrame) -> pd.DataFrame:
+    def parse_row(text: str):
+        kind, event, err = "none", None, None
+        if DISSECT_RE.match(text):
+            kind = "dissect"
+        else:
+            looks_json = text[:1] in "{["
+            obj = None
+            if looks_json:
+                try:
+                    obj = json.loads(text)
+                    if not isinstance(obj, dict):
+                        obj, err = None, "failed to decode json"
+                except json.JSONDecodeError:
+                    err = "failed to decode json"
+            if obj is not None:
+                kind, event = "ndjson", obj.get("event")
+            elif SYSLOG_RE.match(text):
+                kind = "syslog"
+            elif text.startswith("Exception in thread "):
+                kind = "multiline"
+            else:
+                kind = "none"
+                if err is None:
+                    err = "no parser matched"
+        return kind, event, err
+
+    parsed = df["text"].map(parse_row)
+    df = df.assign(
+        kind=parsed.map(lambda t: t[0]),
+        event=parsed.map(lambda t: t[1]),
+        err=parsed.map(lambda t: t[2]),
+    )
+    err_route = df["text"].str.contains(r"level=error|<\d+>", regex=True)
+    sink = pd.Series("default", index=df.index)
+    m = ~err_route & (df["event"] == "tool_call")
+    sink[m] = "tool_events"
+    m2 = ~err_route & (df["event"] != "tool_call").fillna(True) & (
+        df["role"] == "assistant"
+    ) & df["err"].isna()
+    sink[m2] = "assistant"
+    sink[err_route] = "errors"
+    return df.assign(sink=sink)
+
+
+@pytest.fixture(scope="module")
+def routed(sf0001_dir):
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))
+    ds = rd.read_parquet(files)
+    out = build_dataset(ds, num_parts=8, enrich_concurrency=(1, 2)).to_pandas()
+    golden = oracle(
+        pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    )
+    return out, golden
+
+
+def test_per_sink_counts_match_oracle(routed):
+    out, golden = routed
+    got = out.groupby("sink").size().to_dict()
+    want = golden.groupby("sink").size().to_dict()
+    assert got == want
+
+
+def test_routed_row_sets_match_oracle(routed):
+    out, golden = routed
+    for sink in ["errors", "tool_events", "assistant", "default"]:
+        got = set(
+            map(tuple, out.loc[out["sink"] == sink, ["conv_id", "turn_idx"]].values)
+        )
+        want = set(
+            map(
+                tuple,
+                golden.loc[golden["sink"] == sink, ["conv_id", "turn_idx"]].values,
+            )
+        )
+        assert got == want, f"sink {sink}: row sets differ"
+
+
+def test_text_equality_under_stable_sort(routed):
+    out, golden = routed
+    a = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = golden.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a["text"].equals(b["text"])
+    assert len(a) == len(b)  # tag-and-keep: no silent row loss
+
+
+def test_parse_kind_distribution(routed):
+    out, golden = routed
+    got = out.groupby("parsed.kind").size().to_dict()
+    want = golden.groupby("kind").size().to_dict()
+    assert got == want
+
+
+def test_enrichment_joined(routed):
+    out, _ = routed
+    bash = out[out["tool"] == "bash"]
+    assert (bash["tool_category"] == "shell").all()
+    assert (bash["risk_level"] == "high").all()
+    assert (out.loc[out["role"] == "assistant", "role_tag"] == "model").all()
+    assert out["tool_category"].notna().all()
+
+
+def test_error_rows_tagged_not_dropped(routed):
+    out, golden = routed
+    got_err = out["error.message"].notna().sum()
+    want_err = golden["err"].notna().sum()
+    assert got_err == want_err > 0
+
+
+# ---------- checkpoint / resume (FIXTURES.md §7) ----------
+
+
+def test_resume_effectively_once(sf0001_dir, tmp_path):
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))
+
+    # single-shot reference run
+    ref = CheckpointRunner(str(tmp_path / "ref"))
+    m_ref = ref.run(files)
+    assert m_ref["partitions_done"] == len(files)
+    assert m_ref["rows_in"] == m_ref["rows_out"]
+
+    # run 1: only first 3 partitions get lineage
+    cr = CheckpointRunner(str(tmp_path / "out"))
+    cr.run(files[:3])
+    # run 2: crash AFTER writing but BEFORE checkpointing the rest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cr.run(files, fail_after_write=True)
+    # run 3: resume — must clean incomplete partitions and finish
+    m = cr.run(files)
+    assert m["partitions_done"] == len(files)
+    assert m["rows_routed"] == m_ref["rows_routed"]
+
+    # re-run on complete state is a no-op
+    m2 = cr.run(files)
+    assert m2 == m
+
+    # output rows = input rows exactly once
+    total = 0
+    for pf in (tmp_path / "out").rglob("*.parquet"):
+        total += pq.ParquetFile(pf).metadata.num_rows
+    assert total == m_ref["rows_in"]

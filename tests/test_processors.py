@@ -1,0 +1,193 @@
+"""Processor library tests — table-driven, mirroring the reference's
+per-processor *_test.go cases (e.g. actions/rename_test.go)."""
+
+import pyarrow as pa
+import pytest
+
+from beats_ray.processors import build_processor, run_chain
+
+
+@pytest.fixture
+def table():
+    return pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user", "assistant", "tool"],
+            "text": [
+                "level=info ts=2026-01-01T00:00:00Z tool=none status=ok msg=\"hi\"",
+                '{"event":"tool_call","tool":"grep","duration_ms":12}',
+                "garbage",
+            ],
+            "num_str": ["1", "2", "oops"],
+        }
+    )
+
+
+def run(spec, t):
+    return build_processor(spec)(t)
+
+
+def test_add_fields(table):
+    out = run({"add_fields": {"target": "", "fields": {"env": "prod"}}}, table)
+    assert out["env"].to_pylist() == ["prod"] * 3
+
+
+def test_add_tags(table):
+    out = run({"add_tags": {"tags": ["a", "b"]}}, table)
+    assert out["tags"].to_pylist() == ["a,b"] * 3
+    out2 = run({"add_tags": {"tags": ["c"]}}, out)
+    assert out2["tags"].to_pylist() == ["a,b,c"] * 3
+
+
+def test_rename_and_copy(table):
+    out = run({"rename": {"fields": [{"from": "num_str", "to": "n"}]}}, table)
+    assert "num_str" not in out.column_names and "n" in out.column_names
+    out = run({"copy_fields": {"fields": [{"from": "role", "to": "role2"}]}}, table)
+    assert out["role2"].to_pylist() == out["role"].to_pylist()
+
+
+def test_rename_existing_target_fails(table):
+    with pytest.raises(KeyError):
+        run({"rename": {"fields": [{"from": "role", "to": "text"}]}}, table)
+
+
+def test_drop_and_include_fields(table):
+    out = run({"drop_fields": {"fields": ["num_str"]}}, table)
+    assert "num_str" not in out.column_names
+    out = run({"include_fields": {"fields": ["role"]}}, table)
+    assert set(out.column_names) == {"conv_id", "turn_idx", "role"}
+
+
+def test_drop_event_when(table):
+    out = run(
+        {"drop_event": {}, "when": {"equals": {"role": "tool"}}}, table
+    )
+    assert out.num_rows == 2
+    assert "tool" not in out["role"].to_pylist()
+
+
+def test_replace(table):
+    out = run(
+        {"replace": {"fields": [{"field": "text", "pattern": r"\d+", "replacement": "N"}]}},
+        table,
+    )
+    assert "duration_ms\":N" in out["text"][1].as_py()
+
+
+def test_truncate_fields(table):
+    out = run({"truncate_fields": {"fields": ["text"], "max_characters": 10}}, table)
+    assert all(len(v) <= 10 for v in out["text"].to_pylist())
+    flags = out["log.flags"].to_pylist()
+    assert flags[0] == "truncated" and flags[2] is None
+
+
+def test_convert_with_rollback(table):
+    out = run(
+        {"convert": {"fields": [{"from": "num_str", "to": "num", "type": "long"}]}},
+        table,
+    )
+    assert out["num"].to_pylist() == [1, 2, None]
+    errs = out["error.message"].to_pylist()
+    assert errs[2] is not None and errs[0] is None
+
+
+def test_timestamp(table):
+    chain = [
+        {"dissect": {"tokenizer": 'level=%{level} ts=%{ts} tool=%{tool} status=%{status} msg="%{msg}"', "ignore_failure": True}},
+        {"timestamp": {"field": "dissect.ts", "target": "ts2"}},
+    ]
+    out = run_chain(table, [build_processor(s) for s in chain])
+    assert str(out["ts2"][0].as_py()) == "2026-01-01 00:00:00"
+    assert out["ts2"][2].as_py() is None
+
+
+def test_decode_json_fields(table):
+    out = run({"decode_json_fields": {"fields": ["text"], "add_error_key": True}}, table)
+    assert out["parsed.event"].to_pylist() == [None, "tool_call", None]
+    assert out["parsed.duration_ms"].to_pylist() == [None, 12, None]
+    # "garbage" doesn't look like JSON → not an error; truncated JSON is
+    t2 = pa.table({"text": ['{"a":', '{"event":"x"}']})
+    out2 = run({"decode_json_fields": {"fields": ["text"], "add_error_key": True, "expected": {"event": "string"}}}, t2)
+    assert out2["error.message"].to_pylist()[0] is not None
+
+
+def test_syslog():
+    t = pa.table({"text": ["<34>Jan  1 00:00:07 host9 app[123]: it broke", "nope"]})
+    out = run({"syslog": {}}, t)
+    assert out["syslog.pri"][0].as_py() == 34
+    assert out["syslog.facility"][0].as_py() == 4
+    assert out["syslog.severity"][0].as_py() == 2
+    assert out["syslog.pid"][0].as_py() == 123
+    assert out["syslog.msg"][0].as_py() == "it broke"
+    assert out["syslog.ok"].to_pylist() == [True, False]
+
+
+def test_fingerprint_and_add_id(table):
+    out = run({"fingerprint": {"fields": ["conv_id", "turn_idx"], "method": "md5"}}, table)
+    import hashlib
+
+    assert out["fingerprint"][0].as_py() == hashlib.md5(b"c1|0").hexdigest()
+    out = run({"add_id": {}}, table)
+    assert len(set(out["meta.doc_id"].to_pylist())) == 3
+
+
+def test_include_message(table):
+    out = run({"include_message": {"patterns": ["level="]}}, table)
+    assert out.num_rows == 1
+
+
+def test_if_then_else(table):
+    spec = {
+        "if": {"equals": {"role": "user"}},
+        "then": [{"add_fields": {"target": "", "fields": {"cls": "u"}}}],
+        "else": [{"add_fields": {"target": "", "fields": {"cls": "other"}}}],
+    }
+    out = build_processor(spec)(table)
+    got = dict(zip(out["role"].to_pylist(), out["cls"].to_pylist()))
+    assert got == {"user": "u", "assistant": "other", "tool": "other"}
+
+
+def test_when_blends_only_matching_rows(table):
+    out = run(
+        {
+            "add_fields": {"target": "", "fields": {"m": "yes"}},
+            "when": {"equals": {"role": "user"}},
+        },
+        table,
+    )
+    assert out["m"].to_pylist() == ["yes", None, None]
+
+
+def test_multiline_stats():
+    t = pa.table({"text": ["a\nb\nc", "single"]})
+    out = run({"multiline_stats": {}}, t)
+    assert out["multiline.n_lines"].to_pylist() == [3, 1]
+    assert out["multiline.first_line"].to_pylist() == ["a", "single"]
+
+
+def test_format_string():
+    from beats_ray.processors.metadata import compile_format_string
+
+    t = pa.table(
+        {"role": ["user"], "ts": pa.array([1767225600000000], pa.timestamp("us"))}
+    )
+    r = compile_format_string("idx-%{[role]}-%{+yyyy.MM.dd}")(t)
+    assert r.to_pylist() == ["idx-user-2026.01.01"]
+    r2 = compile_format_string("%{[missing]:fallback}")(t)
+    assert r2.to_pylist() == ["fallback"]
+
+
+def test_decode_base64_and_urldecode():
+    t = pa.table({"b": ["aGVsbG8=", "!!!"], "u": ["a%20b", None]})
+    out = run({"decode_base64_field": {"field": {"from": "b", "to": "b2"}}}, t)
+    assert out["b2"].to_pylist()[0] == "hello"
+    assert out["error.message"].to_pylist()[1] is not None
+    out = run({"urldecode": {"fields": [{"from": "u"}]}}, t)
+    assert out["u"].to_pylist() == ["a b", None]
+
+
+def test_decode_duration():
+    t = pa.table({"d": ["1h2m3s", "150ms", "bogus"]})
+    out = run({"decode_duration": {"field": "d", "target": "sec"}}, t)
+    assert out["sec"].to_pylist() == [3723.0, 0.15, None]
