@@ -1,44 +1,733 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the beats_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship parse→enrich→route on sf0.001.
+``queries()`` — one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data ops), each ``sf_dir → result``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for
+genuinely non-SQL ops → rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init().
+The transcript corpus (BASELINE.json input_hint shape) is synthesized
+deterministically per scale factor under /tmp (beats_ray.fixtures) —
+the oracle reads the exact same parquet files via read_parquet().
 """
 
 from __future__ import annotations
 
+import glob
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from beats_ray.fixtures import (
+    TOOL_LOOKUP,
+    ROLE_LOOKUP,
+    ensure_transcripts,
+    sf_from_dir,
+    transcripts_dir,
+)
+
+# ------------------------------------------------------------------ inputs
+
+
+def _tr_files(sf: float) -> list[str]:
+    return sorted(glob.glob(ensure_transcripts(sf) + "/part-*.parquet"))
+
+
+def _transcripts(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_tr_files(sf_from_dir(sf_dir)))
+
+
+def _table(sf_dir: str, name: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _routed(sf_dir: str):
+    from beats_ray.pipeline import build_dataset
+
+    return build_dataset(_transcripts(sf_dir), num_parts=8)
+
+
+# ------------------------------------------------------------------ entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 → per-sink aggregate counts."""
+    from ray.data.aggregate import Count
+
+    routed = _routed("/root/testdata/sf0.001")
+    return (
+        routed.groupby("sink")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("sink")
+        .reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------------------------- queries
+
+
+def q_route_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _routed(sf_dir).groupby("sink").aggregate(Count(alias_name="n"))
+
+
+def q_routed_rows(sf_dir: str):
+    return _routed(sf_dir).select_columns(["conv_id", "turn_idx", "sink", "text"])
+
+
+def q_parse_kinds(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _routed(sf_dir).groupby("parsed.kind").aggregate(Count(alias_name="n"))
+    return ds.map_batches(
+        lambda t: t.rename_columns(["kind", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_error_rows(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["error.message"]))
+        out = t.select(["conv_id", "turn_idx", "error.message"])
+        return out.rename_columns(["conv_id", "turn_idx", "error_message"])
+
+    return _routed(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def q_enrich_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _routed(sf_dir)
+        .groupby(["tool_category", "risk_level", "role_tag"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+DISSECT_RX = '(?s)^level=(.*?) ts=(.*?) tool=(.*?) status=(.*?) msg="(.*?)"'
+
+
+def q_dissect_parse(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {
+            "dissect": {
+                "tokenizer": 'level=%{level} ts=%{ts} tool=%{tool} status=%{status} msg="%{msg}"',
+                "ignore_failure": True,
+            }
+        }
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = proc(t)
+        t = t.filter(pc.is_valid(t["dissect.level"]))
+        out = t.select(
+            ["conv_id", "turn_idx", "dissect.level", "dissect.ts",
+             "dissect.tool", "dissect.status", "dissect.msg"]
+        )
+        return out.rename_columns(
+            ["conv_id", "turn_idx", "level", "ts_str", "tool_name", "status", "msg"]
+        )
+
+    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def q_ndjson_parse(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {"decode_json_fields": {"fields": ["text"], "target": "parsed"}}
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = proc(t)
+        t = t.filter(pc.is_valid(t["parsed.event"]))
+        out = t.select(
+            ["conv_id", "turn_idx", "parsed.event", "parsed.tool",
+             "parsed.duration_ms"]
+        )
+        return out.rename_columns(
+            ["conv_id", "turn_idx", "event", "json_tool", "duration_ms"]
+        )
+
+    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def q_syslog_parse(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor({"syslog": {}})
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = proc(t)
+        t = t.filter(pc.fill_null(t["syslog.ok"], False))
+        out = t.select(
+            ["conv_id", "turn_idx", "syslog.pri", "syslog.facility",
+             "syslog.severity", "syslog.host", "syslog.app", "syslog.pid",
+             "syslog.msg"]
+        )
+        return out.rename_columns(
+            ["conv_id", "turn_idx", "pri", "facility", "severity", "host",
+             "app", "pid", "msg"]
+        )
+
+    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+
+
+def q_multiline_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor({"multiline_stats": {}})
+
+    def stats(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring_regex(
+            pc.fill_null(t["text"].combine_chunks(), ""), "^Exception in thread "
+        )
+        t = proc(t.filter(mask))
+        out = t.select(
+            ["conv_id", "turn_idx", "multiline.n_lines", "multiline.first_line"]
+        )
+        return out.rename_columns(["conv_id", "turn_idx", "n_lines", "first_line"])
+
+    return _transcripts(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def q_truncate_preview(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def trunc(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "text_trunc": pc.utf8_slice_codeunits(text, 0, 40),
+                "truncated": pc.greater(pc.utf8_length(text), 40),
+            }
+        )
+
+    return _transcripts(sf_dir).map_batches(trunc, batch_format="pyarrow")
+
+
+def q_replace_mask_numbers(sf_dir: str):
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {"replace": {"fields": [{"field": "text", "pattern": r"\d+", "replacement": "N"}]}}
+    )
+
+    def go(t: pa.Table) -> pa.Table:
+        return proc(t).select(["conv_id", "turn_idx", "text"]).rename_columns(
+            ["conv_id", "turn_idx", "masked"]
+        )
+
+    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+
+
+def q_timestamp_parse(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_chain, run_chain
+
+    chain = build_chain(
+        [
+            {
+                "dissect": {
+                    "tokenizer": 'level=%{level} ts=%{ts} tool=%{tool} status=%{status} msg="%{msg}"',
+                    "ignore_failure": True,
+                }
+            },
+            {"timestamp": {"field": "dissect.ts", "target": "ts_parsed"}},
+        ]
+    )
+
+    def go(t: pa.Table) -> pa.Table:
+        t = run_chain(t, chain)
+        t = t.filter(pc.is_valid(t["dissect.level"]))
+        return t.select(["conv_id", "turn_idx", "ts_parsed"])
+
+    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+
+
+def q_format_index(sf_dir: str):
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {"add_formatted_index": {"index": "logs-%{[role]}-%{+yyyy.MM.dd}", "target": "idx_name"}}
+    )
+
+    def go(t: pa.Table) -> pa.Table:
+        return proc(t).select(["conv_id", "turn_idx", "idx_name"])
+
+    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {"fingerprint": {"fields": ["text"], "method": "md5", "target_field": "fp"}}
+    )
+
+    def go(t: pa.Table) -> pa.Table:
+        return proc(t).select(["doc_id", "fp"])
+
+    return _table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        go, batch_format="pyarrow"
+    )
+
+
+def q_rate_limited_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from beats_ray.dataops.flows import rate_limit
+
+    kept = rate_limit(_transcripts(sf_dir), k=3, window_s=60)
+    return kept.groupby("conv_id").aggregate(Count(alias_name="n_kept"))
+
+
+def q_flow_agg(sf_dir: str):
+    from beats_ray.dataops.flows import flow_agg
+
+    return flow_agg(_table(sf_dir, "events", ["user_id", "event_type", "ts", "value"]))
+
+
+def q_sessionize(sf_dir: str):
+    from beats_ray.dataops.flows import sessionize
+
+    return sessionize(_table(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_top_users(sf_dir: str):
+    from beats_ray.dataops.flows import top_k_users
+
+    return top_k_users(_table(sf_dir, "events", ["user_id"]), k=10)
+
+
+def q_events_type_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _table(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_tpch_q1(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    li = _table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        px_cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_pct = np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"].to_numpy().astype(np.int64),
+                "revenue_um": px_cents * disc_pct,
+                "n": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_um", alias_name="revenue_um"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from beats_ray.dataops.dedup import exact_dedup
+
+    return exact_dedup(_table(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id"]
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    from beats_ray.dataops.dedup import minhash_dedup
+
+    return minhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from beats_ray.dataops.dedup import simhash_dedup
+
+    return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=10)
+
+
+def q_ngram_dup_pairs(sf_dir: str):
+    from beats_ray.dataops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _table(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.6
+    )
+
+
+def q_token_stats(sf_dir: str):
+    from beats_ray.dataops.textstats import token_stats
+
+    return token_stats(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_quality_score(sf_dir: str):
+    from beats_ray.dataops.textstats import quality_score
+
+    return quality_score(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_lang_id(sf_dir: str):
+    from beats_ray.dataops.textstats import lang_id
+
+    return lang_id(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from beats_ray.dataops.textstats import doc_fingerprint
+
+    return doc_fingerprint(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    emb = (
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(lambda r: r["vec_id"] < 4)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.stack(emb["embedding"].to_numpy())
+
+
+def q_ann_brute_topk(sf_dir: str):
+    from beats_ray.dataops.ann import brute_topk
+
+    res = brute_topk(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=10,
+    )
+    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    from beats_ray.dataops.ann import ivf_topk
+
+    res = ivf_topk(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vectors(sf_dir),
+        k=10,
+    )
+    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+
+    out = embedding_cosine_dup_pairs(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
+    )
+    if out.empty:  # empty map_groups outputs can lose column names
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return out[["a", "b"]].astype("int64")
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import image_features, synthesize_media_table
+
+    media = rd.from_arrow(synthesize_media_table(64))
+    return image_features(media, fake=True)
+
+
+def q_frame_samples(sf_dir: str):
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import sample_frames, synthesize_media_table
+
+    media = rd.from_arrow(synthesize_media_table(64))
+    return sample_frames(media, every_ms=500)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship parse→enrich→route
+        "route_counts": q_route_counts,
+        "routed_rows": q_routed_rows,
+        "parse_kinds": q_parse_kinds,
+        "error_rows": q_error_rows,
+        "enrich_counts": q_enrich_counts,
+        # parsers / processors
+        "dissect_parse": q_dissect_parse,
+        "ndjson_parse": q_ndjson_parse,
+        "syslog_parse": q_syslog_parse,
+        "multiline_stats": q_multiline_stats,
+        "truncate_preview": q_truncate_preview,
+        "replace_mask_numbers": q_replace_mask_numbers,
+        "timestamp_parse": q_timestamp_parse,
+        "format_index": q_format_index,
+        "fingerprint_docs": q_fingerprint_docs,
+        "rate_limited_counts": q_rate_limited_counts,
+        # aggregation / windows / sort
+        "flow_agg": q_flow_agg,
+        "sessionize": q_sessionize,
+        "top_users": q_top_users,
+        "events_type_counts": q_events_type_counts,
+        "tpch_q1": q_tpch_q1,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_dup_pairs": q_ngram_dup_pairs,
+        # text analysis
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        # similarity search
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        # multimodal plumbing
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- oracle SQL
+
+
+def _tr_sql(sf: float = 0.01) -> str:
+    """Shared transcript-parse CTE prefix (reads the exact parquet files
+    the Ray pipeline reads). Regex/JSON predicates mirror the engine's
+    kernels 1:1 (RE2 both sides)."""
+    path = transcripts_dir(sf) + "/part-*.parquet"
+    syslog_rx = (
+        r"(?s)^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+        r"(\S+) ([^\[\s:]+)(\[(\d+)\])?: (.*)$"
+    )
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}')),
+p AS (
+  SELECT *,
+    regexp_matches(text, '{DISSECT_RX}') AS dissect_ok,
+    (substr(text,1,1)='{{' AND try_cast(text AS JSON) IS NOT NULL) AS json_parse_ok,
+    (substr(text,1,1) IN ('{{','[')) AS looks_json,
+    regexp_matches(text, '{syslog_rx}') AS syslog_ok,
+    starts_with(text, 'Exception in thread ') AS multi_ok
+  FROM t
+),
+k AS (
+  SELECT *,
+    CASE WHEN json_parse_ok
+         THEN json_extract_string(try_cast(text AS JSON),'$.event') END AS event,
+    (json_parse_ok AND
+     json_extract_string(try_cast(text AS JSON),'$.event') IS NOT NULL) AS ndjson_ok
+  FROM p
+),
+c AS (
+  SELECT *,
+    CASE WHEN dissect_ok THEN 'dissect'
+         WHEN ndjson_ok THEN 'ndjson'
+         WHEN syslog_ok THEN 'syslog'
+         WHEN multi_ok THEN 'multiline'
+         ELSE 'none' END AS kind,
+    CASE WHEN looks_json AND NOT json_parse_ok THEN 'failed to decode json'
+         WHEN NOT (dissect_ok OR ndjson_ok OR syslog_ok OR multi_ok)
+           THEN 'no parser matched' END AS error_message
+  FROM k
+),
+r AS (
+  SELECT *,
+    CASE WHEN regexp_matches(text, 'level=error|<\\d+>') THEN 'errors'
+         WHEN event = 'tool_call' THEN 'tool_events'
+         WHEN role = 'assistant' AND error_message IS NULL THEN 'assistant'
+         ELSE 'default' END AS sink
+  FROM c
+)
+"""
+
+
+def _lookup_values_sql() -> str:
+    tool_rows = ", ".join(
+        f"('{k}', '{v[0]}', '{v[1]}')" for k, v in sorted(TOOL_LOOKUP.items())
+    )
+    role_rows = ", ".join(f"('{k}', '{v}')" for k, v in sorted(ROLE_LOOKUP.items()))
+    return (
+        f"tl(tool, tool_category, risk_level) AS (VALUES {tool_rows}), "
+        f"rl(role, role_tag) AS (VALUES {role_rows})"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the corpus the SQL reads exists (driver runs at sf0.01)
+    ensure_transcripts(0.01)
+    tr = _tr_sql(0.01)
+    path = transcripts_dir(0.01) + "/part-*.parquet"
+    punct = "[!\\\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+    stop_rx = r"\b(the|and|of|a|to|in|is|for|on|it)\b"
+    bpe_rx = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return {
+        "route_counts": tr + "SELECT sink, COUNT(*) AS n FROM r GROUP BY sink",
+        "routed_rows": tr + "SELECT conv_id, turn_idx, sink, text FROM r",
+        "parse_kinds": tr + "SELECT kind, COUNT(*) AS n FROM c GROUP BY kind",
+        "error_rows": tr
+        + "SELECT conv_id, turn_idx, error_message FROM c WHERE error_message IS NOT NULL",
+        "enrich_counts": tr.rstrip()
+        + f", {_lookup_values_sql()} "
+        + "SELECT tl.tool_category, tl.risk_level, rl.role_tag, COUNT(*) AS n "
+        "FROM r LEFT JOIN tl ON r.tool = tl.tool LEFT JOIN rl ON r.role = rl.role "
+        "GROUP BY tl.tool_category, tl.risk_level, rl.role_tag",
+        "dissect_parse": tr
+        + f"""SELECT conv_id, turn_idx,
+              regexp_extract(text, '{DISSECT_RX}', 1) AS level,
+              regexp_extract(text, '{DISSECT_RX}', 2) AS ts_str,
+              regexp_extract(text, '{DISSECT_RX}', 3) AS tool_name,
+              regexp_extract(text, '{DISSECT_RX}', 4) AS status,
+              regexp_extract(text, '{DISSECT_RX}', 5) AS msg
+              FROM p WHERE dissect_ok""",
+        "ndjson_parse": tr
+        + """SELECT conv_id, turn_idx, event,
+             json_extract_string(try_cast(text AS JSON),'$.tool') AS json_tool,
+             CAST(json_extract(try_cast(text AS JSON),'$.duration_ms') AS BIGINT) AS duration_ms
+             FROM k WHERE ndjson_ok""",
+        "syslog_parse": tr
+        + r"""SELECT conv_id, turn_idx,
+              CAST(regexp_extract(text, '^<(\d{1,3})>', 1) AS BIGINT) AS pri,
+              CAST(regexp_extract(text, '^<(\d{1,3})>', 1) AS BIGINT) // 8 AS facility,
+              CAST(regexp_extract(text, '^<(\d{1,3})>', 1) AS BIGINT) % 8 AS severity,
+              regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} (\S+) ', 1) AS host,
+              regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} \S+ ([^\[\s:]+)', 1) AS app,
+              CAST(regexp_extract(text, '\[(\d+)\]: ', 1) AS BIGINT) AS pid,
+              regexp_extract(text, '\]: (?s)(.*)$', 1) AS msg
+              FROM p WHERE syslog_ok""",
+        "multiline_stats": tr
+        + """SELECT conv_id, turn_idx,
+             length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+             split_part(text, chr(10), 1) AS first_line
+             FROM p WHERE multi_ok""",
+        "truncate_preview": f"""
+            SELECT conv_id, turn_idx, left(text, 40) AS text_trunc,
+                   length(text) > 40 AS truncated
+            FROM read_parquet('{path}')""",
+        "replace_mask_numbers": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(text, '\\d+', 'N', 'g') AS masked
+            FROM read_parquet('{path}')""",
+        "timestamp_parse": tr
+        + f"""SELECT conv_id, turn_idx,
+              strptime(regexp_extract(text, '{DISSECT_RX}', 2),
+                       '%Y-%m-%dT%H:%M:%SZ') AS ts_parsed
+              FROM p WHERE dissect_ok""",
+        "format_index": f"""
+            SELECT conv_id, turn_idx,
+                   'logs-' || role || '-' || strftime(ts, '%Y.%m.%d') AS idx_name
+            FROM read_parquet('{path}')""",
+        "fingerprint_docs": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "rate_limited_counts": f"""
+            SELECT conv_id, COUNT(*) AS n_kept FROM (
+              SELECT conv_id FROM read_parquet('{path}')
+              QUALIFY row_number() OVER (
+                PARTITION BY conv_id, CAST(floor(epoch(ts)/60) AS BIGINT)
+                ORDER BY turn_idx) <= 3
+            ) GROUP BY conv_id""",
+        "flow_agg": """
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_s,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY user_id, event_type, window_s""",
+        "sessionize": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts)-epoch(prev) > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                  FROM events)
+            GROUP BY user_id""",
+        "top_users": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""",
+        "events_type_counts": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_um,
+                   COUNT(*) AS n
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        "token_stats": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   CASE WHEN trim(text)='' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+                   length(regexp_extract_all(text, '{bpe_rx}')) AS n_bpe_tokens,
+                   length(regexp_extract_all(text, '{punct}')) AS n_punct,
+                   length(regexp_extract_all(lower(text), '{stop_rx}')) AS n_stopwords
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   length(regexp_extract_all(text, '{punct}')) AS n_punct,
+                   length(regexp_extract_all(lower(text), '{stop_rx}')) AS n_stopwords,
+                   CASE WHEN length(text) < 50
+                          OR length(regexp_extract_all(text, '{punct}')) > length(text)*0.3
+                        THEN 'low'
+                        WHEN length(regexp_extract_all(lower(text), '{stop_rx}')) > 0
+                        THEN 'high' ELSE 'mid' END AS quality
+            FROM documents""",
+        "doc_fingerprint": "SELECT doc_id, substr(md5(text),1,16) AS fingerprint FROM documents",
+        "ann_brute_topk": """
+            SELECT q.vec_id AS query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+            QUALIFY rank <= 10""",
+        # minhash_dedup / simhash_pairs / ngram_dup_pairs / lang_id /
+        # ann_ivf_topk / embed_dup_pairs / media_features / frame_samples:
+        # non-SQL-expressible (sketches / iterative / stubs) → rows-only.
+    }

@@ -1,0 +1,123 @@
+"""Windowed / keyed aggregation over the events stream.
+
+Models packetbeat's flow table (per-flow-key counters reported every
+``period``, packetbeat/flows/flows.go:35-36, worker.go:130-139) as
+event-time tumbling windows: Ray Data has no watermarks, so windows are
+derived columns + groupby — the idiomatic batch re-expression.
+
+Scale: window assignment is pure column math inside ``map_batches``;
+the per-batch partial aggregation (combiner) runs BEFORE the global
+groupby so the shuffle moves one row per (key, window, batch) instead
+of every event (SURVEY: pre-aggregate inside map_batches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_cents(v: np.ndarray) -> np.ndarray:
+    # exact integer cents → order-independent sums (float sums are not
+    # associative; the DuckDB oracle does the same CAST(ROUND(v*100)))
+    return np.round(v * 100).astype(np.int64)
+
+
+def flow_agg(events, window_s: int = 10):
+    """Tumbling-window per-(user, event_type) counters:
+    count + exact value_cents sum. Returns a small aggregated Dataset.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        sec = df["ts"].astype("datetime64[s]").astype("int64")
+        win = (sec // window_s) * window_s
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "event_type": df["event_type"],
+                    "window_s": win.astype("int64"),
+                    "n": 1,
+                    "value_cents": _to_cents(df["value"].to_numpy()),
+                }
+            )
+            .groupby(["user_id", "event_type", "window_s"], as_index=False)
+            .agg(n=("n", "sum"), value_cents=("value_cents", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["user_id", "event_type", "window_s"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
+    )
+
+
+def sessionize(events, gap_s: int = 1800):
+    """Per-user session count with a ``gap_s`` inactivity split — the
+    keyed stateful-stream archetype: hash-partition by user, sort by ts
+    within group, cumulative gap count (groupby().map_groups)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
+        n_sessions = int((gaps > gap_s).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def top_k_users(events, k: int = 10):
+    """Top-k users by event count: partial count per batch → small
+    groupby → sort with deterministic (n desc, user_id asc) tie-break →
+    limit. The sort runs over one row per user, not per event."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["user_id"])
+            .to_pandas()
+            .groupby("user_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("_neg_n", pc.negate(t["n"]))
+
+    return (
+        counts.map_batches(neg, batch_format="pyarrow")
+        .sort(["_neg_n", "user_id"])
+        .limit(k)
+        .drop_columns(["_neg_n"])
+    )
+
+
+def rate_limit(transcripts, k: int = 3, window_s: int = 60):
+    """Deterministic token-bucket analogue (ratelimit/rate_limit.go:103
+    with per-``fields`` key bucketing): keep the first ``k`` turns per
+    (conv_id, window) in turn_idx order. Keyed stateful op →
+    groupby(conv_id).map_groups; skew-safe because hot conversations
+    are bounded by k×windows after the filter."""
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        win = g["ts"].astype("datetime64[s]").astype("int64") // window_s
+        rank = win.groupby(win).cumcount()
+        return g[rank < k]
+
+    return transcripts.groupby("conv_id").map_groups(per_conv, batch_format="pandas")

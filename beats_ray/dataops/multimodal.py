@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is real and tested; the codec kernels are STUBS — this
+container ships no image/audio libraries, so ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True`` supplies the
+deterministic test decoder. Large binary payloads need SMALL batch
+sizes (batch bytes × concurrency must fit worker heap — guide:
+memory-aware batching), hence the explicit ``batch_size`` defaults.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media_table(n: int = 64) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests: payload bytes
+    derived from the id."""
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.blake2b(f"media-{i}".encode(), digest_size=32).digest() * 8
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(
+            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        )
+        rows["width"].append(64 if kind != "audio" else 0)
+        rows["height"].append(48 if kind != "audio" else 0)
+        rows["duration_ms"].append(0 if kind == "image" else 1000 + i * 10)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes → pseudo-pixels."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = max(1, width) * max(1, height)
+    reps = int(np.ceil(need / len(arr)))
+    return np.tile(arr, reps)[:need].reshape(max(1, height), max(1, width))
+
+
+class ImageFeatures:
+    """Actor stage: decode → feature-extract. Real pipelines put model
+    load here (once per actor); the decode kernel is the stub seam."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        try:  # gate the real decoder behind an import-try
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self._pil:
+            import io
+
+            import PIL.Image
+
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        if self.fake:
+            return _fake_decode(payload, width, height)
+        raise NotImplementedError(
+            "image decode requires PIL (not in this container); "
+            "pass fake=True for the deterministic test decoder"
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        means, stds = [], []
+        for payload, w, h in zip(df["payload"], df["width"], df["height"]):
+            px = self.decode(payload, int(w), int(h))
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"],
+                "feat_mean": means,
+                "feat_std": stds,
+            }
+        )
+
+
+def image_features(media_ds, fake: bool = False, batch_size: int = 32):
+    """Feature extraction over image rows — small batches (binary
+    payloads), actor pool sized explicitly."""
+    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    return imgs.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+class FrameSampler:
+    """Video frame-sample stub: emits every Nth pseudo-frame's metadata
+    (one output row per sampled frame — flat_map-shaped)."""
+
+    def __init__(self, every_ms: int = 500, fake: bool = True):
+        self.every_ms = every_ms
+        self.fake = fake
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": [], "frame_ms": [], "frame_hash": []}
+        for mid, dur, payload in zip(
+            df["media_id"], df["duration_ms"], df["payload"]
+        ):
+            if not self.fake:
+                raise NotImplementedError("video decode not available offline")
+            for t in range(0, int(dur), self.every_ms):
+                h = hashlib.blake2b(
+                    payload + t.to_bytes(4, "big"), digest_size=8
+                ).hexdigest()
+                out["media_id"].append(mid)
+                out["frame_ms"].append(t)
+                out["frame_hash"].append(h)
+        return pd.DataFrame(out)
+
+
+def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 16):
+    vids = media_ds.filter(lambda r: r["kind"] == "video")
+    return vids.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms, "fake": True},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

@@ -146,8 +146,14 @@ class ParseStage:
         return self._chain
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        input_cols = list(t.column_names)
         t = run_chain(t, self._ensure())
-        return classify_kind(t)
+        t = classify_kind(t)
+        # canonical column order: processors may add columns in
+        # data-dependent order (e.g. error.message only when a batch has
+        # bad rows) — every block must present an identical schema
+        derived = sorted(c for c in t.column_names if c not in input_cols)
+        return t.select(input_cols + derived)
 
 
 class RouteStage:

@@ -90,7 +90,7 @@ def decode_json_fields(cfg: dict):
             if col is None:
                 continue
             vals = col.to_pylist()
-            looks = [v is not None and v[:1] in "{[" for v in vals]
+            looks = [bool(v) and v[0] in "{[" for v in vals]
             parsed: list[dict | None] = [None] * len(vals)
             bad = np.zeros(len(vals), dtype=bool)
             for i, v in enumerate(vals):
