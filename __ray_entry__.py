@@ -60,12 +60,11 @@ def _routed(sf_dir: str):
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001 → per-sink aggregate counts."""
-    from ray.data.aggregate import Count
+    from beats_ray.dataops.agg import grouped_count
 
     routed = _routed("/root/testdata/sf0.001")
     return (
-        routed.groupby("sink")
-        .aggregate(Count(alias_name="n"))
+        grouped_count(routed, ["sink"])
         .to_pandas()
         .sort_values("sink")
         .reset_index(drop=True)
@@ -76,9 +75,9 @@ def entry() -> Any:
 
 
 def q_route_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from beats_ray.dataops.agg import grouped_count
 
-    return _routed(sf_dir).groupby("sink").aggregate(Count(alias_name="n"))
+    return grouped_count(_routed(sf_dir), ["sink"])
 
 
 def q_routed_rows(sf_dir: str):
@@ -86,9 +85,9 @@ def q_routed_rows(sf_dir: str):
 
 
 def q_parse_kinds(sf_dir: str):
-    from ray.data.aggregate import Count
+    from beats_ray.dataops.agg import grouped_count
 
-    ds = _routed(sf_dir).groupby("parsed.kind").aggregate(Count(alias_name="n"))
+    ds = grouped_count(_routed(sf_dir), ["parsed.kind"])
     return ds.map_batches(
         lambda t: t.rename_columns(["kind", "n"]), batch_format="pyarrow"
     )
@@ -106,12 +105,10 @@ def q_error_rows(sf_dir: str):
 
 
 def q_enrich_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from beats_ray.dataops.agg import grouped_count
 
-    return (
-        _routed(sf_dir)
-        .groupby(["tool_category", "risk_level", "role_tag"])
-        .aggregate(Count(alias_name="n"))
+    return grouped_count(
+        _routed(sf_dir), ["tool_category", "risk_level", "role_tag"]
     )
 
 
@@ -298,12 +295,14 @@ def q_fingerprint_docs(sf_dir: str):
 
 
 def q_rate_limited_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from beats_ray.dataops.agg import grouped_count
     from beats_ray.dataops.flows import rate_limit
 
-    kept = rate_limit(_transcripts(sf_dir), k=3, window_s=60)
-    return kept.groupby("conv_id").aggregate(Count(alias_name="n_kept"))
+    # narrow projection BEFORE the keyed shuffle: the rate limiter only
+    # needs (conv_id, turn_idx, ts) to decide survivors for the count
+    narrow = _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "ts"])
+    kept = rate_limit(narrow, k=3, window_s=60)
+    return grouped_count(kept, ["conv_id"], name="n_kept")
 
 
 def q_flow_agg(sf_dir: str):
@@ -325,13 +324,9 @@ def q_top_users(sf_dir: str):
 
 
 def q_events_type_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from beats_ray.dataops.agg import grouped_count
 
-    return (
-        _table(sf_dir, "events", ["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
-    )
+    return grouped_count(_table(sf_dir, "events", ["event_type"]), ["event_type"])
 
 
 def q_tpch_q1(sf_dir: str):

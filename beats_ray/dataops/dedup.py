@@ -67,12 +67,17 @@ def exact_dedup(docs, content_col: str = "text", id_col: str = "doc_id"):
         return df
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col).drop(columns=["_h"])
+        # vectorized min-id survivor per hash over the whole bucket
+        return (
+            g.sort_values([id_col])
+            .drop_duplicates("_h", keep="first")
+            .drop(columns=["_h"])
+        )
 
-    return (
-        docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(keep_min, batch_format="pandas")
+    from .agg import map_buckets
+
+    return map_buckets(
+        docs.map_batches(add_hash, batch_format="pandas"), "_h", keep_min
     )
 
 
@@ -128,24 +133,37 @@ def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: in
         concurrency=(1, 4),
     )
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+    # co-locate each (band, band_hash) bucket via ONE hash-bucket shuffle,
+    # then emit pairs with a vectorized self-merge per bucket — B python
+    # calls, not one per LSH bucket (80k+ buckets even at sf0.1)
+    from .agg import map_buckets
 
-    pairs = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-    )
-    # same pair can surface from several bands — dedup the small pair set
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"}).astype(
+            "int64"
+        )
+
+    pairs = map_buckets(bands_ds, "band_hash", emit_pairs, buckets=32)
+    # same pair can surface from several bands (different buckets) —
+    # dedup via a second bucket pass keyed on the pair
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % 32
+        return df
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pandas")
+        .groupby("_pk")
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pk"]),
+            batch_format="pandas",
+        )
     )
 
 

@@ -75,3 +75,25 @@ class LookupEnricher:
         t = join_lookup(t, "tool", self.tool, "tool", ["tool_category", "risk_level"])
         t = join_lookup(t, "role", self.role, "role", ["role_tag"])
         return t
+
+
+# Task-based enrich: for SMALL lookup tables the actor pool's benefit
+# (amortized setup) is outweighed by its cost (breaks operator fusion →
+# an extra object-store hop for every block). A module-level cache gives
+# the same load-once-per-worker-process semantics with plain tasks, so
+# read→parse→enrich→route→write fuses into ONE operator. Use the actor
+# pool when setup is genuinely heavy (models, remote indexes, caches
+# with TTL — the dns/cache/translate_* class of processors).
+_WORKER_CACHE: dict = {}
+
+
+def enrich_batch(t: pa.Table, tool_ref=None, role_ref=None) -> pa.Table:
+    if "lookups" not in _WORKER_CACHE:
+        _WORKER_CACHE["lookups"] = (
+            _resolve(tool_ref) if tool_ref is not None else tool_lookup_table(),
+            _resolve(role_ref) if role_ref is not None else role_lookup_table(),
+        )
+    tool, role = _WORKER_CACHE["lookups"]
+    t = join_lookup(t, "tool", tool, "tool", ["tool_category", "risk_level"])
+    t = join_lookup(t, "role", role, "role", ["role_tag"])
+    return t

@@ -175,17 +175,33 @@ class RouteStage:
 
 
 def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
-                  enrich: bool = True, enrich_concurrency=(1, 8)):
-    """Compose the lazy flagship pipeline over a ``ray.data.Dataset``."""
-    from .enrich import LookupEnricher, broadcast_lookups
+                  enrich: bool = True, enrich_concurrency=(1, 8),
+                  enrich_mode: str = "task"):
+    """Compose the lazy flagship pipeline over a ``ray.data.Dataset``.
 
-    ds = ds.map_batches(ParseStage(config), batch_format="pyarrow")
-    if enrich:
+    ``enrich_mode="task"`` (default): lookup enrich as a plain fused
+    task stage — the small lookup tables load once per worker process
+    (module cache), and read→parse→enrich→route→write fuses into ONE
+    operator with zero intermediate object-store hops.
+    ``enrich_mode="actor"``: the actor-pool form (setup in __init__) —
+    the right shape when per-worker setup is heavy (models, dns caches);
+    costs an operator boundary.
+    Batches are whole blocks (``batch_size=None``): every kernel here is
+    vectorized, so bigger batches amortize per-call overhead."""
+    from .enrich import LookupEnricher, broadcast_lookups, enrich_batch
+
+    ds = ds.map_batches(ParseStage(config), batch_format="pyarrow", batch_size=None)
+    if enrich and enrich_mode == "task":
+        ds = ds.map_batches(enrich_batch, batch_format="pyarrow", batch_size=None)
+    elif enrich:
         ds = ds.map_batches(
             LookupEnricher,
             fn_constructor_kwargs=broadcast_lookups(),
             batch_format="pyarrow",
+            batch_size=None,
             concurrency=enrich_concurrency,
         )
-    ds = ds.map_batches(RouteStage(config, num_parts), batch_format="pyarrow")
+    ds = ds.map_batches(
+        RouteStage(config, num_parts), batch_format="pyarrow", batch_size=None
+    )
     return ds
