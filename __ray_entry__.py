@@ -483,6 +483,59 @@ def q_frame_samples(sf_dir: str):
     return sample_frames(media, every_ms=500)
 
 
+
+def q_multiline_merge(sf_dir: str):
+    """Self-reconstruction property: explode every turn into physical
+    lines, then multiline-join them back (pattern mode, continuation =
+    leading whitespace). Oracle expresses the same with window SQL."""
+    from beats_ray.stages.multiline import explode_lines, multiline_merge
+
+    lines = explode_lines(
+        _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    )
+    merged = multiline_merge(lines, pattern=r"^\s", match="after")
+    return merged.select_columns(
+        ["conv_id", "turn_idx", "event_id", "text", "n_lines"]
+    )
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation stats: turn count + time span (min/max/sum
+    aggregate coverage with per-batch partial combine)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].astype("datetime64[s]").astype("int64")
+        g = (
+            pd.DataFrame({"conv_id": df["conv_id"], "sec": sec})
+            .groupby("conv_id", as_index=False)
+            .agg(n_turns=("sec", "size"), first_s=("sec", "min"), last_s=("sec", "max"))
+        )
+        g["n_turns"] = g["n_turns"].astype("int64")
+        return g
+
+    agg = (
+        _transcripts(sf_dir)
+        .select_columns(["conv_id", "ts"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Min("first_s", alias_name="first_s"),
+            Max("last_s", alias_name="last_s"),
+        )
+    )
+
+    def span(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "span_s", pc.subtract(t["last_s"], t["first_s"])
+        )
+
+    return agg.map_batches(span, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -496,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndjson_parse": q_ndjson_parse,
         "syslog_parse": q_syslog_parse,
         "multiline_stats": q_multiline_stats,
+        "multiline_merge": q_multiline_merge,
+        "conv_stats": q_conv_stats,
         "truncate_preview": q_truncate_preview,
         "replace_mask_numbers": q_replace_mask_numbers,
         "timestamp_parse": q_timestamp_parse,
@@ -635,6 +690,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(regexp_extract(text, '\[(\d+)\]: ', 1) AS BIGINT) AS pid,
               regexp_extract(text, '\]: (?s)(.*)$', 1) AS msg
               FROM p WHERE syslog_ok""",
+        "multiline_merge": tr
+        + r"""SELECT conv_id, turn_idx, event_id,
+              string_agg(line, chr(10) ORDER BY line_idx) AS text,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM (
+                SELECT conv_id, turn_idx, line_idx, line,
+                  CAST(SUM(is_start) OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY line_idx) - 1 AS BIGINT) AS event_id
+                FROM (
+                  SELECT conv_id, turn_idx,
+                    unnest(generate_series(1, array_length(string_split(text, chr(10))))) AS line_idx,
+                    unnest(string_split(text, chr(10))) AS line,
+                    unnest([CASE WHEN regexp_matches(l, '^\s') THEN 0 ELSE 1 END
+                            FOR l IN string_split(text, chr(10))]) AS is_start
+                  FROM t
+                )
+              ) GROUP BY conv_id, turn_idx, event_id""",
+        "conv_stats": tr
+        + """SELECT conv_id, COUNT(*) AS n_turns,
+             CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
+             CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_s
+             FROM t GROUP BY conv_id""",
         "multiline_stats": tr
         + """SELECT conv_id, turn_idx,
              length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,

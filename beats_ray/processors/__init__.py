@@ -2,7 +2,7 @@
 (mirrors the reference's init-time RegisterPlugin calls,
 libbeat/processors/registry.go)."""
 
-from . import actions, convert, fingerprint, metadata, parse  # noqa: F401
+from . import actions, convert, extras, fingerprint, metadata, parse  # noqa: F401
 from .base import (  # noqa: F401
     Transform,
     build_chain,

@@ -1,0 +1,115 @@
+"""Sinks — the libbeat outputs layer as a fan-out writer registry.
+
+Models outputs/outputs.go + the selector-driven routing (§2.7): the
+router has already computed the ``sink`` column; this module writes each
+sink in its configured format.
+
+Single-pass design: the routed stream is written ONCE as
+hive-partitioned Parquet (``sink=<name>/``) — the upstream pipeline is
+never re-executed per sink. Non-Parquet sink formats (ndjson = the
+fileout/logstash analogue, csv) are then converted by streaming ONLY
+that sink's partition back through a cheap reader — proportional to the
+sink's own data, not the input.
+
+Per-sink knobs mirror the reference's output configs:
+``max_rows_per_file`` ≈ fileout ``rotate_every_kb`` rotation
+(fileout/config.go:30-44), doc-id dedup before write ≈ the ES ``_id``
+duplicate-create path (elasticsearch/client.go:495-516).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+SINK_FORMATS = ("parquet", "ndjson", "csv", "console", "discard")
+
+
+def write_routed(
+    routed_ds,
+    out_dir: str,
+    sinks: dict[str, dict] | None = None,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Write the routed stream; returns per-sink metrics
+    {sink: {rows, files, format}} (the observable contract of the
+    pipeline metrics observer, outputs/metrics.go:32-99)."""
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    sinks = sinks or {}
+    partition_cols = partition_cols or ["sink"]
+    routed_ds.write_parquet(str(out), partition_cols=partition_cols)
+
+    metrics: dict[str, dict] = {}
+    for sink_dir in sorted(out.glob("sink=*")):
+        name = sink_dir.name.split("=", 1)[1]
+        cfg = sinks.get(name, {})
+        fmt = cfg.get("format", "parquet")
+        rows = sum(
+            pq.ParquetFile(p).metadata.num_rows for p in sink_dir.rglob("*.parquet")
+        )
+        n_files = len(list(sink_dir.rglob("*.parquet")))
+        if fmt in ("ndjson", "csv"):
+            n_files = _convert_sink(sink_dir, fmt, cfg)
+        elif fmt == "console":
+            _console_sink(sink_dir, cfg)
+        elif fmt == "discard":
+            shutil.rmtree(sink_dir)
+            n_files = 0
+        metrics[name] = {"rows": rows, "files": n_files, "format": fmt}
+    return metrics
+
+
+def _convert_sink(sink_dir: Path, fmt: str, cfg: dict) -> int:
+    """Stream one sink's parquet partition into ndjson/csv files —
+    reads only this sink's data (no upstream re-execution)."""
+    import ray.data as rd
+
+    files = sorted(str(p) for p in sink_dir.rglob("*.parquet"))
+    if not files:
+        return 0
+    ds = rd.read_parquet(files)
+    conv_dir = sink_dir / f"_{fmt}"
+    max_rows = cfg.get("max_rows_per_file")
+    kwargs = {"min_rows_per_file": max_rows} if max_rows else {}
+    if fmt == "ndjson":
+        ds.write_json(str(conv_dir), **kwargs)
+    else:
+        ds.write_csv(str(conv_dir), **kwargs)
+    for p in files:
+        Path(p).unlink()
+    return len(list(conv_dir.iterdir()))
+
+
+def _console_sink(sink_dir: Path, cfg: dict) -> None:
+    """Console output (outputs/console) — prints a bounded sample."""
+    limit = cfg.get("limit", 5)
+    shown = 0
+    for p in sorted(sink_dir.rglob("*.parquet")):
+        tbl = pq.read_table(p)
+        for row in tbl.slice(0, limit - shown).to_pylist():
+            print(row)
+            shown += 1
+        if shown >= limit:
+            break
+
+
+def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32):
+    """Exact doc-id dedup before the sink write — the ES duplicate-create
+    detection re-expressed (fingerprint → _id → create op counts
+    ``duplicates``). Deterministic survivor: first by (conv_id,
+    turn_idx) order within the id group."""
+    import pandas as pd
+
+    from .dataops.agg import map_buckets
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [c for c in ("conv_id", "turn_idx") if c in g.columns]
+        return g.sort_values(sort_cols or [id_col]).drop_duplicates(
+            id_col, keep="first"
+        )
+
+    return map_buckets(routed_ds, id_col, keep_first, buckets=buckets)

@@ -1,0 +1,147 @@
+"""Multiline join — physical lines → logical events.
+
+Models the reference's multiline parser (libbeat/reader/multiline/;
+modes pattern/count/while_pattern, multiline_config.go:28-45): ordered
+lines within a stream key are merged into events by a
+continuation-detection rule.
+
+Ray-Data re-expression (SURVEY §2.2): the stream key is
+``(conv_id, turn_idx)`` with lines ordered by ``line_idx``; merging is a
+keyed stateful op run via the explicit hash-partition pattern
+(dataops.agg.map_buckets — one vectorized pandas pass per bucket, no
+cross-batch carry state). Cross-batch multiline state is avoided BY
+CONSTRUCTION: a key's lines are co-located before merging, which is the
+documented partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..dataops.agg import map_buckets
+
+
+def explode_lines(ds, text_col: str = "text"):
+    """Split each row's text into physical lines with an ordinal —
+    models the harvester's line framing (readfile/encode.go line
+    splitting) over an already-framed corpus. Vectorized: one
+    split+flatten per batch, no per-row Python."""
+
+    def split(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col].combine_chunks(), "")
+        parts = pc.split_pattern(text, pattern="\n")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        idx = np.repeat(np.arange(len(t)), lens)
+        out = {}
+        for name in t.column_names:
+            if name == text_col:
+                continue
+            out[name] = pc.take(t[name].combine_chunks(), pa.array(idx))
+        out["line_idx"] = pa.array(
+            np.concatenate([np.arange(n) for n in lens]) if len(lens) else [],
+            pa.int64(),
+        )
+        out["line"] = pc.list_flatten(parts)
+        return pa.table(out)
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def multiline_merge(
+    lines_ds,
+    pattern: str = r"^\s",
+    negate: bool = False,
+    match: str = "after",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_col: str = "line_idx",
+    line_col: str = "line",
+    max_lines: int = 500,
+    buckets: int = 32,
+):
+    """Pattern-mode multiline join (multiline/pattern.go semantics):
+
+    - ``match="after"``: a line matching the pattern (XOR ``negate``)
+      is a CONTINUATION of the previous event.
+    - ``match="before"``: a matching line belongs to the FOLLOWING
+      event (the event ends at the match).
+    - ``max_lines``: lines beyond the cap still merge but the event is
+      flagged (reference truncates + flags; we keep text and flag so no
+      data is lost — tag-and-keep).
+
+    Output: one row per event with ``text`` = joined lines, ``n_lines``,
+    ``event_id`` (ordinal within the key), ``truncated`` flag.
+    """
+    if match not in ("after", "before"):
+        # fail at build time, not inside a remote task
+        raise ValueError(f"unknown match mode {match!r}")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, order_col], kind="mergesort")
+        m = g[line_col].astype(str).str.contains(pattern, regex=True, na=False)
+        if negate:
+            m = ~m
+        if match == "after":
+            is_start = ~m
+        elif match == "before":
+            # a match means "this line is followed by more": event starts
+            # on the line after a non-matching line
+            prev_m = m.groupby(
+                [g[c] for c in key_cols]
+            ).shift(1)
+            is_start = ~prev_m.fillna(False).astype(bool)
+        else:
+            raise ValueError(f"unknown match mode {match!r}")
+        # first line of every key always starts an event
+        first_of_key = ~g.duplicated(subset=list(key_cols), keep="first") == True  # noqa: E712
+        is_start = is_start | first_of_key
+        event_id = (
+            is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1
+        )
+        keys = [g[c] for c in key_cols] + [event_id.rename("event_id")]
+        merged = (
+            pd.DataFrame(
+                {
+                    **{c: g[c] for c in key_cols},
+                    "event_id": event_id,
+                    line_col: g[line_col],
+                }
+            )
+            .groupby([*key_cols, "event_id"], as_index=False)
+            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
+        )
+        merged["n_lines"] = merged["n_lines"].astype("int64")
+        merged["truncated"] = merged["n_lines"] > max_lines
+        return merged
+
+    return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)
+
+
+def multiline_count(lines_ds, count: int, key_cols=("conv_id", "turn_idx"),
+                    order_col: str = "line_idx", line_col: str = "line",
+                    buckets: int = 32):
+    """Count-mode multiline (counter.go): every ``count`` lines form one
+    event."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, order_col], kind="mergesort")
+        ord_in_key = g.groupby([g[c] for c in key_cols]).cumcount()
+        event_id = (ord_in_key // count).astype("int64")
+        merged = (
+            pd.DataFrame(
+                {
+                    **{c: g[c] for c in key_cols},
+                    "event_id": event_id,
+                    line_col: g[line_col],
+                }
+            )
+            .groupby([*key_cols, "event_id"], as_index=False)
+            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
+        )
+        merged["n_lines"] = merged["n_lines"].astype("int64")
+        return merged
+
+    return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)

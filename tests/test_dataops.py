@@ -1,0 +1,167 @@
+"""Dataops correctness: dedup family vs brute force, ANN recall,
+windowed aggregation vs pandas, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    # deterministic doc set with planted near-duplicates
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the trip home",
+        "how vexingly quick daft zebras jump over the sleepy fence",
+        "sphinx of black quartz judge my vow in the ancient temple",
+    ]
+    rows = []
+    for i in range(40):
+        b = base[i % 4]
+        if i >= 36:  # planted near-dups of doc i-36 (one word changed)
+            words = base[i % 4].split()
+            words[-1] = "CHANGED"
+            b = " ".join(words)
+        rows.append({"doc_id": i, "text": f"{b} variant {i % 4}" if i < 36 else b})
+    return rd.from_items(rows)
+
+
+def brute_jaccard_pairs(df, k=3, threshold=0.5):
+    from beats_ray.dataops.dedup import word_shingles
+
+    toks = {r.doc_id: word_shingles(r.text, k) for r in df.itertuples()}
+    out = set()
+    ids = sorted(toks)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = toks[ids[i]], toks[ids[j]]
+            u = len(a | b)
+            if u and len(a & b) / u >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    from beats_ray.dataops.dedup import lsh_candidate_pairs, verify_jaccard
+
+    df = docs.to_pandas()
+    want = brute_jaccard_pairs(df, threshold=0.7)
+    assert want, "fixture must contain near-dup pairs"
+    pairs = lsh_candidate_pairs(docs, num_perm=64, bands=32)
+    verified = verify_jaccard(pairs, docs).to_pandas()
+    got = set(
+        map(tuple, verified[verified["jaccard"] >= 0.7][["a", "b"]].values)
+    )
+    # LSH with 32 bands @ 0.7 threshold: recall must be total on this set
+    assert want <= got
+
+
+def test_exact_dedup_survivor(ray_session):
+    from beats_ray.dataops.dedup import exact_dedup
+
+    rows = [
+        {"doc_id": 5, "text": "same"},
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "other"},
+    ]
+    out = exact_dedup(rd.from_items(rows)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]  # min-id survivor
+
+
+def test_simhash_close_texts_low_hamming(docs):
+    from beats_ray.dataops.dedup import SimHasher
+
+    sh = SimHasher()
+    a = sh.simhash("the quick brown fox jumps over the lazy dog")
+    b = sh.simhash("the quick brown fox jumps over the lazy cat")
+    c = sh.simhash("completely unrelated text about databases and queries")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_ann_brute_equals_numpy(ray_session):
+    from beats_ray.dataops.ann import brute_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    )
+    q = vecs[:2].astype(np.float64)
+    got = brute_topk(ds, q, k=5)
+    # numpy reference
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = m @ qn.T
+    for qi in range(2):
+        want = set(np.argsort(-sims[:, qi])[:5].tolist())
+        have = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert have == want
+
+
+def test_ivf_recall_reasonable(ray_session):
+    from beats_ray.dataops.ann import brute_topk, ivf_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[:4].astype(np.float64)
+    exact = brute_topk(ds, q, k=10)
+    approx = ivf_topk(ds, q, k=10, n_clusters=8, n_probe=4)
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # probing half the buckets
+
+
+def test_flow_agg_matches_pandas(ray_session):
+    from beats_ray.dataops.flows import flow_agg
+
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(np.arange(100) * 3, unit="s")
+    df = pd.DataFrame(
+        {
+            "user_id": np.arange(100) % 5,
+            "event_type": np.where(np.arange(100) % 2 == 0, "click", "view"),
+            "ts": ts,
+            "value": np.arange(100) * 0.5,
+        }
+    )
+    got = flow_agg(rd.from_pandas(df), window_s=10).to_pandas()
+    sec = df["ts"].astype("datetime64[s]").astype("int64")
+    want = (
+        df.assign(window_s=(sec // 10) * 10,
+                  value_cents=np.round(df["value"] * 100).astype("int64"))
+        .groupby(["user_id", "event_type", "window_s"], as_index=False)
+        .agg(n=("value", "size"), value_cents=("value_cents", "sum"))
+    )
+    g = got.sort_values(["user_id", "event_type", "window_s"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "event_type", "window_s"]).reset_index(drop=True)
+    assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
+    assert (g["value_cents"].to_numpy() == w["value_cents"].to_numpy()).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    from beats_ray.dataops.multimodal import (
+        ImageFeatures,
+        image_features,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(30))
+    feats = image_features(media, fake=True).to_pandas()
+    assert len(feats) == 10  # 30 rows, 1/3 images
+    assert feats["feat_mean"].between(0, 255).all()
+    frames = sample_frames(media).to_pandas()
+    assert (frames.groupby("media_id").size() >= 2).all()
+    # the stub seam: real decode raises cleanly without PIL
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(fake=False).decode(b"xx", 4, 4)
