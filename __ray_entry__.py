@@ -536,6 +536,76 @@ def q_conv_stats(sf_dir: str):
     return agg.map_batches(span, batch_format="pyarrow")
 
 
+
+def q_q3_top_orders(sf_dir: str):
+    """TPC-H Q3-shaped: customer (filter segment, semi-join) ⨝ orders ⨝
+    lineitem via explicit bucket hash join → top-10 revenue orders.
+    Exercises both join strategies + sort/limit with deterministic
+    tie-break."""
+    from beats_ray.dataops.joins import bucket_hash_join, semi_join
+
+    cust = (
+        _table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .to_pandas()
+    )
+    orders = semi_join(
+        _table(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey",
+    )
+
+    def li_cents(df: pd.DataFrame) -> pd.DataFrame:
+        px = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev_um": px * disc})
+
+    li = _table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_cents, batch_format="pandas")
+    joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            revenue_um=("rev_um", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_um", alias_name="revenue_um"))
+        .to_pandas()
+    )
+    top = agg.sort_values(
+        ["revenue_um", "l_orderkey"], ascending=[False, True]
+    ).head(10)
+    # the union inside the bucket join NaN-pads the other side's columns
+    # (int64 → float64); restore exact integer types for the oracle
+    return top.astype({"l_orderkey": "int64", "revenue_um": "int64"}).reset_index(
+        drop=True
+    )
+
+
+def q_customers_per_region(sf_dir: str):
+    """customer ⨝ nation ⨝ region via chained broadcast joins →
+    count per region name (the small-dimension star-join shape)."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.dataops.joins import broadcast_join
+
+    nation = _table(sf_dir, "nation").to_pandas()
+    region = _table(sf_dir, "region").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    joined = broadcast_join(
+        _table(sf_dir, "customer", ["c_custkey", "c_nationkey"]), dim,
+        on="c_nationkey",
+    )
+    return grouped_count(joined, ["r_name"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -563,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "events_type_counts": q_events_type_counts,
         "tpch_q1": q_tpch_q1,
+        "q3_top_orders": q_q3_top_orders,
+        "customers_per_region": q_customers_per_region,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
@@ -769,6 +841,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_um
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue_um DESC, l_orderkey LIMIT 10""",
+        "customers_per_region": """
+            SELECT r_name, COUNT(*) AS n
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "token_stats": f"""
             SELECT doc_id, length(text) AS n_chars,
