@@ -606,6 +606,54 @@ def q_customers_per_region(sf_dir: str):
     return grouped_count(joined, ["r_name"])
 
 
+
+def q_unique_tools(sf_dir: str):
+    """Distinct values (ds.unique-class op): the set of tools seen in
+    tool-role turns."""
+    import pyarrow.compute as pc
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"tool": pc.unique(t["tool"].combine_chunks())})
+
+    # per-batch distinct (combiner) -> global distinct: the shuffle moves
+    # unique values only
+    ds = _transcripts(sf_dir).select_columns(["tool"]).map_batches(
+        distinct, batch_format="pyarrow"
+    )
+    return ds.map_batches(distinct, batch_format="pyarrow").groupby(
+        "tool"
+    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def q_text_len_histogram(sf_dir: str):
+    """Histogram of text lengths in 20-char buckets (bucketed count —
+    the monitoring-metrics shape)."""
+    from beats_ray.dataops.agg import grouped_count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ln = pc.utf8_length(pc.fill_null(t["text"].combine_chunks(), ""))
+        bucket = pc.multiply(pc.divide(ln, 20), 20)
+        return pa.table({"len_bucket": pc.cast(bucket, pa.int64())})
+
+    ds = _transcripts(sf_dir).select_columns(["text"]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+    return grouped_count(ds, ["len_bucket"])
+
+
+def q_hot_conversations(sf_dir: str):
+    """Skew probe: top-10 heaviest conversations by turn count
+    (dataops.agg.key_histogram — the pre-count that drives salting
+    decisions)."""
+    from beats_ray.dataops.agg import key_histogram
+
+    return key_histogram(
+        _transcripts(sf_dir).select_columns(["conv_id"]), "conv_id", top=10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -621,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_stats": q_multiline_stats,
         "multiline_merge": q_multiline_merge,
         "conv_stats": q_conv_stats,
+        "unique_tools": q_unique_tools,
+        "text_len_histogram": q_text_len_histogram,
+        "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
         "replace_mask_numbers": q_replace_mask_numbers,
         "timestamp_parse": q_timestamp_parse,
@@ -807,6 +858,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx,
                    'logs-' || role || '-' || strftime(ts, '%Y.%m.%d') AS idx_name
             FROM read_parquet('{path}')""",
+        "unique_tools": f"SELECT DISTINCT tool FROM read_parquet('{path}')",
+        "text_len_histogram": f"""
+            SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
+                   COUNT(*) AS n
+            FROM read_parquet('{path}') GROUP BY len_bucket""",
+        "hot_conversations": f"""
+            SELECT conv_id, COUNT(*) AS n FROM read_parquet('{path}')
+            GROUP BY conv_id ORDER BY n DESC, conv_id LIMIT 10""",
         "fingerprint_docs": "SELECT doc_id, md5(text) AS fp FROM documents",
         "rate_limited_counts": f"""
             SELECT conv_id, COUNT(*) AS n_kept FROM (

@@ -60,6 +60,19 @@ def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def key_histogram(ds, key: str, top: int = 20):
+    """Hot-key detection (the skew probe): per-batch partial counts →
+    tiny groupby → top-N heaviest keys. Use before choosing a
+    partitioning strategy: keys whose volume exceeds a worker's memory
+    need salting (decomposable aggs) or dedicated handling."""
+    counts = grouped_count(ds, [key]).to_pandas()
+    return (
+        counts.sort_values(["n", key], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+
+
 def map_buckets(ds, key: str, fn, buckets: int = 32):
     """Hash-partition by ``key`` and apply ``fn`` once per bucket
     (vectorized over all of the bucket's rows; the bucket column is

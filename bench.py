@@ -96,7 +96,7 @@ def run_bench() -> dict:
     # ~4 blocks per core: large enough to amortize per-task overhead
     # (plasma put + scheduling ≈ 80ms vs ~115ms UDF per 37k-row block),
     # small enough to keep the executor saturated
-    n_blocks = min(len(files), 4 * NUM_CPUS)
+    n_blocks = 4 * NUM_CPUS  # Ray splits files into fragments as needed
     headline = float("inf")
     for _ in range(trials):
         shutil.rmtree(out_dir, ignore_errors=True)

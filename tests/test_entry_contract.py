@@ -1,0 +1,59 @@
+"""Driver-contract smoke: entry() runs under an existing Ray session,
+every queries() entry is callable, oracle_sql() covers the advertised
+subset, and a sample of queries executes at sf0.001."""
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SAMPLE = [
+    "route_counts",
+    "dissect_parse",
+    "flow_agg",
+    "dedup_exact",
+    "token_stats",
+    "conv_stats",
+    "unique_tools",
+]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+def test_entry_returns_stable_frame(entrymod):
+    out = entrymod.entry()
+    assert isinstance(out, pd.DataFrame)
+    assert list(out.columns) == ["sink", "n"]
+    assert len(out) == 4 and out["n"].sum() > 0
+
+
+def test_query_oracle_key_consistency(entrymod):
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 40
+    assert len(sqls) >= 30
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_sample_queries_run_small(entrymod, name):
+    import ray.data
+
+    res = entrymod.queries()[name]("/root/testdata/sf0.001")
+    if isinstance(res, ray.data.Dataset):
+        n = res.count()
+    elif isinstance(res, pa.Table):
+        n = res.num_rows
+    else:
+        n = len(res)
+    assert n > 0
