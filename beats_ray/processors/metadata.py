@@ -131,6 +131,42 @@ def add_host_metadata(cfg: dict):
     return run
 
 
+def _const_struct_processor(reg_name: str, prefix: str, defaults: dict):
+    """Factory for the constant-struct metadata family
+    (add_observer_metadata/:82, addagentmetadata/, add_cloud_metadata/:123
+    — each attaches a per-worker snapshot under its own prefix; values
+    come from config for determinism, probing replaced by env lookup)."""
+
+    @register(reg_name)
+    def factory(cfg: dict):
+        fields = {**defaults, **cfg.get("fields", {})}
+
+        @_named(reg_name)
+        def run(t: pa.Table) -> pa.Table:
+            for k, v in fields.items():
+                t = set_col(
+                    t,
+                    f"{prefix}.{k}",
+                    pa.nulls(t.num_rows, pa.string()).fill_null(str(v)),
+                )
+            return t
+
+        return run
+
+    return factory
+
+
+_const_struct_processor(
+    "add_observer_metadata", "observer", {"type": "engine", "vendor": "beats_ray"}
+)
+_const_struct_processor(
+    "add_agent_metadata", "agent", {"type": "beats_ray", "version": "0.1.0"}
+)
+_const_struct_processor(
+    "add_cloud_metadata", "cloud", {"provider": "none", "region": "local"}
+)
+
+
 @register("add_locale")
 def add_locale(cfg: dict):
     """event.timezone constant (add_locale/add_locale.go:88) — pinned to

@@ -137,38 +137,119 @@ _SYSLOG_PATTERN = (
     r"(?P<msg>.*)$"
 )
 
+# RFC5424: "<34>1 2026-01-01T00:00:07Z host app 123 MSGID [sd] message"
+# (reader/syslog/rfc5424_gen.go re-expressed as one vectorized regex)
+_SYSLOG_5424_PATTERN = (
+    r"(?s)^<(?P<pri>\d{1,3})>(?P<ver>\d) "
+    r"(?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) (?P<pid>\S+) (?P<msgid>\S+) "
+    r"(?P<sd>-|\[.*?\])(?: (?P<msg>.*))?$"
+)
+
+
+def _null_if(col: pa.Array, sentinel: str, n: int) -> pa.Array:
+    return pc.if_else(pc.equal(col, sentinel), pa.nulls(n, pa.string()), col)
+
 
 @register("syslog")
 def syslog_proc(cfg: dict):
-    """Parse an RFC3164 syslog message from a field
-    (processors/syslog/syslog.go:141; state machines in
-    reader/syslog/rfc3164_gen.go re-expressed as one vectorized regex)."""
+    """Parse a syslog message from a field (processors/syslog/
+    syslog.go:141; format auto-detect like syslog.go:51,103,173).
+    Config ``format``: auto (default) | rfc3164 | rfc5424. Both formats
+    are single vectorized regex extractions; auto merges per row
+    (5424 wins where its version marker matches)."""
     field = cfg.get("field", "text")
     prefix = cfg.get("target_prefix", "syslog")
+    fmt = cfg.get("format", "auto")
 
     @_named("syslog")
     def run(t: pa.Table) -> pa.Table:
         col = get_col(t, field)
         if col is None:
             return t
+        n = t.num_rows
         arr = pc.fill_null(col.combine_chunks(), "")
-        struct = pc.extract_regex(arr, pattern=_SYSLOG_PATTERN)
-        ok = pc.is_valid(struct)
-        pri = pc.cast(pc.struct_field(struct, "pri"), pa.int64(), safe=False)
+        use_3164 = fmt in ("auto", "rfc3164")
+        use_5424 = fmt in ("auto", "rfc5424")
+        s3 = pc.extract_regex(arr, pattern=_SYSLOG_PATTERN) if use_3164 else None
+        s5 = pc.extract_regex(arr, pattern=_SYSLOG_5424_PATTERN) if use_5424 else None
+        ok3 = pc.is_valid(s3) if s3 is not None else pa.array([False] * n)
+        ok5 = pc.is_valid(s5) if s5 is not None else pa.array([False] * n)
+        ok3, ok5 = pc.fill_null(ok3, False), pc.fill_null(ok5, False)
+
+        def pick(name5: str | None, name3: str | None) -> pa.Array:
+            v5 = (
+                pc.struct_field(s5, name5)
+                if (s5 is not None and name5)
+                else pa.nulls(n, pa.string())
+            )
+            v3 = (
+                pc.struct_field(s3, name3)
+                if (s3 is not None and name3)
+                else pa.nulls(n, pa.string())
+            )
+            return pc.if_else(ok5, v5, v3)
+
+        pri = pc.cast(pick("pri", "pri"), pa.int64(), safe=False)
         t = set_col(t, f"{prefix}.pri", pri)
         t = set_col(t, f"{prefix}.facility", pc.shift_right(pri, 3))
         t = set_col(t, f"{prefix}.severity", pc.bit_wise_and(pri, 7))
-        t = set_col(t, f"{prefix}.host", pc.struct_field(struct, "host"))
-        t = set_col(t, f"{prefix}.app", pc.struct_field(struct, "app"))
-        pid = pc.struct_field(struct, "pid")
-        # unmatched optional group captures "" → null before int cast
-        pid = pc.if_else(pc.equal(pid, ""), pa.nulls(t.num_rows, pa.string()), pid)
+        t = set_col(t, f"{prefix}.host", pick("host", "host"))
+        t = set_col(t, f"{prefix}.app", _null_if(pick("app", "app"), "-", n))
+        pid = _null_if(pick("pid", "pid"), "-", n)
+        pid = _null_if(pid, "", n)
         t = set_col(t, f"{prefix}.pid", pc.cast(pid, pa.int64(), safe=False))
-        t = set_col(t, f"{prefix}.msg", pc.struct_field(struct, "msg"))
-        t = set_col(t, f"{prefix}.ok", ok)
+        t = set_col(t, f"{prefix}.msg", pick("msg", "msg"))
+        t = set_col(t, f"{prefix}.version",
+                    pc.cast(_null_if(pick("ver", None), "", n), pa.int64(),
+                            safe=False))
+        t = set_col(t, f"{prefix}.msgid", _null_if(pick("msgid", None), "-", n))
+        t = set_col(t, f"{prefix}.ok", pc.or_(ok3, ok5))
         return t
 
     return run
+
+
+@register("container")
+def container_proc(cfg: dict):
+    """Docker/CRI container log JSON ``{"log":..,"stream":..,"time":..}``
+    (readjson/docker_json.go): fixed-schema ndjson + optional stream
+    filter (stdout/stderr)."""
+    field = cfg.get("field", "text")
+    prefix = cfg.get("target_prefix", "container")
+    stream_filter = cfg.get("stream", "all")
+
+    inner = decode_json_fields(
+        {
+            "fields": [field],
+            "target": prefix,
+            "expected": {"log": "string", "stream": "string", "time": "string"},
+            "add_error_key": True,
+        }
+    )
+
+    class _Container:
+        name = "container"
+        drops_rows = stream_filter != "all"
+
+        def keep_mask(self, t: pa.Table) -> pa.Array:
+            t2 = inner(t)
+            return pc.fill_null(
+                pc.equal(t2[f"{prefix}.stream"].combine_chunks(), stream_filter),
+                False,
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = inner(t)
+            if stream_filter != "all":
+                t = t.filter(
+                    pc.fill_null(
+                        pc.equal(t[f"{prefix}.stream"].combine_chunks(), stream_filter),
+                        False,
+                    )
+                )
+            return t
+
+    return _Container()
 
 
 @register("multiline_stats")

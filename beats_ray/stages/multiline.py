@@ -120,6 +120,50 @@ def multiline_merge(
     return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)
 
 
+def multiline_while(
+    lines_ds,
+    pattern: str,
+    negate: bool = False,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_col: str = "line_idx",
+    line_col: str = "line",
+    buckets: int = 32,
+):
+    """while_pattern mode (reader/multiline/while.go): CONSECUTIVE
+    matching lines merge into one event; every non-matching line is its
+    own single-line event."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, order_col], kind="mergesort")
+        m = g[line_col].astype(str).str.contains(pattern, regex=True, na=False)
+        if negate:
+            m = ~m
+        prev_m = m.groupby([g[c] for c in key_cols]).shift(1).fillna(False)
+        # new event at: any non-matching line, or a matching line whose
+        # predecessor (within the key) did not match
+        is_start = (~m) | (m & ~prev_m.astype(bool))
+        first_of_key = ~g.duplicated(subset=list(key_cols), keep="first")
+        is_start = is_start | first_of_key
+        event_id = (
+            is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1
+        )
+        merged = (
+            pd.DataFrame(
+                {
+                    **{c: g[c] for c in key_cols},
+                    "event_id": event_id,
+                    line_col: g[line_col],
+                }
+            )
+            .groupby([*key_cols, "event_id"], as_index=False)
+            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
+        )
+        merged["n_lines"] = merged["n_lines"].astype("int64")
+        return merged
+
+    return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)
+
+
 def multiline_count(lines_ds, count: int, key_cols=("conv_id", "turn_idx"),
                     order_col: str = "line_idx", line_col: str = "line",
                     buckets: int = 32):

@@ -216,3 +216,69 @@ def test_script_udf():
         {"script": {"source": src}, "when": {"equals": {"s": "b"}}}
     )(t)
     assert out2.num_rows == 2
+
+
+def test_multiline_while_pattern(ray_session):
+    from beats_ray.stages.multiline import multiline_while
+
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "line_idx": i, "line": ln}
+        for i, ln in enumerate(["+a", "+b", "solo", "+c", "+d", "end"])
+    ]
+    out = (
+        multiline_while(rd.from_items(rows), pattern=r"^\+")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["+a\n+b", "solo", "+c\n+d", "end"]
+
+
+def test_syslog_rfc5424_and_auto():
+    t = pa.table(
+        {
+            "text": [
+                '<34>1 2026-01-01T00:00:07Z host9 app 123 MSGID [x@1 k="v"] hello 5424',
+                "<34>Jan  1 00:00:07 host9 app[123]: hello 3164",
+                "<165>1 2026-01-01T00:00:07Z h - - - - heartbeat",
+                "not syslog",
+            ]
+        }
+    )
+    out = build_processor({"syslog": {"format": "auto"}})(t)
+    assert out["syslog.ok"].to_pylist() == [True, True, True, False]
+    assert out["syslog.msg"].to_pylist()[:2] == ["hello 5424", "hello 3164"]
+    assert out["syslog.version"].to_pylist() == [1, None, 1, None]
+    assert out["syslog.pid"].to_pylist() == [123, 123, None, None]
+    assert out["syslog.facility"][2].as_py() == 165 >> 3
+    # forced single-format modes
+    only3 = build_processor({"syslog": {"format": "rfc3164"}})(t)
+    assert only3["syslog.ok"].to_pylist() == [False, True, False, False]
+
+
+def test_container_parser():
+    t = pa.table(
+        {
+            "text": [
+                '{"log":"line 1\\n","stream":"stdout","time":"2026-01-01T00:00:00Z"}',
+                '{"log":"err line\\n","stream":"stderr","time":"2026-01-01T00:00:01Z"}',
+                "garbage",
+            ]
+        }
+    )
+    out = build_processor({"container": {}})(t)
+    assert out["container.log"].to_pylist() == ["line 1\n", "err line\n", None]
+    filt = build_processor({"container": {"stream": "stderr"}})(t)
+    assert filt.num_rows == 1
+    assert filt["container.stream"][0].as_py() == "stderr"
+
+
+def test_metadata_alias_processors():
+    t = pa.table({"x": [1]})
+    for name, col in [
+        ("add_observer_metadata", "observer.type"),
+        ("add_agent_metadata", "agent.type"),
+        ("add_cloud_metadata", "cloud.provider"),
+    ]:
+        out = build_processor({name: {}})(t)
+        assert out[col][0].as_py() is not None
