@@ -654,6 +654,22 @@ def q_hot_conversations(sf_dir: str):
     )
 
 
+
+def q_source_ndjson_counts(sf_dir: str):
+    """Source-surface check: read the corpus from NDJSON log FILES
+    through the harvester-style line-reader chain + json parser, count
+    by role. The oracle reads the same .log files with DuckDB
+    read_json — full source round-trip equality."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.sources import read_ndjson_logs, write_ndjson_fixture
+
+    log_dir = write_ndjson_fixture(sf_from_dir(sf_dir))
+    ds = read_ndjson_logs(
+        sorted(glob.glob(log_dir + "/*.log")), expected={"role": "string"}
+    )
+    return grouped_count(ds.select_columns(["role"]), ["role"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_merge": q_multiline_merge,
         "conv_stats": q_conv_stats,
         "unique_tools": q_unique_tools,
+        "source_ndjson_counts": q_source_ndjson_counts,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -774,6 +791,9 @@ def _lookup_values_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     # make sure the corpus the SQL reads exists (driver runs at sf0.01)
     ensure_transcripts(0.01)
+    from beats_ray.sources import write_ndjson_fixture
+
+    ndjson_dir = write_ndjson_fixture(0.01)
     tr = _tr_sql(0.01)
     path = transcripts_dir(0.01) + "/part-*.parquet"
     punct = "[!\\\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
@@ -859,6 +879,10 @@ def oracle_sql() -> dict[str, str]:
                    'logs-' || role || '-' || strftime(ts, '%Y.%m.%d') AS idx_name
             FROM read_parquet('{path}')""",
         "unique_tools": f"SELECT DISTINCT tool FROM read_parquet('{path}')",
+        "source_ndjson_counts": f"""
+            SELECT role, COUNT(*) AS n
+            FROM read_json_auto('{ndjson_dir}/*.log', format='newline_delimited')
+            GROUP BY role""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

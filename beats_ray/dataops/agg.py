@@ -24,13 +24,9 @@ def grouped_count(ds, keys: list[str], name: str = "n"):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select(keys).to_pandas()
-        g = (
-            df.groupby(keys, as_index=False, dropna=False)
-            .size()
-            .rename(columns={"size": name})
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow partial count (C++ hash aggregation, no pandas hop)
+        g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns([*keys, name])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -73,18 +69,46 @@ def key_histogram(ds, key: str, top: int = 20):
     )
 
 
-def map_buckets(ds, key: str, fn, buckets: int = 32):
+def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
+                hot_factor: float = 4.0):
     """Hash-partition by ``key`` and apply ``fn`` once per bucket
     (vectorized over all of the bucket's rows; the bucket column is
-    stripped before fn). Skew note: buckets are balanced by hash, and a
-    single hot KEY is still bounded by its own volume — salt the key
-    upstream when one key exceeds a worker's memory."""
+    stripped before fn).
+
+    ``skew_aware=True`` adds the north-rule hot-key repartitioning: a
+    cheap pre-count finds keys whose volume exceeds ``hot_factor`` ×
+    the expected per-bucket share; each hot key is assigned its OWN
+    bucket (beyond the hash range) so a giant conversation neither
+    straggles nor overflows a shared bucket. Per-key semantics are
+    preserved exactly — a key's rows stay together (salting that SPLITS
+    a key is only valid for decomposable aggregations, which
+    grouped_count already handles via partials)."""
+
+    if skew_aware:
+        counts = grouped_count(ds.select_columns([key]), [key]).to_pandas()
+        total = int(counts["n"].sum())
+        threshold = hot_factor * max(1, total // buckets)
+        hot = sorted(counts.loc[counts["n"] > threshold, key].tolist())
+        hot_map = {k: buckets + i for i, k in enumerate(hot)}
+    else:
+        hot_map = {}
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["_bucket"]))
 
-    return (
-        hash_bucket(ds, key, buckets)
-        .groupby("_bucket")
-        .map_groups(run, batch_format="pandas")
-    )
+    bucketed = hash_bucket(ds, key, buckets)
+    if hot_map:
+        import ray
+
+        ref = ray.put(hot_map)
+
+        def reroute(df: pd.DataFrame) -> pd.DataFrame:
+            hm = ray.get(ref)
+            df = df.copy()
+            mask = df[key].isin(hm)
+            if mask.any():
+                df.loc[mask, "_bucket"] = df.loc[mask, key].map(hm)
+            return df
+
+        bucketed = bucketed.map_batches(reroute, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(run, batch_format="pandas")

@@ -30,23 +30,26 @@ def flow_agg(events, window_s: int = 10):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        sec = df["ts"].astype("datetime64[s]").astype("int64")
-        win = (sec // window_s) * window_s
-        g = (
-            pd.DataFrame(
-                {
-                    "user_id": df["user_id"],
-                    "event_type": df["event_type"],
-                    "window_s": win.astype("int64"),
-                    "n": 1,
-                    "value_cents": _to_cents(df["value"].to_numpy()),
-                }
-            )
-            .groupby(["user_id", "event_type", "window_s"], as_index=False)
-            .agg(n=("n", "sum"), value_cents=("value_cents", "sum"))
+        # pure-Arrow partial: window math + C++ hash aggregation
+        import pyarrow.compute as pc
+
+        sec = pc.divide(pc.cast(t["ts"].combine_chunks(), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(sec, window_s), window_s)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        flat = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "window_s": win,
+                "value_cents": cents,
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = flat.group_by(["user_id", "event_type", "window_s"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["user_id", "event_type", "window_s", "n", "value_cents"]
+        )
 
     from ray.data.aggregate import Sum
 

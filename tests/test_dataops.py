@@ -165,3 +165,31 @@ def test_multimodal_plumbing(ray_session):
     # the stub seam: real decode raises cleanly without PIL
     with pytest.raises(NotImplementedError):
         ImageFeatures(fake=False).decode(b"xx", 4, 4)
+
+
+def test_skew_aware_bucketing_isolates_hot_keys(ray_session):
+    """North-rule skew handling: a hot key gets a dedicated bucket, so
+    the heaviest shared bucket stays near the uniform share."""
+    import ray.data as rd
+
+    from beats_ray.dataops.agg import hash_bucket, map_buckets
+
+    rows = [{"k": f"k{i % 50}", "v": i} for i in range(5000)]
+    rows += [{"k": "HOT", "v": i} for i in range(5000)]  # 50% in one key
+    ds = rd.from_items(rows)
+
+    seen: list[tuple] = []
+
+    def record(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"keys": [g["k"].nunique()], "rows": [len(g)],
+             "has_hot": [(g["k"] == "HOT").any()]}
+        )
+
+    out = map_buckets(ds, "k", record, buckets=8, skew_aware=True, hot_factor=2.0).to_pandas()
+    hot_buckets = out[out["has_hot"]]
+    assert len(hot_buckets) == 1
+    assert hot_buckets.iloc[0]["keys"] == 1  # dedicated bucket: HOT alone
+    assert hot_buckets.iloc[0]["rows"] == 5000
+    # per-key co-location invariant: 50 normal keys + 1 hot across buckets
+    assert out["keys"].sum() == 51
