@@ -670,6 +670,29 @@ def q_source_ndjson_counts(sf_dir: str):
     return grouped_count(ds.select_columns(["role"]), ["role"])
 
 
+
+def q_mask_pii_rows(sf_dir: str):
+    """PII masking chain (email/IP/phone/SSN regex substitution) over
+    turn text — vectorized replace kernels, oracle = the identical
+    nested regexp_replace chain."""
+    from beats_ray.dataops.pii import mask_pii
+
+    ds = mask_pii(
+        _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"]),
+        field="text",
+        target="masked_text",
+    )
+    return ds.select_columns(["conv_id", "turn_idx", "masked_text"])
+
+
+def q_top_words(sf_dir: str):
+    """Corpus vocabulary: top-20 words across documents (map-reduce
+    word count with per-batch Arrow partials)."""
+    from beats_ray.dataops.pii import top_words
+
+    return top_words(_table(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -713,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "mask_pii_rows": q_mask_pii_rows,
+        "top_words": q_top_words,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -786,6 +811,16 @@ def _lookup_values_sql() -> str:
         f"tl(tool, tool_category, risk_level) AS (VALUES {tool_rows}), "
         f"rl(role, role_tag) AS (VALUES {role_rows})"
     )
+
+
+def _pii_chain_sql(col: str) -> str:
+    from beats_ray.dataops.pii import PII_PATTERNS
+
+    expr = col
+    for _, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")  # duckdb '' strings are raw
+        expr = f"regexp_replace({expr}, '{esc}', '{repl}', 'g')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -960,6 +995,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'high' ELSE 'mid' END AS quality
             FROM documents""",
         "doc_fingerprint": "SELECT doc_id, substr(md5(text),1,16) AS fingerprint FROM documents",
+        "mask_pii_rows": f"""
+            SELECT conv_id, turn_idx, {_pii_chain_sql('text')} AS masked_text
+            FROM read_parquet('{path}')""",
+        "top_words": r"""
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+              FROM documents
+            ) WHERE length(word) >= 1
+            GROUP BY word ORDER BY n DESC, word LIMIT 20""",
         "ann_brute_topk": """
             SELECT q.vec_id AS query_id,
                    CAST(row_number() OVER (

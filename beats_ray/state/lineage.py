@@ -78,6 +78,24 @@ class CheckpointRunner:
         done = read_lineage(str(self.lineage_dir))
         return [f for f in input_files if _pid_of(f) not in done]
 
+    def _attempts(self) -> dict[str, int]:
+        f = self.lineage_dir / ".attempts.json"
+        if f.exists():
+            try:
+                return json.loads(f.read_text())
+            except json.JSONDecodeError:
+                return {}
+        return {}
+
+    def _bump_attempts(self, pids: list[str]) -> dict[str, int]:
+        att = self._attempts()
+        for pid in pids:
+            att[pid] = att.get(pid, 0) + 1
+        tmp = self.lineage_dir / ".attempts.json.tmp"
+        tmp.write_text(json.dumps(att, sort_keys=True))
+        os.replace(tmp, self.lineage_dir / ".attempts.json")
+        return att
+
     def clean_incomplete(self, pending_files: list[str]) -> list[str]:
         """Delete output dirs of partitions that started but never got a
         lineage record (crash between write and checkpoint)."""
@@ -103,7 +121,7 @@ class CheckpointRunner:
         if num_parts is None:
             num_parts = len(input_files)
         pending = self.pending(input_files)
-        attempt = {_pid_of(f): 1 for f in pending}
+        attempt = self._bump_attempts([_pid_of(f) for f in pending])
         self.clean_incomplete(pending)
         if pending:
             ds = rd.read_parquet(pending)

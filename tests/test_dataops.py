@@ -193,3 +193,25 @@ def test_skew_aware_bucketing_isolates_hot_keys(ray_session):
     assert hot_buckets.iloc[0]["rows"] == 5000
     # per-key co-location invariant: 50 normal keys + 1 hot across buckets
     assert out["keys"].sum() == 51
+
+
+def test_mask_pii(ray_session):
+    from beats_ray.dataops.pii import mask_pii
+
+    ds = rd.from_items(
+        [{"text": "mail a@b.co from 10.1.2.3 call +1 (555) 123-4567 ssn 123-45-6789"}]
+    )
+    out = mask_pii(ds).to_pandas()["text"][0]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "a@b.co" not in out and "10.1.2.3" not in out
+
+
+def test_top_words(ray_session):
+    from beats_ray.dataops.pii import top_words
+
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": "a b b c c c"}, {"doc_id": 1, "text": "c a"}]
+    )
+    out = top_words(ds, k=2)
+    assert out["word"].tolist() == ["c", "a"]
+    assert out["n"].tolist() == [4, 2]

@@ -168,3 +168,16 @@ def test_resume_effectively_once(sf0001_dir, tmp_path):
     for pf in (tmp_path / "out").rglob("*.parquet"):
         total += pq.ParquetFile(pf).metadata.num_rows
     assert total == m_ref["rows_in"]
+
+
+def test_lineage_attempt_counter(sf0001_dir, tmp_path):
+    """Attempts increment across crash/retry (registrar-style audit)."""
+    import json as _json
+
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:2]
+    cr = CheckpointRunner(str(tmp_path / "att"))
+    with pytest.raises(RuntimeError):
+        cr.run(files, fail_after_write=True)
+    cr.run(files)
+    rec = _json.loads((tmp_path / "att" / "_lineage" / "part-00000.json").read_text())
+    assert rec["attempt"] == 2  # first try crashed, second succeeded
