@@ -85,40 +85,55 @@ def decode_json_fields(cfg: dict):
 
     @_named("decode_json_fields")
     def run(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         for field in fields:
             col = get_col(t, field)
             if col is None:
                 continue
-            vals = col.to_pylist()
-            looks = [bool(v) and v[0] in "{[" for v in vals]
-            parsed: list[dict | None] = [None] * len(vals)
-            bad = np.zeros(len(vals), dtype=bool)
-            for i, v in enumerate(vals):
-                if not looks[i]:
-                    continue
+            col = col.combine_chunks()
+            # vectorized pre-filter: only JSON-looking rows leave Arrow
+            # (the python json.loads loop touches ~the ndjson fraction,
+            # not the whole batch)
+            looks = pc.and_(
+                pc.fill_null(pc.greater(pc.binary_length(col), 0), False),
+                pc.or_(
+                    pc.starts_with(pc.fill_null(col, ""), "{"),
+                    pc.starts_with(pc.fill_null(col, ""), "["),
+                ),
+            )
+            idx = np.flatnonzero(looks.to_numpy(zero_copy_only=False))
+            sub_vals = pc.take(col, pa.array(idx)).to_pylist() if len(idx) else []
+            parsed_sub: list[dict | None] = []
+            bad = np.zeros(n, dtype=bool)
+            for j, v in enumerate(sub_vals):
                 try:
                     obj = json.loads(v)
                     if isinstance(obj, dict):
-                        parsed[i] = obj
+                        parsed_sub.append(obj)
                     else:
-                        bad[i] = True
+                        parsed_sub.append(None)
+                        bad[idx[j]] = True
                 except (json.JSONDecodeError, TypeError):
-                    bad[i] = True
+                    parsed_sub.append(None)
+                    bad[idx[j]] = True
             for key, tname in expected.items():
                 typ = types[tname]
-                out = [None if p is None else p.get(key) for p in parsed]
+                out: list = [None] * n
+                for j, p in enumerate(parsed_sub):
+                    if p is not None:
+                        out[idx[j]] = p.get(key)
                 arr = pa.array(out)
                 try:
                     arr = pc.cast(arr, typ)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    arr = pa.nulls(len(out), typ)
+                    arr = pa.nulls(n, typ)
                 pref = f"{target}." if target else ""
                 t = set_col(t, f"{pref}{key}", arr)
             if document_id:
-                ids = [
-                    None if p is None else str(p.get(document_id, ""))
-                    for p in parsed
-                ]
+                ids: list = [None] * n
+                for j, p in enumerate(parsed_sub):
+                    if p is not None:
+                        ids[idx[j]] = str(p.get(document_id, ""))
                 t = set_col(t, "meta.doc_id", pa.array(ids, pa.string()))
             if add_error_key and bad.any():
                 t = set_error(t, pa.array(bad), "failed to decode json")
