@@ -27,8 +27,10 @@ Semantics matched against the reference golden corpus
   - content after the FINAL literal delimiter is ignored; but when the
     tokenizer ends with a key, that key consumes to end-of-string (and a
     fixed-length final key must land exactly on end-of-string).
-  - append joins pieces in (ordinal, appearance) order using the
-    delimiter that followed each earlier piece (space when none).
+  - append joins pieces in (ordinal, appearance) order; each
+    subsequent piece contributes ITS OWN preceding tokenizer delimiter
+    as the separator (space when it has none) — exactly
+    appendField.previous / JoinString, field.go:221-234.
   - a plain ``%{key}`` contributes to the append group of the same name.
 """
 
@@ -69,7 +71,9 @@ class _Key:
     greedy: bool = False  # ->
     length: int | None = None  # #N fixed length
     dtype: str | None = None  # |type
-    next_delim: str = ""  # delimiter FOLLOWING this key (append join sep)
+    next_delim: str = ""  # delimiter FOLLOWING this key
+    prev_delim: str = ""  # delimiter PRECEDING this key (append join sep,
+    #                       reference: appendField.previous, field.go:230)
 
 
 @dataclass
@@ -115,16 +119,19 @@ class CompiledDissect:
                 continue
             if k.name in append_names:
                 appends.setdefault(k.name, []).append(
-                    (k.ordinal, pos, v, k.next_delim)
+                    (k.ordinal, pos, v, k.prev_delim)
                 )
                 continue
             out[k.name] = v
         for name, parts in appends.items():
+            # reference semantics (field.go:221-234): apply in
+            # (ordinal, appearance) order; each subsequent piece joins
+            # with ITS OWN preceding tokenizer delimiter (space when the
+            # piece is at the start of the pattern)
             parts.sort(key=lambda t: (t[0], t[1]))
             buf = parts[0][2]
-            for prev, cur in zip(parts, parts[1:]):
-                sep = prev[3] if prev[3] else " "
-                buf += sep + cur[2]
+            for _, _, val, prev_delim in parts[1:]:
+                buf += (prev_delim if prev_delim else " ") + val
             out[name] = buf
         for name, v in indirects:
             target = pointers.get(name)
@@ -190,11 +197,17 @@ def compile_tokenizer(tok: str) -> CompiledDissect:
         raise DissectError("tokenizer contains no %{} fields")
     keys: list[_Key] = []
     parts: list[str] = ["(?s)^", re.escape(tok[: matches[0].start()])]
+    prev_end = 0
     for i, m in enumerate(matches):
         key = _parse_key(m.group(1))
         nxt = matches[i + 1].start() if i + 1 < len(matches) else len(tok)
         delim = tok[m.end() : nxt]
         key.next_delim = delim
+        # the preceding delimiter node: text between the previous key's
+        # end and this key's start (for i=0: the leading literal —
+        # reference passes that delimiter node as `previous` too)
+        key.prev_delim = tok[prev_end : m.start()]
+        prev_end = m.end()
         keys.append(key)
         gname = f"g{len(keys) - 1}"
         last = i + 1 == len(matches)

@@ -190,6 +190,12 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
     vectorized, so bigger batches amortize per-call overhead."""
     from .enrich import LookupEnricher, broadcast_lookups, enrich_batch
 
+    # validate the config EAGERLY on the driver (checks.go behaviour):
+    # a typo'd processor key must fail here, not as a RayTaskError deep
+    # inside a worker. Workers still compile their own chain instances.
+    ParseStage(config)._ensure()
+    RouteStage(config, num_parts)._ensure()
+
     ds = ds.map_batches(ParseStage(config), batch_format="pyarrow", batch_size=None)
     if enrich and enrich_mode == "task":
         ds = ds.map_batches(enrich_batch, batch_format="pyarrow", batch_size=None)

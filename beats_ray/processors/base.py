@@ -136,6 +136,9 @@ def build_processor(spec: dict) -> Transform:
     name, cfg = next(iter(spec.items()))
     if name not in _REGISTRY:
         raise ValueError(f"unknown processor {name!r}")
+    from .validation import validate_config
+
+    validate_config(name, cfg or {})
     proc = _REGISTRY[name](cfg or {})
     if when is not None:
         return WhenWrapper(proc, when)
