@@ -693,6 +693,62 @@ def q_top_words(sf_dir: str):
     return top_words(_table(sf_dir, "documents", ["doc_id", "text"]), k=20)
 
 
+
+def q_asof_click_view(sf_dir: str):
+    """As-of join: each click event matched to the user's most recent
+    prior view event (backward, exact-ts allowed). Oracle: DuckDB
+    ASOF LEFT JOIN."""
+    from beats_ray.dataops.joins import asof_join
+
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click").drop_columns(
+        ["event_type"]
+    )
+    views = (
+        ev.filter(lambda r: r["event_type"] == "view")
+        .drop_columns(["event_type"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["view_id" if c == "event_id" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join(clicks, views, key="user_id", ts_col="ts")
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        res = df[["event_id", "user_id", "view_id"]].copy()
+        res["event_id"] = res["event_id"].astype("int64")
+        res["user_id"] = res["user_id"].astype("int64")
+        # no-prior-view sentinel -1 on BOTH sides (nullable-int vs
+        # float-NaN dtype drift across engines is not worth the risk)
+        res["view_id"] = res["view_id"].fillna(-1).astype("int64")
+        return res
+
+    return joined.map_batches(out, batch_format="pandas")
+
+
+def q_distinct_tools_per_role(sf_dir: str):
+    """Grouped distinct count: per role, how many distinct tools —
+    two-level distinct (per-batch pair dedup → global pair dedup →
+    count), shuffle moves unique pairs only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.select(["role", "tool"]).group_by(["role", "tool"]).aggregate([])
+        return g
+
+    uniq = (
+        _transcripts(sf_dir)
+        .select_columns(["role", "tool"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["role", "tool"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return uniq.groupby("role").aggregate(Count(alias_name="n_tools"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -726,6 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q_tpch_q1,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
+        "asof_click_view": q_asof_click_view,
+        "distinct_tools_per_role": q_distinct_tools_per_role,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
@@ -975,6 +1033,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
+        "asof_click_view": """
+            SELECT c.event_id, c.user_id,
+                   COALESCE(v.event_id, -1) AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "distinct_tools_per_role": f"""
+            SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+            FROM read_parquet('{path}') GROUP BY role""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "token_stats": f"""
             SELECT doc_id, length(text) AS n_chars,

@@ -78,6 +78,34 @@ def bucket_hash_join(left, right, left_on: str, right_on: str,
     return both.groupby("_jb").map_groups(merge, batch_format="pandas")
 
 
+def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
+              suffix: str = "_r"):
+    """As-of (backward) join: each left row matches the latest right row
+    with ``right.ts <= left.ts`` within the same ``key`` (guide: sort
+    both sides by (key, ts) within buckets + ``pd.merge_asof`` per
+    bucket). One co-locating shuffle on the key; per-bucket work is a
+    single vectorized merge_asof. Equal timestamps match
+    (allow_exact_matches, = DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)."""
+    l_tag = _with_bucket(left, key, buckets, "l")
+    r_tag = _with_bucket(right, key, buckets, "r")
+    both = l_tag.union(r_tag)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        rg = g[g["_side"] == "r"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        if lg.empty:
+            return pd.DataFrame()
+        if rg.empty:
+            return lg
+        lg = lg.sort_values(ts_col, kind="mergesort")
+        rg = rg.sort_values(ts_col, kind="mergesort")
+        return pd.merge_asof(
+            lg, rg, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
+        )
+
+    return both.groupby("_jb").map_groups(merge, batch_format="pandas")
+
+
 def semi_join(big, keys_df: pd.DataFrame, on: str, anti: bool = False):
     """Semi/anti join: broadcast the key SET and mask per batch."""
     key_set = set(keys_df[on].tolist())

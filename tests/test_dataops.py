@@ -215,3 +215,18 @@ def test_top_words(ray_session):
     out = top_words(ds, k=2)
     assert out["word"].tolist() == ["c", "a"]
     assert out["n"].tolist() == [4, 2]
+
+
+def test_asof_join_matches_pandas(ray_session):
+    from beats_ray.dataops.joins import asof_join
+
+    l = pd.DataFrame({"uid": [1, 1, 2, 3], "ts": pd.to_datetime([10, 20, 15, 7], unit="s"), "x": list("abcd")})
+    r = pd.DataFrame({"uid": [1, 1, 2], "ts": pd.to_datetime([5, 18, 99], unit="s"), "y": list("XYZ")})
+    got = (
+        asof_join(rd.from_pandas(l), rd.from_pandas(r), key="uid")
+        .to_pandas()
+        .sort_values(["uid", "ts"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(l.sort_values("ts"), r.sort_values("ts"), on="ts", by="uid").sort_values(["uid", "ts"]).reset_index(drop=True)
+    assert got["y"].fillna("-").tolist() == want["y"].fillna("-").tolist()

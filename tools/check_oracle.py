@@ -33,8 +33,8 @@ def to_pandas(res):
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        if df[c].dtype == object or str(df[c].dtype).startswith("Int"):
+            df[c] = df[c].astype(object).where(df[c].notna(), "<NULL>").astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
