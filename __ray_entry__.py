@@ -749,6 +749,39 @@ def q_distinct_tools_per_role(sf_dir: str):
     return uniq.groupby("role").aggregate(Count(alias_name="n_tools"))
 
 
+
+def q_normalized_docs(sf_dir: str):
+    """Canonical text normalization (NFC + lower + whitespace collapse)."""
+    from beats_ray.dataops.textnorm import normalize_text
+
+    ds = normalize_text(_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "norm_text"])
+
+
+def q_repetition_score(sf_dir: str):
+    """Degenerate-repetition signal: words + top-word count per doc."""
+    from beats_ray.dataops.textnorm import repetition_score
+
+    return repetition_score(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_contamination_screen(sf_dir: str):
+    """Benchmark-overlap screen: 3-gram hits of each doc against a probe
+    set built from the first 5 documents (self-probe → those 5 are fully
+    contaminated; unrelated docs are not). Rows-only (hash-set op)."""
+    from beats_ray.dataops.textnorm import contamination_screen
+
+    probe = (
+        _table(sf_dir, "documents", ["doc_id", "text"])
+        .filter(lambda r: r["doc_id"] < 5)
+        .to_pandas()["text"]
+        .tolist()
+    )
+    return contamination_screen(
+        _table(sf_dir, "documents", ["doc_id", "text"]), probe
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -795,6 +828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "mask_pii_rows": q_mask_pii_rows,
+        "normalized_docs": q_normalized_docs,
+        "repetition_score": q_repetition_score,
+        "contamination_screen": q_contamination_screen,
         "top_words": q_top_words,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
@@ -1062,6 +1098,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'high' ELSE 'mid' END AS quality
             FROM documents""",
         "doc_fingerprint": "SELECT doc_id, substr(md5(text),1,16) AS fingerprint FROM documents",
+        "normalized_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+            FROM documents""",
+        "repetition_score": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+              FROM documents
+            ), f AS (SELECT * FROM w WHERE length(w) >= 1),
+            per AS (SELECT doc_id, w, COUNT(*) AS c FROM f GROUP BY doc_id, w)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top_word_n
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            GROUP BY d.doc_id""",
         "mask_pii_rows": f"""
             SELECT conv_id, turn_idx, {_pii_chain_sql('text')} AS masked_text
             FROM read_parquet('{path}')""",

@@ -1,0 +1,121 @@
+"""Text normalization + repetition scoring + contamination screening —
+training-data curation stages.
+
+- ``normalize_text``: unicode NFC + lowercase + whitespace collapse
+  (deterministic canonical form; the pre-step for exact dedup). Oracle:
+  DuckDB ``nfc_normalize``/``lower``/``regexp_replace`` — identical
+  chain.
+- ``repetition_score``: fraction of the document covered by its single
+  most-frequent word — the cheap "degenerate repetition" quality signal
+  (Gopher/C4-style rules); integer counts so the oracle compares exact.
+- ``contamination_screen``: n-gram overlap of each document against a
+  broadcast probe set (benchmark texts): the semi-join-on-ngram-hashes
+  archetype — the probe set ships once via ``ray.put``, documents never
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .dedup import word_shingles
+
+
+def normalize_text(ds, field: str = "text", target: str = "norm_text"):
+    def norm(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t[field].combine_chunks(), "")
+        col = pc.utf8_normalize(col, form="NFC")
+        col = pc.utf8_lower(col)
+        col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+        col = pc.utf8_trim_whitespace(col)
+        if target in t.column_names:
+            return t.set_column(t.column_names.index(target), target, col)
+        return t.append_column(target, col)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def repetition_score(docs, field: str = "text"):
+    """Per doc: total word count and the count of the most frequent
+    word (top_word_n / n_words = repetition ratio). Vectorized per
+    batch via pandas explode + double groupby — no python per row."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            df[field]
+            .fillna("")
+            .str.lower()
+            .str.split(r"\s+", regex=True)
+            .map(lambda ws: [w for w in ws if w])
+        )
+        exploded = pd.DataFrame(
+            {"doc_id": df["doc_id"].repeat(words.str.len()), "w": words.explode().dropna()}
+        )
+        if exploded.empty:
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"], "n_words": 0, "top_word_n": 0}
+            ).astype({"n_words": "int64", "top_word_n": "int64"})
+        per_word = exploded.groupby(["doc_id", "w"]).size()
+        agg = per_word.groupby("doc_id").agg(["sum", "max"]).rename(
+            columns={"sum": "n_words", "max": "top_word_n"}
+        )
+        out = agg.reindex(df["doc_id"]).fillna(0).reset_index()
+        out["n_words"] = out["n_words"].astype("int64")
+        out["top_word_n"] = out["top_word_n"].astype("int64")
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+class ContaminationScreen:
+    """Actor stage: the probe n-gram set resolves once per actor."""
+
+    def __init__(self, probe_ref, k: int = 3):
+        self.probe = (
+            ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        )
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_grams, n_hits = [], []
+        for text in df["text"].fillna(""):
+            sh = word_shingles(text, self.k)
+            n_grams.append(len(sh))
+            n_hits.append(len(sh & self.probe))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_ngrams": pd.array(n_grams, dtype="int64"),
+                "n_probe_hits": pd.array(n_hits, dtype="int64"),
+            }
+        )
+
+
+def contamination_screen(docs, probe_texts: list[str], k: int = 3,
+                         threshold: float = 0.5):
+    """Flag documents whose word-k-gram overlap with the probe corpus
+    (e.g. an eval benchmark) exceeds ``threshold``."""
+    probe: set[int] = set()
+    for t in probe_texts:
+        probe |= word_shingles(t, k)
+    ref = ray.put(probe)
+    scored = docs.map_batches(
+        ContaminationScreen,
+        fn_constructor_kwargs={"probe_ref": ref, "k": k},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ratio = df["n_probe_hits"] / df["n_ngrams"].clip(lower=1)
+        df["contaminated"] = ratio >= threshold
+        return df
+
+    return scored.map_batches(flag, batch_format="pandas")

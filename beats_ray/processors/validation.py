@@ -57,6 +57,7 @@ ALLOWED_KEYS: dict[str, set[str]] = {
     "script": {"source", "lang"},
     "translate": {"field", "target_field", "dictionary", "default"},
     "drop_event": set(),
+    "function": {"name"},
     "add_host_metadata": {"host", "cache.ttl", "replace_fields"},
     "add_observer_metadata": {"fields"},
     "add_agent_metadata": {"fields"},

@@ -230,3 +230,65 @@ def test_asof_join_matches_pandas(ray_session):
     )
     want = pd.merge_asof(l.sort_values("ts"), r.sort_values("ts"), on="ts", by="uid").sort_values(["uid", "ts"]).reset_index(drop=True)
     assert got["y"].fillna("-").tolist() == want["y"].fillna("-").tolist()
+
+
+def test_normalize_and_repetition(ray_session):
+    from beats_ray.dataops.textnorm import normalize_text, repetition_score
+
+    ds = rd.from_items([{"doc_id": 0, "text": "  The  THE the\tcat  "},
+                        {"doc_id": 1, "text": ""}])
+    n = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert n["norm_text"].tolist() == ["the the the cat", ""]
+    r = repetition_score(ds).to_pandas().sort_values("doc_id")
+    assert r["n_words"].tolist() == [4, 0]
+    assert r["top_word_n"].tolist() == [3, 0]
+
+
+def test_contamination_screen(ray_session):
+    from beats_ray.dataops.textnorm import contamination_screen
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 1, "text": "totally different words here now ok"},
+        ]
+    )
+    out = (
+        contamination_screen(docs, ["alpha beta gamma delta epsilon zeta"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, False]
+    assert out["n_probe_hits"].tolist()[0] == out["n_ngrams"].tolist()[0]
+
+
+def test_function_registry_processor():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from beats_ray.functions import batch_function
+    from beats_ray.processors import build_processor
+
+    @batch_function("upper_text")
+    def upper_text(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("text"), "text", pc.utf8_upper(t["text"])
+        )
+
+    out = build_processor({"function": {"name": "upper_text"}})(
+        pa.table({"text": ["ab"]})
+    )
+    assert out["text"].to_pylist() == ["AB"]
+
+
+def test_security_pipeline_preset(ray_session, sf0001_dir):
+    import glob
+
+    from beats_ray.pipeline import build_dataset
+    from beats_ray.pipelines.flagship import SECURITY_CONFIG
+
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:1]
+    out = build_dataset(rd.read_parquet(files), config=SECURITY_CONFIG,
+                        num_parts=8, enrich=False).to_pandas()
+    assert set(out["sink"].unique()) <= {"high_sev", "failures", "audit"}
+    assert (out["pipeline"] == "security").all()

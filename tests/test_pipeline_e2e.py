@@ -181,3 +181,38 @@ def test_lineage_attempt_counter(sf0001_dir, tmp_path):
     cr.run(files)
     rec = _json.loads((tmp_path / "att" / "_lineage" / "part-00000.json").read_text())
     assert rec["attempt"] == 2  # first try crashed, second succeeded
+
+
+def test_task_failure_retry_at_least_once(sf0001_dir, tmp_path):
+    """A transform that fails on its first attempt per block must be
+    retried by Ray and the pipeline must still produce exactly the
+    right rows (task-level at-least-once; partition-level handled by
+    lineage)."""
+    import os
+
+    import pyarrow as pa
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def flaky(t: pa.Table) -> pa.Table:
+        first = t["conv_id"][0].as_py()
+        tag = f"{first}-{t.num_rows}"
+        marker = os.path.join(marker_dir, tag)
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("x")
+            raise RuntimeError(f"injected failure for block {tag}")
+        return t
+
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:2]
+    expect = rd.read_parquet(files).count()
+    # Ray retries SYSTEM failures by default; transient USER exceptions
+    # need retry_exceptions — the engine's pattern for flaky stages
+    # (network lookups etc.), mirroring the reference's batch-retry TTL
+    got = rd.read_parquet(files).map_batches(
+        flaky, batch_format="pyarrow", batch_size=None,
+        retry_exceptions=True,
+    ).count()
+    assert got == expect
+    assert len(os.listdir(marker_dir)) > 0  # failures actually happened
