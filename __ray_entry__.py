@@ -782,6 +782,17 @@ def q_contamination_screen(sf_dir: str):
     )
 
 
+
+def q_flow_sessions(sf_dir: str):
+    """Packetbeat-flow expiry semantics: inactivity-split flows per
+    (user, event_type) with start/end/count (30 s timeout)."""
+    from beats_ray.dataops.flows import flow_sessions
+
+    return flow_sessions(
+        _table(sf_dir, "events", ["user_id", "event_type", "ts"]), timeout_s=30
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limited_counts": q_rate_limited_counts,
         # aggregation / windows / sort
         "flow_agg": q_flow_agg,
+        "flow_sessions": q_flow_sessions,
         "sessionize": q_sessionize,
         "top_users": q_top_users,
         "events_type_counts": q_events_type_counts,
@@ -1033,6 +1045,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY user_id, event_type, window_s""",
+        "flow_sessions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 30
+                          THEN 1 ELSE 0 END AS new_flow
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+            ), f AS (
+              SELECT *, SUM(new_flow) OVER (
+                PARTITION BY user_id, event_type ORDER BY sec
+                ROWS UNBOUNDED PRECEDING) AS flow_id
+              FROM s
+            )
+            SELECT user_id, event_type,
+                   CAST(min(sec) AS BIGINT) AS start_s,
+                   CAST(max(sec) AS BIGINT) AS end_s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM f GROUP BY user_id, event_type, flow_id""",
         "sessionize": """
             SELECT user_id,
                    CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts)-epoch(prev) > 1800

@@ -81,6 +81,38 @@ def sessionize(events, gap_s: int = 1800):
     return map_buckets(events, "user_id", per_bucket)
 
 
+def flow_sessions(events, key_cols=("user_id", "event_type"),
+                  timeout_s: int = 30, buckets: int = 32):
+    """Full packetbeat-flow semantics: a FLOW is a run of events for a
+    key that ends after ``timeout_s`` of inactivity (flows.go:35-36
+    timeout; the period-report is the windowed flow_agg above). Output:
+    one row per flow with start/end epoch seconds and event count.
+    Event-time re-expression: gap-split per key, vectorized per hash
+    bucket."""
+    from .agg import map_buckets
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = list(key_cols)
+        g = g.sort_values([*keys, "ts"], kind="mergesort")
+        sec = g["ts"].astype("datetime64[s]").astype("int64")
+        same = pd.Series(True, index=g.index)
+        for c in keys:
+            same &= g[c].eq(g[c].shift())
+        new_flow = (~same) | ((sec - sec.shift()) > timeout_s)
+        flow_id = new_flow.astype("int64").cumsum()
+        out = (
+            pd.DataFrame({**{c: g[c] for c in keys},
+                          "flow_id": flow_id, "sec": sec})
+            .groupby([*keys, "flow_id"], as_index=False)
+            .agg(start_s=("sec", "min"), end_s=("sec", "max"), n=("sec", "size"))
+        )
+        out = out.drop(columns=["flow_id"])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return map_buckets(events, key_cols[0], per_bucket, buckets=buckets)
+
+
 def top_k_users(events, k: int = 10):
     """Top-k users by event count: partial count per batch → small
     groupby → sort with deterministic (n desc, user_id asc) tie-break →

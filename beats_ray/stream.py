@@ -1,0 +1,134 @@
+"""Micro-batch streaming mode — the reference's continuous operation
+re-expressed.
+
+Filebeat never stops: harvesters tail files, the registrar checkpoints
+offsets, pipeline metrics accumulate for the life of the process
+(SURVEY §3.1). The batch-engine analogue is EVENT-TIME MICRO-BATCHES:
+the corpus is processed window by window (``window_s`` of event time),
+each window is a bounded flagship run with its own lineage record, and
+run-length state (per-sink delivered totals — the pipeline observer,
+outputs/metrics.go:32-99) lives in a singleton state ACTOR that
+survives across windows. Ray Data has no watermarks (guide: streaming-
+shaped workloads); ordered windows + an actor for cross-window state is
+the idiomatic shape.
+
+Scale note: each window run filters the input by ts; at production
+scale the corpus is ts-partitioned (dt=.../hour=...) so a window's read
+prunes to its own files instead of scanning everything — the filter is
+then a no-op guard. (The bench corpus is conv-hash-partitioned, so the
+scan-and-filter path is what gets exercised here.)
+
+Restart/resume: completed windows are recorded like partitions
+(state/lineage pattern); a resumed run replays only missing windows and
+rebuilds the counters from lineage — at-least-once, effectively-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow.compute as pc
+
+import ray
+
+
+@ray.remote
+class StreamState:
+    """Run-length counters (per-sink delivered totals + window log).
+    One instance per streaming job — the metrics-observer/registrar
+    singleton; updates arrive as per-window partial dicts."""
+
+    def __init__(self):
+        self.per_sink: dict[str, int] = {}
+        self.windows_done: list[int] = []
+
+    def add_window(self, window_id: int, sink_counts: dict[str, int]) -> None:
+        for sink, n in sink_counts.items():
+            self.per_sink[sink] = self.per_sink.get(sink, 0) + int(n)
+        self.windows_done.append(window_id)
+
+    def totals(self) -> dict:
+        return {
+            "rows_routed": dict(sorted(self.per_sink.items())),
+            "windows_done": sorted(self.windows_done),
+        }
+
+
+class MicroBatchRunner:
+    """Process transcript files as ordered event-time windows."""
+
+    def __init__(self, out_dir: str, window_s: int = 3600):
+        self.out_dir = Path(out_dir)
+        self.window_s = window_s
+        self.lineage_dir = self.out_dir / "_stream_lineage"
+        self.lineage_dir.mkdir(parents=True, exist_ok=True)
+
+    def _done_windows(self) -> dict[int, dict]:
+        done = {}
+        for f in sorted(self.lineage_dir.glob("window-*.json")):
+            rec = json.loads(f.read_text())
+            done[rec["window_id"]] = rec
+        return done
+
+    def run(self, input_files: list[str], config: dict | None = None) -> dict:
+        import ray.data as rd
+
+        from .pipeline import build_dataset
+
+        # window bounds from parquet stats (cheap footer read, no scan)
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for f in input_files:
+            t = pq.read_table(f, columns=["ts"])
+            mn = pc.min(t["ts"]).value
+            mx = pc.max(t["ts"]).value
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        w_us = self.window_s * 1_000_000
+        first_w, last_w = lo // w_us, hi // w_us
+
+        state = StreamState.remote()
+        done = self._done_windows()
+        # resume: rebuild counters from completed-window lineage
+        for rec in done.values():
+            state.add_window.remote(rec["window_id"], rec["sink_counts"])
+
+        for w in range(first_w, last_w + 1):
+            if w in done:
+                continue
+            lo_ts, hi_ts = w * w_us, (w + 1) * w_us
+            ds = rd.read_parquet(input_files)
+            ds = ds.map_batches(
+                lambda t, lo_ts=lo_ts, hi_ts=hi_ts: t.filter(
+                    pc.and_(
+                        pc.greater_equal(pc.cast(t["ts"], "int64"), lo_ts),
+                        pc.less(pc.cast(t["ts"], "int64"), hi_ts),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            routed = build_dataset(ds, config, num_parts=len(input_files))
+            win_dir = self.out_dir / f"window={w}"
+            routed.write_parquet(str(win_dir), partition_cols=["sink"])
+            # per-sink counts from parquet footers (no second data pass —
+            # same trick as state/lineage._sink_rows)
+            counts: dict[str, int] = {}
+            for sink_dir in sorted(win_dir.glob("sink=*")):
+                sink = sink_dir.name.split("=", 1)[1]
+                counts[sink] = sum(
+                    pq.ParquetFile(p).metadata.num_rows
+                    for p in sink_dir.rglob("*.parquet")
+                )
+            ray.get(state.add_window.remote(w, counts))
+            tmp = self.lineage_dir / f".window-{w}.json.tmp"
+            tmp.write_text(
+                json.dumps(
+                    {"window_id": w, "sink_counts": counts}, sort_keys=True
+                )
+            )
+            os.replace(tmp, self.lineage_dir / f"window-{w}.json")
+
+        return ray.get(state.totals.remote())

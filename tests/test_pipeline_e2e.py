@@ -216,3 +216,28 @@ def test_task_failure_retry_at_least_once(sf0001_dir, tmp_path):
     ).count()
     assert got == expect
     assert len(os.listdir(marker_dir)) > 0  # failures actually happened
+
+
+def test_streaming_microbatch_equals_batch(sf0001_dir, tmp_path):
+    """Micro-batch streaming totals must equal the single-shot batch
+    counts; resume replays only missing windows."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.stream import MicroBatchRunner
+
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:3]
+
+    batch_counts = {
+        r["sink"]: int(r["n"])
+        for r in grouped_count(
+            build_dataset(rd.read_parquet(files), num_parts=8), ["sink"]
+        ).iter_rows()
+    }
+
+    runner = MicroBatchRunner(str(tmp_path / "stream"), window_s=1800)
+    totals = runner.run(files)
+    assert totals["rows_routed"] == batch_counts
+    assert len(totals["windows_done"]) > 3  # genuinely micro-batched
+
+    # resume over complete state: nothing re-run, identical totals
+    totals2 = MicroBatchRunner(str(tmp_path / "stream"), window_s=1800).run(files)
+    assert totals2["rows_routed"] == batch_counts
