@@ -120,17 +120,29 @@ class MinHasher:
         )
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_batch(df: pd.DataFrame, num_perm: int, bands: int,
+                   shingle_k: int) -> pd.DataFrame:
+    # task-based with per-worker-process cache: the coefficient state is
+    # tiny, so plain tasks (fusable, no pool spin-up) beat an actor pool
+    key = (num_perm, bands, shingle_k)
+    if key not in _MINHASHER_CACHE:
+        _MINHASHER_CACHE[key] = MinHasher(num_perm, bands, shingle_k)
+    return _MINHASHER_CACHE[key](df)
+
+
 def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
     """(band, band_hash) buckets → unordered candidate pairs (a < b)."""
     bands_ds = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
+        _minhash_batch,
+        fn_kwargs={
             "num_perm": num_perm,
             "bands": bands,
             "shingle_k": shingle_k,
         },
         batch_format="pandas",
-        concurrency=(1, 4),
     )
 
     # co-locate each (band, band_hash) bucket via ONE hash-bucket shuffle,

@@ -29,11 +29,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "route_counts",
     "flow_agg",
+    "flow_sessions",
     "tpch_q1",
+    "q3_top_orders",
+    "asof_click_view",
     "rate_limited_counts",
+    "multiline_merge",
     "dedup_exact",
     "token_stats",
     "minhash_dedup",
+    "mask_pii_rows",
     "ann_brute_topk",
 ]
 
