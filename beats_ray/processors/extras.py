@@ -87,6 +87,18 @@ def decode_xml(cfg: dict):
     return run
 
 
+@register("decode_xml_wineventlog")
+def decode_xml_wineventlog(cfg: dict):
+    """Windows Event Log XML variant (decode_xml_wineventlog/:88):
+    same tree decode, winlog-flavoured default field/target."""
+    return decode_xml(
+        {
+            "field": cfg.get("field", "message"),
+            "target_field": cfg.get("target_field", "winlog"),
+        }
+    )
+
+
 @register("extract_array")
 def extract_array(cfg: dict):
     """Pick array elements into named fields

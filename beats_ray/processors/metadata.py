@@ -205,6 +205,59 @@ def add_data_stream(cfg: dict):
     return run
 
 
+def _keyed_lookup_processor(reg_name: str, default_key_field: str,
+                            default_prefix: str, value_fields: tuple[str, ...]):
+    """Factory for the watcher-index enrichment family
+    (add_docker_metadata/:150, add_kubernetes_metadata/:335,
+    add_process_metadata/:207): a keyed table — kept fresh by a watcher
+    in the reference, supplied via config/snapshot here — probed per
+    event. Vectorized probe via index_in/take; the table rides the task
+    closure (broadcast once per worker)."""
+
+    @register(reg_name)
+    def factory(cfg: dict):
+        key_field = cfg.get("match_field", default_key_field)
+        prefix = cfg.get("target_prefix", default_prefix)
+        index: dict[str, dict] = cfg.get("index", {})
+        keys = pa.array([str(k) for k in index])
+        columns = {
+            vf: pa.array(
+                [str(index[k].get(vf, "")) or None for k in index], pa.string()
+            )
+            for vf in value_fields
+        }
+
+        @_named(reg_name)
+        def run(t: pa.Table) -> pa.Table:
+            col = get_col(t, key_field)
+            if col is None or len(keys) == 0:
+                return t
+            idx = pc.index_in(
+                pc.cast(col.combine_chunks(), pa.string()), value_set=keys
+            )
+            for vf, vals in columns.items():
+                t = set_col(t, f"{prefix}.{vf}", pc.take(vals, idx))
+            return t
+
+        return run
+
+    return factory
+
+
+_keyed_lookup_processor(
+    "add_docker_metadata", "container.id", "container",
+    ("name", "image", "labels"),
+)
+_keyed_lookup_processor(
+    "add_kubernetes_metadata", "container.id", "kubernetes",
+    ("pod", "namespace", "node", "labels"),
+)
+_keyed_lookup_processor(
+    "add_process_metadata", "process.pid", "process",
+    ("name", "exe", "owner"),
+)
+
+
 @register("registered_domain")
 def registered_domain(cfg: dict):
     """eTLD+1 extraction (registered_domain/:76). Without the full public

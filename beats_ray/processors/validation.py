@@ -59,6 +59,11 @@ ALLOWED_KEYS: dict[str, set[str]] = {
     "drop_event": set(),
     "function": {"name"},
     "add_host_metadata": {"host", "cache.ttl", "replace_fields"},
+    "add_docker_metadata": {"match_field", "target_prefix", "index"},
+    "add_kubernetes_metadata": {"match_field", "target_prefix", "index"},
+    "add_process_metadata": {"match_field", "target_prefix", "index"},
+    "decode_xml_wineventlog": {"field", "target_field", "ignore_missing",
+                               "ignore_failure"},
     "add_observer_metadata": {"fields"},
     "add_agent_metadata": {"fields"},
     "add_cloud_metadata": {"fields"},

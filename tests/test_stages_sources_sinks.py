@@ -282,3 +282,25 @@ def test_metadata_alias_processors():
     ]:
         out = build_processor({name: {}})(t)
         assert out[col][0].as_py() is not None
+
+
+def test_keyed_metadata_processors():
+    t = pa.table({"container.id": ["abc", "zzz"], "process.pid": [41, 7]})
+    out = build_processor(
+        {"add_docker_metadata": {"index": {"abc": {"name": "web", "image": "nginx"}}}}
+    )(t)
+    assert out["container.name"].to_pylist() == ["web", None]
+    out = build_processor(
+        {"add_process_metadata": {"index": {"41": {"name": "bash", "exe": "/bin/bash"}}}}
+    )(t)
+    assert out["process.name"].to_pylist() == ["bash", None]
+    out = build_processor(
+        {"add_kubernetes_metadata": {"index": {"abc": {"pod": "p1", "namespace": "ns"}}}}
+    )(t)
+    assert out["kubernetes.pod"].to_pylist() == ["p1", None]
+
+
+def test_decode_xml_wineventlog():
+    t = pa.table({"message": ["<Event><System><EventID>42</EventID></System></Event>"]})
+    out = build_processor({"decode_xml_wineventlog": {}})(t)
+    assert '"EventID": "42"' in out["winlog"][0].as_py()
