@@ -793,6 +793,42 @@ def q_flow_sessions(sf_dir: str):
     )
 
 
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6-shaped: filtered revenue (pruned read -> per-batch
+    partial -> one-row global sum; no wide shuffle at all)."""
+    from ray.data.aggregate import Sum
+
+    li = _table(
+        sf_dir, "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (df["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (df["l_discount"] >= 0.05)
+            & (df["l_discount"] <= 0.07)
+            & (df["l_quantity"] < 24)
+        )
+        sub = df[m]
+        um = (
+            np.round(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.round(sub["l_discount"].to_numpy() * 100).astype(np.int64)
+        )
+        return pd.DataFrame({"_g": [0], "revenue_um": [int(um.sum())],
+                             "n": [int(m.sum())]})
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("_g")
+        .aggregate(Sum("revenue_um", alias_name="revenue_um"),
+                   Sum("n", alias_name="n"))
+    )
+    return agg.drop_columns(["_g"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -825,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "events_type_counts": q_events_type_counts,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
         "asof_click_view": q_asof_click_view,
@@ -1085,6 +1122,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q6": """
+            SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT) AS revenue_um,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
         "q3_top_orders": """
             SELECT l_orderkey,
                    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)

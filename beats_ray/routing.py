@@ -51,8 +51,11 @@ class Router:
             assign = pc.and_(pc.is_null(sink), mask)
             value = fmt(t) if fmt is not None else pa.scalar(name)
             sink = pc.if_else(assign, value, sink)
-        if self.default is not None:
-            sink = pc.fill_null(sink, self.default)
+        # Beats drops events matching no selector but COUNTS the drops
+        # (outputs/metrics.go `dropped`); keep-and-observe equivalent:
+        # rows with no matching rule land in an explicit `_unrouted`
+        # sink, so nothing is lost and the drop count is a sink count.
+        sink = pc.fill_null(sink, self.default or "_unrouted")
         if self.target in t.column_names:
             idx = t.column_names.index(self.target)
             return t.set_column(idx, self.target, sink)

@@ -241,3 +241,17 @@ def test_streaming_microbatch_equals_batch(sf0001_dir, tmp_path):
     # resume over complete state: nothing re-run, identical totals
     totals2 = MicroBatchRunner(str(tmp_path / "stream"), window_s=1800).run(files)
     assert totals2["rows_routed"] == batch_counts
+
+
+def test_unrouted_sink_keeps_rows(ray_session):
+    """Rules without a fallback: unmatched rows go to the observable
+    _unrouted sink (Beats' dropped-count, keep-and-observe)."""
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "role": "user", "tool": "none", "text": "match-me"},
+        {"conv_id": "c", "turn_idx": 1, "role": "user", "tool": "none", "text": "nope"},
+    ]
+    cfg = {"processors": [],
+           "routes": [{"name": "hits", "when": {"contains": {"text": "match"}}}]}
+    out = build_dataset(rd.from_items(rows), config=cfg, num_parts=1,
+                        enrich=False).to_pandas()
+    assert sorted(out["sink"]) == ["_unrouted", "hits"]
