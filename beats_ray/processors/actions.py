@@ -254,9 +254,20 @@ def extract_field(cfg: dict):
         if col is None:
             return t
         parts = pc.split_pattern(col, pattern=sep)
-        picked = pc.list_element(parts, index) if index >= 0 else pc.list_element(
-            parts, pc.add(pc.list_value_length(parts), index)
-        )
+        if index >= 0:
+            picked = pc.list_element(parts, index)
+        else:
+            # Arrow list kernels take only non-negative scalar indices;
+            # negative indexing resolves per row (cold path)
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            picked = pa.array(
+                [
+                    None if lst is None or len(lst) < -index else lst[index]
+                    for lst in parts.to_pylist()
+                ],
+                pa.string(),
+            )
         return set_col(t, target, picked)
 
     return run
@@ -503,7 +514,9 @@ def detect_mime_type(cfg: dict):
             if v is None:
                 out.append(None)
                 continue
-            raw = v if isinstance(v, bytes) else str(v).encode("utf-8", "ignore")
+            # latin-1 is byte-preserving for str payloads (utf-8 would
+            # mangle magic bytes like \x89PNG into \xc2\x89...)
+            raw = v if isinstance(v, bytes) else str(v).encode("latin-1", "ignore")
             mime = "text/plain"
             for magic, m in magics:
                 if raw.startswith(magic):
