@@ -24,11 +24,15 @@ import pyarrow.compute as pc
 Mask = pa.ChunkedArray | pa.Array
 Condition = Callable[[pa.Table], Mask]
 
+_PRIVATE_NETS = ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"]
+_LOOPBACK_NETS = ["127.0.0.0/8", "::1/128"]
 _NAMED_NETS = {
-    "loopback": ["127.0.0.0/8", "::1/128"],
-    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
-    "public": [],  # complement of private+loopback, handled specially
+    "loopback": _LOOPBACK_NETS,
+    "private": _PRIVATE_NETS,
+    # "public" = valid address NOT in private/loopback/link-local —
+    # resolved via a negated membership set (see compile below)
 }
+_PUBLIC_EXCLUDE = _PRIVATE_NETS + _LOOPBACK_NETS + ["169.254.0.0/16", "fe80::/10"]
 
 
 def _false(n: int) -> pa.Array:
@@ -151,10 +155,15 @@ def compile_condition(spec: dict) -> Condition:
             for fld, spec_n in body.items()
         }
         nets: dict[str, list] = {}
+        public_fields: set[str] = set()
         for fld, specs in pairs.items():
             expanded: list[str] = []
             for s in specs:
-                expanded.extend(_NAMED_NETS.get(s, [s]))
+                if s == "public":
+                    public_fields.add(fld)
+                    expanded.extend(_PUBLIC_EXCLUDE)
+                else:
+                    expanded.extend(_NAMED_NETS.get(s, [s]))
             nets[fld] = [ipaddress.ip_network(x) for x in expanded]
 
         def network(t: pa.Table) -> Mask:
@@ -172,7 +181,10 @@ def compile_condition(spec: dict) -> Condition:
                         if v not in memo:
                             try:
                                 addr = ipaddress.ip_address(v)
-                                memo[v] = any(addr in n for n in networks)
+                                member = any(addr in n for n in networks)
+                                # "public" = valid address NOT in the
+                                # excluded (private/loopback/link-local) set
+                                memo[v] = (not member) if fld in public_fields else member
                             except (ValueError, TypeError):
                                 memo[v] = False
                         bits[idx] = memo[v]

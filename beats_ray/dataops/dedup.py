@@ -29,7 +29,10 @@ import pyarrow as pa
 
 import ray
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: with 32-bit shingle hashes, a*x fits uint64
+# (2^31 x 2^32 = 2^63) so the modular hash is EXACT — a 61-bit prime
+# would overflow int64 and break the universal-hash collision bound
+_MERSENNE = (1 << 31) - 1
 
 
 def _stable_hash(token: str) -> int:
@@ -90,8 +93,8 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         rng = np.random.RandomState(42)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -99,10 +102,11 @@ class MinHasher:
 
     def signature(self, shingles: set[int]) -> np.ndarray:
         if not shingles:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        sh = np.fromiter(shingles, dtype=np.int64)
-        # (a*x + b) mod p for each permutation, min over shingles
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        sh = np.fromiter(shingles, dtype=np.uint64)
+        # (a*x + b) mod p in uint64 — exact (no overflow), so collision
+        # probability tracks Jaccard as the LSH banding math assumes
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

@@ -305,13 +305,26 @@ def _trim(col: pa.Array, mode: str, chars: str) -> pa.Array:
     raise DissectError(f"unknown trim mode {mode!r}")
 
 
+_INT_RX = r"^[+-]?\d+$"
+_FLOAT_RX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _masked_cast(col: pa.Array, rx: str, typ: pa.DataType) -> pa.Array:
+    # validate-then-cast: unparseable captures become null instead of
+    # crashing the batch (tag-and-keep; the single-string path already
+    # falls back per row)
+    ok = pc.fill_null(pc.match_substring_regex(col, rx), False)
+    safe = pc.if_else(ok, col, pa.nulls(len(col), pa.string()))
+    return pc.cast(safe, typ)
+
+
 def _convert_arr(col: pa.Array, dtype: str | None) -> pa.Array:
     if dtype in (None, "string", "ip"):
         return col
     if dtype in ("integer", "long"):
-        return pc.cast(col, pa.int64(), safe=False)
+        return _masked_cast(col, _INT_RX, pa.int64())
     if dtype in ("float", "double"):
-        return pc.cast(col, pa.float64(), safe=False)
+        return _masked_cast(col, _FLOAT_RX, pa.float64())
     if dtype == "boolean":
         return pc.equal(pc.utf8_lower(col), "true")
     return col

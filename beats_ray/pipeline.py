@@ -151,9 +151,12 @@ class ParseStage:
         t = classify_kind(t)
         # canonical column order: processors may add columns in
         # data-dependent order (e.g. error.message only when a batch has
-        # bad rows) — every block must present an identical schema
+        # bad rows) — every block must present an identical schema.
+        # Processors may also DROP/RENAME input columns, so keep only
+        # the survivors of the original order.
+        surviving = [c for c in input_cols if c in t.column_names]
         derived = sorted(c for c in t.column_names if c not in input_cols)
-        return t.select(input_cols + derived)
+        return t.select(surviving + derived)
 
 
 class RouteStage:

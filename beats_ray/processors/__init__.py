@@ -3,6 +3,7 @@
 libbeat/processors/registry.go)."""
 
 from . import actions, convert, extras, fingerprint, metadata, parse  # noqa: F401
+from ..functions import registry as _function_registry  # noqa: F401  (registers 'function')
 from .base import (  # noqa: F401
     Transform,
     build_chain,

@@ -28,6 +28,20 @@ def _named(name: str):
     return deco
 
 
+def bytes_truncate(col: pa.Array, max_bytes: int) -> pa.Array:
+    """Byte-length truncation that never produces invalid UTF-8: slice,
+    try the vectorized cast, and repair only the rare rows whose slice
+    landed mid-codepoint (decode errors='ignore' drops the partial)."""
+    sliced = pc.binary_slice(pc.cast(col, pa.binary()), 0, max_bytes)
+    try:
+        return pc.cast(sliced, pa.string())
+    except pa.ArrowInvalid:
+        out = []
+        for v in sliced.to_pylist():
+            out.append(None if v is None else v.decode("utf-8", "ignore"))
+        return pa.array(out, pa.string())
+
+
 @register("add_fields")
 def add_fields(cfg: dict):
     """Constant fields under optional target prefix (actions/add_fields.go;
@@ -200,10 +214,7 @@ def truncate_fields(cfg: dict):
                 cut = pc.utf8_slice_codeunits(col, 0, max_chars)
             else:
                 too_long = pc.greater(pc.binary_length(col), max_bytes)
-                cut = pc.cast(
-                    pc.binary_slice(pc.cast(col, pa.binary()), 0, max_bytes),
-                    pa.string(),
-                )
+                cut = bytes_truncate(col, max_bytes)
             too_long = pc.fill_null(too_long, False)
             t = set_col(t, field, pc.if_else(too_long, cut, col))
             t = add_flag(t, too_long, "truncated")
@@ -351,7 +362,9 @@ def decode_base64_field(cfg: dict):
                 out.append(v if not fail else None)
                 bad[i] = True
         t = set_col(t, target, pa.array(out, pa.string()))
-        if bad.any():
+        if fail and bad.any():
+            # fail_on_error=false tolerates bad input WITHOUT annotating
+            # (Beats leaves the event untouched in that mode)
             t = set_error(t, pa.array(bad), "failed to decode base64 field")
         return t
 

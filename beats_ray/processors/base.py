@@ -100,10 +100,11 @@ class WhenWrapper:
     def __call__(self, table: pa.Table) -> pa.Table:
         mask = pc.fill_null(self.cond(table), False)
         if getattr(self.proc, "drops_rows", False):
-            # run the processor on matching rows; keep the rest untouched
-            keep = self.proc.keep_mask(table)  # type: ignore[attr-defined]
-            final = pc.or_(pc.invert(mask), pc.fill_null(keep, False))
-            return table.filter(final)
+            # run the FULL processor on matching rows (row filtering AND
+            # its column outputs), pass non-matching rows through
+            t_match = self.proc(table.filter(mask))
+            t_rest = table.filter(pc.invert(mask))
+            return _concat_aligned([t_match, t_rest])
         out = self.proc(table)
         if out.num_rows != table.num_rows:
             raise ValueError(
@@ -120,6 +121,13 @@ class WhenWrapper:
             else:
                 blank = pa.nulls(table.num_rows, new.type)
                 merged = set_col(merged, col_name, pc.if_else(mask, new, blank))
+        # column REMOVAL under when: = per-event field deletion — the
+        # columnar equivalent nulls the field for matching rows
+        for col_name in table.column_names:
+            if col_name not in out.column_names:
+                old = table[col_name].combine_chunks()
+                blank = pa.nulls(table.num_rows, old.type)
+                merged = set_col(merged, col_name, pc.if_else(mask, blank, old))
         return merged
 
 
@@ -167,15 +175,20 @@ def _build_if_then_else(spec: dict) -> Transform:
 
 def _concat_aligned(tables: list[pa.Table]) -> pa.Table:
     cols: list[str] = []
+    col_types: dict[str, pa.DataType] = {}
     for t in tables:
         for c in t.column_names:
             if c not in cols:
                 cols.append(c)
+                col_types[c] = t.schema.field(c).type
     fixed = []
     for t in tables:
         for c in cols:
             if c not in t.column_names:
-                t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+                # pad with the column's REAL type from whichever branch
+                # produced it (string-typed nulls would break concat for
+                # int/float branch outputs)
+                t = t.append_column(c, pa.nulls(t.num_rows, col_types[c]))
         fixed.append(t.select(cols))
     return pa.concat_tables(fixed, promote_options="permissive")
 

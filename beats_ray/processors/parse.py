@@ -212,6 +212,12 @@ def syslog_proc(cfg: dict):
         t = set_col(t, f"{prefix}.app", _null_if(pick("app", "app"), "-", n))
         pid = _null_if(pick("pid", "pid"), "-", n)
         pid = _null_if(pid, "", n)
+        # RFC5424 PROCID may be any PRINTUSASCII token (e.g. "ID47") —
+        # only numeric ones become integers, others null (never crash)
+        pid = pc.if_else(
+            pc.fill_null(pc.match_substring_regex(pid, r"^\d+$"), False),
+            pid, pa.nulls(n, pa.string()),
+        )
         t = set_col(t, f"{prefix}.pid", pc.cast(pid, pa.int64(), safe=False))
         t = set_col(t, f"{prefix}.msg", pick("msg", "msg"))
         t = set_col(t, f"{prefix}.version",

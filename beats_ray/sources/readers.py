@@ -19,6 +19,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..processors.actions import bytes_truncate
 from ..processors.base import add_flag
 
 
@@ -33,14 +34,7 @@ def line_reader_chain(ds, max_bytes: int = 10 * 1024 * 1024):
         # strip trailing newline/CR (read_text usually pre-strips \n)
         text = pc.utf8_rtrim(text, characters="\r\n")
         too_long = pc.greater(pc.binary_length(text), max_bytes)
-        text = pc.if_else(
-            too_long,
-            pc.cast(
-                pc.binary_slice(pc.cast(text, pa.binary()), 0, max_bytes),
-                pa.string(),
-            ),
-            text,
-        )
+        text = pc.if_else(too_long, bytes_truncate(text, max_bytes), text)
         idx = t.column_names.index("text")
         t = t.set_column(idx, "text", text)
         return add_flag(t, too_long, "truncated")

@@ -1,0 +1,140 @@
+"""Regression tests for the round-1 code-review findings — each case
+previously crashed a whole batch or silently produced wrong results."""
+
+import pyarrow as pa
+import pytest
+
+from beats_ray.processors import build_processor
+
+
+def test_syslog_alphanumeric_procid():
+    # RFC5424 PROCID may be any token; used to crash the batch on cast
+    t = pa.table({"text": ["<34>1 2026-01-01T00:00:07Z host app ID47 M - hi"]})
+    out = build_processor({"syslog": {"format": "rfc5424"}})(t)
+    assert out["syslog.ok"][0].as_py()
+    assert out["syslog.pid"][0].as_py() is None  # non-numeric → null
+
+
+def test_parse_stage_with_column_dropping_processor():
+    # ParseStage used to KeyError when a processor dropped/renamed a column
+    from beats_ray.pipeline import ParseStage
+
+    cfg = {"processors": [{"rename": {"fields": [{"from": "tool", "to": "tool2"}]}}]}
+    t = pa.table({"conv_id": ["c"], "turn_idx": [0], "role": ["user"],
+                  "tool": ["bash"], "text": ["x"]})
+    out = ParseStage(cfg)(t)
+    assert "tool2" in out.column_names and "tool" not in out.column_names
+
+
+def test_if_then_else_typed_branch_columns():
+    # then-branch adds an int64 column; else-branch padding used to be
+    # string-typed nulls → ArrowTypeError at concat
+    spec = {
+        "if": {"equals": {"k": "json"}},
+        "then": [{"decode_json_fields": {"fields": ["text"],
+                                         "expected": {"duration_ms": "int64"}}}],
+        "else": [],
+    }
+    t = pa.table({"k": ["json", "other"],
+                  "text": ['{"duration_ms": 5}', "plain"]})
+    out = build_processor(spec)(t)
+    assert out["parsed.duration_ms"].type == pa.int64()
+    assert sorted(out["parsed.duration_ms"].to_pylist(), key=lambda x: (x is None, x)) == [5, None]
+
+
+def test_truncate_max_bytes_multibyte_boundary():
+    # slicing mid-codepoint used to raise ArrowInvalid for the batch
+    t = pa.table({"text": ["héllo wörld", "ascii"]})
+    out = build_processor({"truncate_fields": {"fields": ["text"], "max_bytes": 2}})(t)
+    assert out["text"].to_pylist() == ["h", "as"]  # partial 'é' dropped
+    from beats_ray.sources import line_reader_chain
+    import ray.data as rd
+
+
+def test_line_reader_multibyte_truncation(ray_session):
+    import ray.data as rd
+
+    from beats_ray.sources import line_reader_chain
+
+    out = line_reader_chain(
+        rd.from_items([{"text": "é" * 10}]), max_bytes=3
+    ).to_pandas()
+    assert out["text"][0] == "é"  # 3 bytes = é (2) + partial (dropped)
+
+
+def test_dissect_typed_key_bad_value_is_null_not_crash():
+    from beats_ray.dissect import compile_tokenizer, dissect_batch
+
+    cd = compile_tokenizer("n=%{n|integer}")
+    fields, ok = dissect_batch(cd, pa.array(["n=42", "n=abc"]))
+    assert fields["n"].to_pylist() == [42, None]
+    assert ok.to_pylist() == [True, True]
+
+
+def test_when_drop_fields_nulls_matching_rows():
+    # column removal under when: = per-event deletion → null for matches
+    t = pa.table({"role": ["user", "bot"], "secret": ["a", "b"]})
+    out = build_processor(
+        {"drop_fields": {"fields": ["secret"]}, "when": {"equals": {"role": "user"}}}
+    )(t)
+    assert out["secret"].to_pylist() == [None, "b"]
+
+
+def test_when_drops_rows_processor_keeps_column_outputs():
+    # container under when: used to filter but lose the decoded columns
+    t = pa.table({"k": ["go", "skip"],
+                  "text": ['{"log":"l\\n","stream":"stdout","time":"t"}'] * 2})
+    out = build_processor(
+        {"container": {}, "when": {"equals": {"k": "go"}}}
+    )(t)
+    got = dict(zip(out["k"].to_pylist(), out["container.log"].to_pylist()))
+    assert got == {"go": "l\n", "skip": None}
+
+
+def test_network_public_condition():
+    from beats_ray.conditions import compile_condition
+
+    t = pa.table({"ip": ["8.8.8.8", "10.0.0.1", "127.0.0.1", "not-ip"]})
+    m = compile_condition({"network": {"ip": "public"}})(t).to_pylist()
+    assert m == [True, False, False, False]
+
+
+def test_function_processor_registered_via_package_import():
+    # previously only registered if beats_ray.functions was imported
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from beats_ray.processors import registry\n"
+        "assert 'function' in registry(), sorted(registry())\n"
+        "print('ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+
+
+def test_base64_fail_on_error_false_no_annotation():
+    t = pa.table({"b": ["!!!"]})
+    out = build_processor(
+        {"decode_base64_field": {"field": {"from": "b", "to": "b2"},
+                                 "fail_on_error": False}}
+    )(t)
+    assert "error.message" not in out.column_names
+    assert out["b2"][0].as_py() == "!!!"  # original kept
+
+
+def test_minhash_uint64_exact():
+    import numpy as np
+
+    from beats_ray.dataops.dedup import MinHasher, _MERSENNE
+
+    mh = MinHasher()
+    sig = mh.signature({2**32 - 1, 12345})
+    assert sig.dtype == np.uint64
+    assert (sig < _MERSENNE).all()
+    # exactness: recompute one permutation in python ints
+    x = np.uint64(12345)
+    expect = (int(mh.a[0]) * 12345 + int(mh.b[0])) % _MERSENNE
+    vals = (mh.a[0] * x + mh.b[0]) % np.uint64(_MERSENNE)
+    assert int(vals) == expect
