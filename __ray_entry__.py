@@ -620,9 +620,9 @@ def q_unique_tools(sf_dir: str):
     ds = _transcripts(sf_dir).select_columns(["tool"]).map_batches(
         distinct, batch_format="pyarrow"
     )
-    return ds.map_batches(distinct, batch_format="pyarrow").groupby(
-        "tool"
-    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return ds.groupby("tool").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 def q_text_len_histogram(sf_dir: str):

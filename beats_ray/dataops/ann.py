@@ -19,6 +19,8 @@ import ray
 
 
 def _batch_matrix(df: pd.DataFrame, col: str = "embedding") -> np.ndarray:
+    if len(df) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
     return np.stack(df[col].to_numpy()).astype(np.float64)
 
 
@@ -37,9 +39,11 @@ class BruteCosine:
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        if len(df) == 0:  # Ray may deliver empty blocks
+            return pd.DataFrame(out)
         m = _normalize(_batch_matrix(df))
         sims = m @ self.q.T  # (batch, n_queries)
-        out = {"query_id": [], "vec_id": [], "sim": []}
         for qi in range(self.q.shape[0]):
             s = sims[:, qi]
             k = min(self.k, len(s))
@@ -104,10 +108,12 @@ class IVFSearcher:
         self.probe = order[:, :n_probe]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        if len(df) == 0:
+            return pd.DataFrame(out)
         m = _normalize(_batch_matrix(df))
         buckets = np.argmax(m @ self.cents.T, axis=1)
         sims = m @ self.q.T
-        out = {"query_id": [], "vec_id": [], "sim": []}
         vec_ids = df["vec_id"].to_numpy()
         for qi in range(self.q.shape[0]):
             allowed = np.isin(buckets, self.probe[qi])
@@ -172,8 +178,11 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
             self.cents = np.asarray(c)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_batch_matrix(df))
             df = df.copy()
+            if len(df) == 0:
+                df["bucket"] = pd.Series(dtype="int64")
+                return df
+            m = _normalize(_batch_matrix(df))
             df["bucket"] = np.argmax(m @ self.cents.T, axis=1)
             return df
 

@@ -40,15 +40,36 @@ def broadcast_join(big, small_df: pd.DataFrame, on: str | list[str],
     )
 
 
-def _with_bucket(ds, key: str, buckets: int, side: str):
+def _bucket_of(series: pd.Series, buckets: int) -> pd.Series:
+    """Type-canonical, null-safe bucket assignment: numeric values (and
+    numeric-looking strings) bucket by value, everything else by FNV of
+    the string — so equal keys bucket identically regardless of the
+    dtype each side happened to arrive with. Null keys get a bucket too
+    (they match nothing, but left-join rows must survive the shuffle)."""
+    as_num = pd.to_numeric(series, errors="coerce")
+    num_bucket = (as_num.fillna(-1).astype("int64") % buckets).astype("int64")
+    non_num = as_num.isna() & series.notna()
+    if non_num.any():
+        lut = {u: fnv1a32(str(u)) % buckets for u in series[non_num].unique()}
+        num_bucket = num_bucket.mask(non_num, series.map(lut)).astype("int64")
+    return num_bucket
+
+
+def _with_bucket(ds, key: str, buckets: int, side: str,
+                 fill_cols: list[str] | None = None):
+    """Tag side + bucket, and null-pad the OTHER side's columns so every
+    block of the union carries the full combined schema (Ray's union
+    does not align disjoint schemas; a bucket group otherwise lacks the
+    absent side's columns entirely)."""
+    fill = fill_cols or []
+
     def add(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        if df[key].dtype == object:
-            lut = {u: fnv1a32(str(u)) % buckets for u in df[key].unique()}
-            df["_jb"] = df[key].map(lut).astype("int64")
-        else:
-            df["_jb"] = (df[key].astype("int64") % buckets).astype("int64")
+        df["_jb"] = _bucket_of(df[key], buckets)
         df["_side"] = side
+        for c in fill:
+            if c not in df.columns:
+                df[c] = None
         return df
 
     return ds.map_batches(add, batch_format="pandas")
@@ -58,22 +79,23 @@ def bucket_hash_join(left, right, left_on: str, right_on: str,
                      buckets: int = 32, how: str = "inner"):
     """Partitioned hash join of two Datasets: union the bucket-tagged
     sides, group by bucket (ONE co-locating shuffle total), and merge
-    within each bucket. Column-name collisions get pandas suffixes."""
-    l_tag = _with_bucket(left, left_on, buckets, "l")
-    r_tag = _with_bucket(right, right_on, buckets, "r")
+    within each bucket. Column membership is threaded EXPLICITLY from
+    the input schemas (guessing via dropna silently dropped legitimately
+    all-null columns and broke one-sided buckets). Column-name
+    collisions get pandas suffixes."""
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    l_tag = _with_bucket(left, left_on, buckets, "l", fill_cols=right_cols)
+    r_tag = _with_bucket(right, right_on, buckets, "r", fill_cols=left_cols)
     both = l_tag.union(r_tag)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
-        rg = g[g["_side"] == "r"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
-        if lg.empty or rg.empty:
-            if how == "inner":
-                return pd.DataFrame()
-            lg2 = lg.dropna(axis=0, how="all")
-            return lg2 if how == "left" else pd.DataFrame()
-        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how,
-                       suffixes=("", "_r"))
-        return out
+        lg = g.loc[g["_side"] == "l", left_cols]
+        rg = g.loc[g["_side"] == "r", right_cols]
+        # pandas merge keeps the full output schema even when a side is
+        # empty, so one-sided buckets stay schema-stable
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how,
+                        suffixes=("", "_r"))
 
     return both.groupby("_jb").map_groups(merge, batch_format="pandas")
 
@@ -86,17 +108,28 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
     bucket). One co-locating shuffle on the key; per-bucket work is a
     single vectorized merge_asof. Equal timestamps match
     (allow_exact_matches, = DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)."""
-    l_tag = _with_bucket(left, key, buckets, "l")
-    r_tag = _with_bucket(right, key, buckets, "r")
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    l_tag = _with_bucket(left, key, buckets, "l", fill_cols=right_cols)
+    r_tag = _with_bucket(right, key, buckets, "r", fill_cols=left_cols)
     both = l_tag.union(r_tag)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
-        rg = g[g["_side"] == "r"].drop(columns=["_side", "_jb"]).dropna(axis=1, how="all")
+        lg = g.loc[g["_side"] == "l", left_cols]
+        rg = g.loc[g["_side"] == "r", right_cols]
         if lg.empty:
-            return pd.DataFrame()
+            return pd.DataFrame(columns=left_cols + [
+                c + (suffix if c in left_cols else "")
+                for c in right_cols if c not in (key, ts_col)
+            ])
         if rg.empty:
-            return lg
+            # schema-stable: manufacture the right side's columns as nulls
+            out = lg.copy()
+            for c in right_cols:
+                if c in (key, ts_col):
+                    continue
+                out[c + (suffix if c in left_cols else "")] = None
+            return out
         lg = lg.sort_values(ts_col, kind="mergesort")
         rg = rg.sort_values(ts_col, kind="mergesort")
         return pd.merge_asof(

@@ -74,11 +74,16 @@ def _convert_sink(sink_dir: Path, fmt: str, cfg: dict) -> int:
     ds = rd.read_parquet(files)
     conv_dir = sink_dir / f"_{fmt}"
     max_rows = cfg.get("max_rows_per_file")
-    kwargs = {"min_rows_per_file": max_rows} if max_rows else {}
+    if max_rows:
+        # rotation cap (fileout rotate_every_kb analogue): Ray's json/csv
+        # writers have no max-rows knob, so split into enough blocks that
+        # each output file stays under the cap (one file per block)
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in map(str, files))
+        ds = ds.repartition(max(1, -(-rows // max_rows)))
     if fmt == "ndjson":
-        ds.write_json(str(conv_dir), **kwargs)
+        ds.write_json(str(conv_dir))
     else:
-        ds.write_csv(str(conv_dir), **kwargs)
+        ds.write_csv(str(conv_dir))
     for p in files:
         Path(p).unlink()
     return len(list(conv_dir.iterdir()))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from pathlib import Path
 
 import pyarrow.compute as pc
@@ -77,16 +78,26 @@ class MicroBatchRunner:
 
         from .pipeline import build_dataset
 
-        # window bounds from parquet stats (cheap footer read, no scan)
+        # window bounds from parquet ROW-GROUP STATISTICS — metadata
+        # only, no column scan (a 100 TB corpus must not be read on the
+        # driver just to find its time range)
         import pyarrow.parquet as pq
 
         lo = hi = None
         for f in input_files:
-            t = pq.read_table(f, columns=["ts"])
-            mn = pc.min(t["ts"]).value
-            mx = pc.max(t["ts"]).value
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
+            pf = pq.ParquetFile(f)
+            ts_idx = pf.schema_arrow.names.index("ts")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ts_idx).statistics
+                if st is None or not st.has_min_max:
+                    # stats missing → fall back to scanning this file's ts
+                    t = pq.read_table(f, columns=["ts"])
+                    mn, mx = pc.min(t["ts"]).value, pc.max(t["ts"]).value
+                else:
+                    mn = int(st.min.timestamp() * 1_000_000)
+                    mx = int(st.max.timestamp() * 1_000_000)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
         w_us = self.window_s * 1_000_000
         first_w, last_w = lo // w_us, hi // w_us
 
@@ -112,16 +123,15 @@ class MicroBatchRunner:
             )
             routed = build_dataset(ds, config, num_parts=len(input_files))
             win_dir = self.out_dir / f"window={w}"
+            # idempotent re-run: a window that wrote output but never
+            # committed its lineage (crash in between) must be wiped,
+            # or append-mode write_parquet would duplicate its rows
+            if win_dir.exists():
+                shutil.rmtree(win_dir)
             routed.write_parquet(str(win_dir), partition_cols=["sink"])
-            # per-sink counts from parquet footers (no second data pass —
-            # same trick as state/lineage._sink_rows)
-            counts: dict[str, int] = {}
-            for sink_dir in sorted(win_dir.glob("sink=*")):
-                sink = sink_dir.name.split("=", 1)[1]
-                counts[sink] = sum(
-                    pq.ParquetFile(p).metadata.num_rows
-                    for p in sink_dir.rglob("*.parquet")
-                )
+            from .state.lineage import _sink_rows
+
+            counts = _sink_rows(win_dir)
             ray.get(state.add_window.remote(w, counts))
             tmp = self.lineage_dir / f".window-{w}.json.tmp"
             tmp.write_text(

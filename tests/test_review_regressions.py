@@ -138,3 +138,106 @@ def test_minhash_uint64_exact():
     expect = (int(mh.a[0]) * 12345 + int(mh.b[0])) % _MERSENNE
     vals = (mh.a[0] * x + mh.b[0]) % np.uint64(_MERSENNE)
     assert int(vals) == expect
+
+
+def test_stream_wipes_uncommitted_window(ray_session, sf0001_dir, tmp_path):
+    """Crash between a window's write and its lineage commit must not
+    double-count on resume (stale dir wiped before re-write)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.pipeline import build_dataset
+    from beats_ray.stream import MicroBatchRunner
+    import ray.data as rd
+
+    files = sorted(_glob.glob(sf0001_dir + "/part-*.parquet"))[:2]
+    runner = MicroBatchRunner(str(tmp_path / "s"), window_s=3600)
+    # plant a stale uncommitted window dir full of junk rows
+    import pyarrow.parquet as pqw
+
+    first_w = 1767225600_000_000 // (3600 * 1_000_000)
+    stale = tmp_path / "s" / f"window={first_w}" / "sink=ghost"
+    stale.mkdir(parents=True)
+    pqw.write_table(pa.table({"x": list(range(100))}), stale / "junk.parquet")
+
+    totals = runner.run(files)
+    batch = {
+        r["sink"]: int(r["n"])
+        for r in grouped_count(
+            build_dataset(rd.read_parquet(files), num_parts=8), ["sink"]
+        ).iter_rows()
+    }
+    assert totals["rows_routed"] == batch  # no ghost rows, no double count
+
+
+def test_sink_rotation_cap(ray_session, sf0001_dir, tmp_path):
+    """max_rows_per_file is a CAP (rotation), not a floor."""
+    import glob as _glob
+    import json as _json
+
+    import ray.data as rd
+
+    from beats_ray.pipeline import build_dataset
+    from beats_ray.sinks import write_routed
+
+    files = sorted(_glob.glob(sf0001_dir + "/part-*.parquet"))[:1]
+    routed = build_dataset(rd.read_parquet(files), num_parts=8)
+    metrics = write_routed(
+        routed, str(tmp_path / "o"),
+        sinks={"default": {"format": "ndjson", "max_rows_per_file": 100}},
+    )
+    conv = tmp_path / "o" / "sink=default" / "_ndjson"
+    sizes = [sum(1 for _ in open(p)) for p in conv.iterdir()]
+    assert max(sizes) <= 100 + 1  # cap holds (repartition is row-exact)
+
+
+def test_bucket_join_mixed_key_dtypes(ray_session):
+    """int keys on one side, numeric strings on the other must co-locate
+    (previously bucketed by different hash rules -> silent empty join)."""
+    import ray.data as rd
+
+    from beats_ray.dataops.joins import _bucket_of
+    import pandas as pd
+
+    a = _bucket_of(pd.Series([7, 8, 9]), 32)
+    b = _bucket_of(pd.Series(["7", "8", "9"]), 32)
+    assert a.tolist() == b.tolist()
+    # null keys survive (left-join rows), no IntCastingNaNError
+    c = _bucket_of(pd.Series([7.0, None]), 32)
+    assert len(c) == 2
+
+
+def test_bucket_join_left_with_empty_right_bucket(ray_session):
+    import ray.data as rd
+
+    from beats_ray.dataops.joins import bucket_hash_join
+
+    left = rd.from_items([{"k": i, "x": i} for i in range(40)])
+    right = rd.from_items([{"rk": 0, "y": "only-bucket-zero"}])
+    out = (
+        bucket_hash_join(left, right, "k", "rk", buckets=8, how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 40  # every left row survives
+    assert "y" in out.columns
+    assert out.loc[0, "y"] == "only-bucket-zero"
+    assert out["y"].notna().sum() == 1
+
+
+def test_ann_empty_block(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from beats_ray.dataops.ann import brute_topk
+
+    vecs = np.random.RandomState(3).randn(10, 8).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(10)]
+    ).repartition(20)  # more blocks than rows -> empty blocks guaranteed
+    out = brute_topk(ds, vecs[:1].astype(np.float64), k=3)
+    assert len(out) == 3
