@@ -18,12 +18,6 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _to_cents(v: np.ndarray) -> np.ndarray:
-    # exact integer cents → order-independent sums (float sums are not
-    # associative; the DuckDB oracle does the same CAST(ROUND(v*100)))
-    return np.round(v * 100).astype(np.int64)
-
-
 def flow_agg(events, window_s: int = 10):
     """Tumbling-window per-(user, event_type) counters:
     count + exact value_cents sum. Returns a small aggregated Dataset.
@@ -33,7 +27,12 @@ def flow_agg(events, window_s: int = 10):
         # pure-Arrow partial: window math + C++ hash aggregation
         import pyarrow.compute as pc
 
-        sec = pc.divide(pc.cast(t["ts"].combine_chunks(), pa.int64()), 1_000_000)
+        # unit-robust: cast to second resolution FIRST (raw int64 of a
+        # timestamp[ns] column would make "seconds" actually be ms)
+        sec = pc.cast(
+            pc.cast(t["ts"].combine_chunks(), pa.timestamp("s"), safe=False),
+            pa.int64(),
+        )
         win = pc.multiply(pc.divide(sec, window_s), window_s)
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
         flat = pa.table(

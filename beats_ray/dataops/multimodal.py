@@ -73,14 +73,15 @@ class ImageFeatures:
             self._pil = False
 
     def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.fake:
+            # fake wins even when PIL exists — deterministic test path
+            return _fake_decode(payload, width, height)
         if self._pil:
             import io
 
             import PIL.Image
 
             return np.asarray(PIL.Image.open(io.BytesIO(payload)))
-        if self.fake:
-            return _fake_decode(payload, width, height)
         raise NotImplementedError(
             "image decode requires PIL (not in this container); "
             "pass fake=True for the deterministic test decoder"

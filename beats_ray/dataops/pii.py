@@ -21,8 +21,10 @@ import pyarrow.compute as pc
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # ssn MUST precede phone: the broad phone pattern would consume
+    # dashed SSNs and the ssn rule would never fire
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
 ]
 
 

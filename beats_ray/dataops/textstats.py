@@ -42,9 +42,9 @@ class TokenStats:
                 .str.split(WS_SPLIT, regex=True)
                 .map(lambda x: 0 if x == [""] else len(x))
                 .astype("int64"),
-                "n_bpe_tokens": text.str.count(BPE_TOKEN).astype("int64"),
-                "n_punct": text.str.count(PUNCT_CLASS).astype("int64"),
-                "n_stopwords": text.str.lower().str.count(STOPWORD_RE).astype("int64"),
+                "n_bpe_tokens": text.str.count(self.bpe).astype("int64"),
+                "n_punct": text.str.count(self.punct).astype("int64"),
+                "n_stopwords": text.str.lower().str.count(self.stop).astype("int64"),
             }
         )
         return out

@@ -88,12 +88,16 @@ _WORKER_CACHE: dict = {}
 
 
 def enrich_batch(t: pa.Table, tool_ref=None, role_ref=None) -> pa.Table:
-    if "lookups" not in _WORKER_CACHE:
-        _WORKER_CACHE["lookups"] = (
+    # cache key includes the ref identities: two pipelines sharing
+    # worker processes with DIFFERENT broadcast tables must not see
+    # each other's lookups
+    key = ("lookups", str(tool_ref), str(role_ref))
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = (
             _resolve(tool_ref) if tool_ref is not None else tool_lookup_table(),
             _resolve(role_ref) if role_ref is not None else role_lookup_table(),
         )
-    tool, role = _WORKER_CACHE["lookups"]
+    tool, role = _WORKER_CACHE[key]
     t = join_lookup(t, "tool", tool, "tool", ["tool_category", "risk_level"])
     t = join_lookup(t, "role", role, "role", ["role_tag"])
     return t

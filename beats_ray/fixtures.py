@@ -55,10 +55,6 @@ ROLE_LOOKUP: dict[str, str] = {
     "system": "control",
 }
 
-_FNV_OFFSET = np.uint32(2166136261)
-_FNV_PRIME = np.uint32(16777619)
-
-
 def fnv1a32(s: str) -> int:
     """FNV-1a 32-bit string hash — the engine's stable partitioner."""
     h = 2166136261
@@ -114,11 +110,15 @@ def build_transcripts(sf: float) -> pa.Table:
     h = (conv_num * 1_000_003 + turn_idx * 7_919) % 100
     aux = (conv_num * 31 + turn_idx * 17) % 1_000_000
 
-    ts_iso = pd.to_datetime(ts_us, unit="us", utc=True).strftime(
-        "%Y-%m-%dT%H:%M:%SZ"
-    )
-    syslog_ts = pd.to_datetime(ts_us, unit="us", utc=True).strftime(
-        "%b %d %H:%M:%S"
+    dt_idx = pd.to_datetime(ts_us, unit="us", utc=True)
+    ts_iso = dt_idx.strftime("%Y-%m-%dT%H:%M:%SZ")
+    # explicit month table: %b is LOCALE-DEPENDENT and would break the
+    # byte-identical determinism contract (and the syslog regex) on
+    # non-C-locale hosts
+    months = np.array(["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                       "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])
+    syslog_ts = pd.Series(months[dt_idx.month - 1]) + dt_idx.strftime(
+        " %d %H:%M:%S"
     )
 
     level = LEVELS[aux % 4]

@@ -86,22 +86,19 @@ def multiline_merge(
             m = ~m
         if match == "after":
             is_start = ~m
-        elif match == "before":
+        else:  # "before" (validated eagerly above)
             # a match means "this line is followed by more": event starts
             # on the line after a non-matching line
             prev_m = m.groupby(
                 [g[c] for c in key_cols]
             ).shift(1)
             is_start = ~prev_m.fillna(False).astype(bool)
-        else:
-            raise ValueError(f"unknown match mode {match!r}")
         # first line of every key always starts an event
         first_of_key = ~g.duplicated(subset=list(key_cols), keep="first") == True  # noqa: E712
         is_start = is_start | first_of_key
         event_id = (
             is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1
         )
-        keys = [g[c] for c in key_cols] + [event_id.rename("event_id")]
         merged = (
             pd.DataFrame(
                 {
@@ -169,6 +166,9 @@ def multiline_count(lines_ds, count: int, key_cols=("conv_id", "turn_idx"),
                     buckets: int = 32):
     """Count-mode multiline (counter.go): every ``count`` lines form one
     event."""
+    if count < 1:
+        # fail at build time, not as a ZeroDivisionError in a remote task
+        raise ValueError(f"multiline count must be >= 1, got {count}")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([*key_cols, order_col], kind="mergesort")
