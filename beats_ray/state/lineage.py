@@ -114,10 +114,13 @@ class CheckpointRunner:
         """Process all not-yet-done input files; returns run metrics.
         ``fail_after_write`` simulates a crash between output write and
         checkpoint (for the resume test)."""
+        import time
+
         import ray.data as rd
 
         from ..pipeline import build_dataset
 
+        t_start = time.time()
         if num_parts is None:
             num_parts = len(input_files)
         pending = self.pending(input_files)
@@ -144,7 +147,15 @@ class CheckpointRunner:
                 tmp = self.lineage_dir / f".{pid}.json.tmp"
                 tmp.write_text(json.dumps(rec, sort_keys=True))
                 os.replace(tmp, self.lineage_dir / f"{pid}.json")
-        return run_metrics(str(self.lineage_dir))
+        metrics = run_metrics(str(self.lineage_dir))
+        wall = time.time() - t_start
+        metrics["wall_s"] = round(wall, 3)
+        if wall > 0 and pending:
+            processed = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in pending
+            )
+            metrics["rows_per_sec"] = round(processed / wall, 1)
+        return metrics
 
 
 def run_metrics(lineage_dir: str) -> dict:
