@@ -829,6 +829,54 @@ def q_tpch_q6(sf_dir: str):
     return agg.drop_columns(["_g"])
 
 
+
+def q_role_level_pivot(sf_dir: str):
+    """Pivot-style conditional aggregation: per role, counts of each
+    dissect level as columns (wide matrix from long data — one partial
+    pass, tiny global sum)."""
+    from ray.data.aggregate import Sum
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {
+            "dissect": {
+                "tokenizer": 'level=%{level} ts=%{ts} tool=%{tool} status=%{status} msg="%{msg}"',
+                "ignore_failure": True,
+            }
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = proc(t)
+        lvl = t["dissect.level"].combine_chunks()
+        cols = {"role": t["role"]}
+        for name in ("info", "warn", "error", "debug"):
+            cols[f"n_{name}"] = pc.cast(
+                pc.fill_null(pc.equal(lvl, name), False), pa.int64()
+            )
+        flat = pa.table(cols)
+        g = flat.group_by(["role"]).aggregate(
+            [(f"n_{n}", "sum") for n in ("info", "warn", "error", "debug")]
+        )
+        return g.rename_columns(
+            ["role", "n_info", "n_warn", "n_error", "n_debug"]
+        )
+
+    return (
+        _transcripts(sf_dir)
+        .select_columns(["role", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            *[Sum(f"n_{n}", alias_name=f"n_{n}")
+              for n in ("info", "warn", "error", "debug")]
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -866,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": q_customers_per_region,
         "asof_click_view": q_asof_click_view,
         "distinct_tools_per_role": q_distinct_tools_per_role,
+        "role_level_pivot": q_role_level_pivot,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
@@ -988,6 +1037,17 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT tl.tool_category, tl.risk_level, rl.role_tag, COUNT(*) AS n "
         "FROM r LEFT JOIN tl ON r.tool = tl.tool LEFT JOIN rl ON r.role = rl.role "
         "GROUP BY tl.tool_category, tl.risk_level, rl.role_tag",
+        "role_level_pivot": tr
+        + f"""SELECT role,
+              CAST(COUNT(*) FILTER (WHERE regexp_extract(text, '{DISSECT_RX}', 1) = 'info'
+                    AND dissect_ok) AS BIGINT) AS n_info,
+              CAST(COUNT(*) FILTER (WHERE regexp_extract(text, '{DISSECT_RX}', 1) = 'warn'
+                    AND dissect_ok) AS BIGINT) AS n_warn,
+              CAST(COUNT(*) FILTER (WHERE regexp_extract(text, '{DISSECT_RX}', 1) = 'error'
+                    AND dissect_ok) AS BIGINT) AS n_error,
+              CAST(COUNT(*) FILTER (WHERE regexp_extract(text, '{DISSECT_RX}', 1) = 'debug'
+                    AND dissect_ok) AS BIGINT) AS n_debug
+              FROM p GROUP BY role""",
         "dissect_parse": tr
         + f"""SELECT conv_id, turn_idx,
               regexp_extract(text, '{DISSECT_RX}', 1) AS level,

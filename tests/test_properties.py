@@ -100,3 +100,42 @@ def test_config_validation_names_bad_key():
         build_processor({"dissect": {"tokenzier": "%{a}"}})  # typo'd key
     # valid config still builds
     build_processor({"dissect": {"tokenizer": "%{a}"}})
+
+
+@given(
+    vals=st.lists(st.text(VALUE_ALPHABET, min_size=1, max_size=8),
+                  min_size=2, max_size=5),
+    pad=st.integers(1, 4),
+)
+@settings(max_examples=100, deadline=None)
+def test_dissect_greedy_collapses_delimiter_runs(vals, pad):
+    """%{k->} with a repeated delimiter run extracts the same values as
+    a single delimiter (reference: ignore-padding cases)."""
+    tok = " ".join(
+        f"%{{k{i}->}}" if i < len(vals) - 1 else f"%{{k{i}}}"
+        for i in range(len(vals))
+    )
+    msg = (" " * pad).join(vals)
+    got = compile_tokenizer(tok).apply(msg)
+    assert got == {f"k{i}": v for i, v in enumerate(vals)}
+
+
+@given(
+    widths=st.lists(st.integers(1, 6), min_size=1, max_size=5),
+    data=st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_dissect_fixed_length_partition(widths, data):
+    """Adjacent fixed-length keys partition the message exactly; any
+    leftover byte is a failure."""
+    vals = [
+        data.draw(st.text(VALUE_ALPHABET, min_size=w, max_size=w))
+        for w in widths
+    ]
+    tok = "".join(f"%{{k{i}#{w}}}" for i, w in enumerate(widths))
+    msg = "".join(vals)
+    cd = compile_tokenizer(tok)
+    assert cd.apply(msg) == {f"k{i}": v for i, v in enumerate(vals)}
+    assert cd.apply(msg + "x") is None  # leftover → fail
+    if len(msg) > 1:
+        assert cd.apply(msg[:-1]) is None  # short → fail
