@@ -42,6 +42,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="ignore existing lineage; reprocess everything")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus when starting a local session")
+    p.add_argument("--stream", action="store_true",
+                   help="micro-batch streaming mode (event-time windows)")
+    p.add_argument("--window-s", type=int, default=3600,
+                   help="streaming window size in seconds (with --stream)")
     return p
 
 
@@ -72,6 +76,16 @@ def main(argv: list[str] | None = None) -> int:
         kwargs = {"num_cpus": args.num_cpus} if args.num_cpus else {}
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kwargs)
+
+    if args.stream:
+        from .stream import MicroBatchRunner
+
+        totals = MicroBatchRunner(args.out, window_s=args.window_s).run(
+            files, config=config
+        )
+        print(json.dumps(totals, sort_keys=True))
+        ray.shutdown()
+        return 0
 
     from .state import CheckpointRunner
 

@@ -56,3 +56,20 @@ def test_cli_bad_glob_errors():
     )
     assert r.returncode == 2
     assert "no input files" in r.stderr
+
+
+def test_cli_stream_mode(sf0001_dir, tmp_path):
+    cmd = [
+        sys.executable, "-m", "beats_ray",
+        "--input", sf0001_dir + "/part-00000.parquet",
+        "--out", str(tmp_path / "st"),
+        "--num-cpus", "2",
+        "--stream", "--window-s", "3600",
+    ]
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(m["windows_done"]) >= 1
+    assert sum(m["rows_routed"].values()) == 1791
