@@ -49,6 +49,15 @@ def _fill(mask: Mask) -> Mask:
     return pc.fill_null(mask, False)
 
 
+def _safe(kernel, col, val, n: int) -> Mask:
+    """Type-mismatched comparisons are FALSE, not crashes (Beats: a
+    lookup/compare error means no match)."""
+    try:
+        return _fill(kernel(col, val))
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return _false(n)
+
+
 def compile_condition(spec: dict) -> Condition:
     """Compile a condition dict (YAML shape) into table → boolean mask."""
     if not isinstance(spec, dict) or len(spec) != 1:
@@ -72,7 +81,11 @@ def compile_condition(spec: dict) -> Condition:
             mask: Mask | None = None
             for fld, val in pairs:
                 col = _col(t, fld)
-                m = _false(t.num_rows) if col is None else _fill(pc.equal(col, val))
+                m = (
+                    _false(t.num_rows)
+                    if col is None
+                    else _safe(pc.equal, col, val, t.num_rows)
+                )
                 mask = m if mask is None else pc.and_(mask, m)
             return mask if mask is not None else _false(t.num_rows)
 
@@ -88,7 +101,10 @@ def compile_condition(spec: dict) -> Condition:
                 m = (
                     _false(t.num_rows)
                     if col is None
-                    else _fill(pc.match_substring(col, str(val)))
+                    else _safe(
+                        lambda c, v: pc.match_substring(c, v), col, str(val),
+                        t.num_rows,
+                    )
                 )
                 mask = m if mask is None else pc.and_(mask, m)
             return mask if mask is not None else _false(t.num_rows)
@@ -105,7 +121,10 @@ def compile_condition(spec: dict) -> Condition:
                 m = (
                     _false(t.num_rows)
                     if col is None
-                    else _fill(pc.match_substring_regex(col, str(pat)))
+                    else _safe(
+                        lambda c, v: pc.match_substring_regex(c, v), col,
+                        str(pat), t.num_rows,
+                    )
                 )
                 mask = m if mask is None else pc.and_(mask, m)
             return mask if mask is not None else _false(t.num_rows)
@@ -129,7 +148,11 @@ def compile_condition(spec: dict) -> Condition:
             mask: Mask | None = None
             for fld, kernel, val in bounds:
                 col = _col(t, fld)
-                m = _false(t.num_rows) if col is None else _fill(kernel(col, val))
+                m = (
+                    _false(t.num_rows)
+                    if col is None
+                    else _safe(kernel, col, val, t.num_rows)
+                )
                 mask = m if mask is None else pc.and_(mask, m)
             return mask if mask is not None else _false(t.num_rows)
 
@@ -154,21 +177,24 @@ def compile_condition(spec: dict) -> Condition:
             fld: (spec_n if isinstance(spec_n, list) else [spec_n])
             for fld, spec_n in body.items()
         }
-        nets: dict[str, list] = {}
-        public_fields: set[str] = set()
+        # per field: explicit/named networks are OR-ed with the "public"
+        # predicate (valid ∧ not private/loopback/link-local) — mixing
+        # "public" with explicit CIDRs must not invert the CIDR matches
+        nets: dict[str, tuple[list, bool]] = {}
+        exclude = [ipaddress.ip_network(x) for x in _PUBLIC_EXCLUDE]
         for fld, specs in pairs.items():
-            expanded: list[str] = []
+            include: list[str] = []
+            has_public = False
             for s in specs:
                 if s == "public":
-                    public_fields.add(fld)
-                    expanded.extend(_PUBLIC_EXCLUDE)
+                    has_public = True
                 else:
-                    expanded.extend(_NAMED_NETS.get(s, [s]))
-            nets[fld] = [ipaddress.ip_network(x) for x in expanded]
+                    include.extend(_NAMED_NETS.get(s, [s]))
+            nets[fld] = ([ipaddress.ip_network(x) for x in include], has_public)
 
         def network(t: pa.Table) -> Mask:
             mask: Mask | None = None
-            for fld, networks in nets.items():
+            for fld, (include, has_public) in nets.items():
                 col = _col(t, fld)
                 if col is None:
                     m: Mask = _false(t.num_rows)
@@ -181,10 +207,10 @@ def compile_condition(spec: dict) -> Condition:
                         if v not in memo:
                             try:
                                 addr = ipaddress.ip_address(v)
-                                member = any(addr in n for n in networks)
-                                # "public" = valid address NOT in the
-                                # excluded (private/loopback/link-local) set
-                                memo[v] = (not member) if fld in public_fields else member
+                                hit = any(addr in n for n in include)
+                                if not hit and has_public:
+                                    hit = not any(addr in n for n in exclude)
+                                memo[v] = hit
                             except (ValueError, TypeError):
                                 memo[v] = False
                         bits[idx] = memo[v]

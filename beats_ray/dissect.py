@@ -98,7 +98,8 @@ class CompiledDissect:
             return None
         return self._resolve(m.groups())
 
-    def _resolve(self, groups: tuple[str | None, ...]) -> dict[str, object]:
+    def _resolve(self, groups: tuple[str | None, ...],
+                 convert: bool = True) -> dict[str, object]:
         out: dict[str, object] = {}
         append_names = {k.name for k in self.keys if k.append}
         appends: dict[str, list[tuple[int, int, str, str]]] = {}
@@ -138,12 +139,13 @@ class CompiledDissect:
             if target is None:
                 target = str(out.get(name, name))
             out[target] = v
-        for k in self.keys:
-            if k.dtype and not k.skip and k.name in out:
-                try:
-                    out[k.name] = CONVERTERS[k.dtype](out[k.name])  # type: ignore[arg-type]
-                except (ValueError, AttributeError):
-                    pass
+        if convert:
+            for k in self.keys:
+                if k.dtype and not k.skip and k.name in out:
+                    try:
+                        out[k.name] = CONVERTERS[k.dtype](out[k.name])  # type: ignore[arg-type]
+                    except (ValueError, AttributeError):
+                        pass
         return out
 
 
@@ -275,8 +277,14 @@ def dissect_batch(
         pc.struct_field(struct, f"g{gi}").to_pylist()
         for gi in range(len(compiled.keys))
     ]
+    # resolve WITHOUT per-row typed conversion: mixed per-row types
+    # (some rows unconvertible) would break pa.array; conversion happens
+    # column-wise below with the same null-on-garbage masking as the
+    # simple path
     rows: list[dict[str, object] | None] = [
-        compiled._resolve(tuple(c[ri] for c in group_cols)) if ok_np[ri] else None
+        compiled._resolve(tuple(c[ri] for c in group_cols), convert=False)
+        if ok_np[ri]
+        else None
         for ri in range(n)
     ]
     names: list[str] = []
@@ -285,11 +293,13 @@ def dissect_batch(
             for name in r:
                 if name not in names:
                     names.append(name)
+    dtypes = {k.name: k.dtype for k in compiled.keys if k.dtype and not k.skip}
     for name in names:
         col = pa.array([None if r is None else r.get(name) for r in rows])
         if col.type == pa.null():
             col = col.cast(pa.string())
-        out[name] = _trim(col, trim_values, trim_chars)
+        col = _trim(col, trim_values, trim_chars)
+        out[name] = _convert_arr(col, dtypes.get(name))
     return out, ok
 
 

@@ -78,7 +78,12 @@ def classify_kind(t: pa.Table) -> pa.Table:
     Unparseable rows are tagged, never dropped (Beats tag-and-keep,
     SetErrorWithOption, event.go:303-316)."""
     n = t.num_rows
-    text = pc.fill_null(t["text"].combine_chunks(), "")
+    # processors may have dropped/renamed `text` — classification then
+    # relies on whatever parse outputs still exist
+    if "text" in t.column_names:
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+    else:
+        text = pa.nulls(n, pa.string()).fill_null("")
     dissect_ok = (
         pc.is_valid(t["dissect.level"].combine_chunks())
         if "dissect.level" in t.column_names

@@ -265,20 +265,20 @@ def extract_field(cfg: dict):
         if col is None:
             return t
         parts = pc.split_pattern(col, pattern=sep)
-        if index >= 0:
-            picked = pc.list_element(parts, index)
-        else:
-            # Arrow list kernels take only non-negative scalar indices;
-            # negative indexing resolves per row (cold path)
-            if isinstance(parts, pa.ChunkedArray):
-                parts = parts.combine_chunks()
-            picked = pa.array(
-                [
-                    None if lst is None or len(lst) < -index else lst[index]
-                    for lst in parts.to_pylist()
-                ],
-                pa.string(),
-            )
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        # Arrow list_element raises on ANY out-of-bounds row (killing the
+        # batch for one short line) and rejects negative indices —
+        # resolve per row with bounds (Beats fails per-event, never
+        # per-batch)
+        bound = index if index >= 0 else -index - 1
+        picked = pa.array(
+            [
+                None if lst is None or len(lst) <= bound else lst[index]
+                for lst in parts.to_pylist()
+            ],
+            pa.string(),
+        )
         return set_col(t, target, picked)
 
     return run
@@ -316,13 +316,11 @@ def append_proc(cfg: dict):
 
 class _DropEvent:
     """Unconditional drop — meaningful only under ``when:``
-    (actions/drop_event.go:28-46)."""
+    (actions/drop_event.go:28-46). WhenWrapper's drops_rows path runs
+    this on the matching rows only."""
 
     name = "drop_event"
     drops_rows = True
-
-    def keep_mask(self, t: pa.Table) -> pa.Array:
-        return pa.array(np.zeros(t.num_rows, dtype=bool))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         return t.slice(0, 0)

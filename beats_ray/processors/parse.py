@@ -118,7 +118,15 @@ def decode_json_fields(cfg: dict):
                     bad[idx[j]] = True
             for key, tname in expected.items():
                 typ = types[tname]
-                out: list = [None] * n
+                # MERGE with a previous source field's extraction — a
+                # second field in `fields` must not null out rows the
+                # first field already decoded
+                pref0 = f"{target}." if target else ""
+                cname = f"{pref0}{key}"
+                if cname in t.column_names:
+                    out = t[cname].to_pylist()
+                else:
+                    out = [None] * n
                 for j, p in enumerate(parsed_sub):
                     if p is not None:
                         out[idx[j]] = p.get(key)
@@ -252,13 +260,6 @@ def container_proc(cfg: dict):
         name = "container"
         drops_rows = stream_filter != "all"
 
-        def keep_mask(self, t: pa.Table) -> pa.Array:
-            t2 = inner(t)
-            return pc.fill_null(
-                pc.equal(t2[f"{prefix}.stream"].combine_chunks(), stream_filter),
-                False,
-            )
-
         def __call__(self, t: pa.Table) -> pa.Table:
             t = inner(t)
             if stream_filter != "all":
@@ -285,7 +286,10 @@ def multiline_stats(cfg: dict):
 
     @_named("multiline_stats")
     def run(t: pa.Table) -> pa.Table:
-        col = pc.fill_null(get_col(t, field).combine_chunks(), "")
+        src_col = get_col(t, field)
+        if src_col is None:
+            return t
+        col = pc.fill_null(src_col.combine_chunks(), "")
         parts = pc.split_pattern(col, pattern="\n")
         n = pc.list_value_length(parts)
         t = set_col(t, f"{prefix}.n_lines", pc.cast(n, pa.int64()))

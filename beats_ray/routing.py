@@ -25,37 +25,39 @@ class Router:
     def __init__(self, rules: list[dict], target: str = "sink"):
         self.target = target
         self.compiled: list[tuple] = []
-        self.default: str | None = None
         self.sink_names: list[str] = []
         for rule in rules:
             name = rule.get("name") or rule.get("index") or rule.get("topic")
             if name is None:
                 raise ValueError(f"routing rule needs a name: {rule!r}")
             fmt = compile_format_string(name) if "%{" in name else None
-            if "when" in rule:
-                cond = compile_condition(rule["when"])
-                self.compiled.append((name, fmt, cond))
-            else:
-                # unconditional rule = the default/fallback sink
-                self.default = name
-            if "%{" not in name and name not in self.sink_names:
+            # strict FIRST-MATCH-WINS in rule order (outil.Select): an
+            # unconditional rule is an all-true condition IN PLACE — it
+            # catches everything still unrouted, and later rules are
+            # unreachable (exactly the reference's selector order);
+            # format-string names are evaluated for unconditional rules
+            # too, not stored as a literal fallback
+            cond = compile_condition(rule["when"]) if "when" in rule else None
+            self.compiled.append((name, fmt, cond))
+            if fmt is None and name not in self.sink_names:
                 self.sink_names.append(name)
-        if self.default and self.default not in self.sink_names:
-            self.sink_names.append(self.default)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
         sink = pa.nulls(n, pa.string())
         for name, fmt, cond in self.compiled:
-            mask = pc.fill_null(cond(t), False)
-            assign = pc.and_(pc.is_null(sink), mask)
+            if cond is None:
+                assign = pc.is_null(sink)
+            else:
+                mask = pc.fill_null(cond(t), False)
+                assign = pc.and_(pc.is_null(sink), mask)
             value = fmt(t) if fmt is not None else pa.scalar(name)
             sink = pc.if_else(assign, value, sink)
         # Beats drops events matching no selector but COUNTS the drops
         # (outputs/metrics.go `dropped`); keep-and-observe equivalent:
         # rows with no matching rule land in an explicit `_unrouted`
         # sink, so nothing is lost and the drop count is a sink count.
-        sink = pc.fill_null(sink, self.default or "_unrouted")
+        sink = pc.fill_null(sink, "_unrouted")
         if self.target in t.column_names:
             idx = t.column_names.index(self.target)
             return t.set_column(idx, self.target, sink)

@@ -241,3 +241,81 @@ def test_ann_empty_block(ray_session):
     ).repartition(20)  # more blocks than rows -> empty blocks guaranteed
     out = brute_topk(ds, vecs[:1].astype(np.float64), k=3)
     assert len(out) == 3
+
+
+def test_extract_field_out_of_bounds_positive():
+    t = pa.table({"p": ["a/b/c", "x"]})
+    out = build_processor({"extract_field": {"field": "p", "separator": "/",
+                                             "index": 2, "target": "t2"}})(t)
+    assert out["t2"].to_pylist() == ["c", None]  # no batch crash
+
+
+def test_decode_json_multi_field_merge():
+    t = pa.table({"a": ['{"event":"from_a"}', None],
+                  "b": [None, '{"event":"from_b"}']})
+    out = build_processor(
+        {"decode_json_fields": {"fields": ["a", "b"],
+                                "expected": {"event": "string"}}}
+    )(t)
+    assert out["parsed.event"].to_pylist() == ["from_a", "from_b"]
+
+
+def test_condition_type_mismatch_is_false():
+    from beats_ray.conditions import compile_condition
+
+    t = pa.table({"status": ["200", "404"]})
+    assert compile_condition({"equals": {"status": 200}})(t).to_pylist() == [
+        False, False,
+    ]
+    t2 = pa.table({"n": [1, 2]})
+    assert compile_condition({"contains": {"n": "x"}})(t2).to_pylist() == [
+        False, False,
+    ]
+
+
+def test_network_public_mixed_with_cidr():
+    from beats_ray.conditions import compile_condition
+
+    t = pa.table({"ip": ["10.1.5.5", "10.99.0.1", "8.8.8.8", "127.0.0.1"]})
+    m = compile_condition({"network": {"ip": ["public", "10.1.0.0/16"]}})(t)
+    # explicit CIDR OR public — not inverted by the public flag
+    assert m.to_pylist() == [True, False, True, False]
+
+
+def test_multiline_stats_missing_field_noop():
+    t = pa.table({"other": ["x"]})
+    out = build_processor({"multiline_stats": {"field": "message"}})(t)
+    assert out.column_names == ["other"]
+
+
+def test_dissect_typed_nonsimple_mixed_convertibility():
+    from beats_ray.dissect import compile_tokenizer, dissect_batch
+
+    cd = compile_tokenizer("%{v|integer} %{*p} %{&p}")
+    fields, ok = dissect_batch(cd, pa.array(["12 k a", "xy k b"]))
+    assert fields["v"].to_pylist() == [12, None]
+    assert fields["k"].to_pylist() == ["a", "b"]
+
+
+def test_parse_stage_without_text_column():
+    from beats_ray.pipeline import ParseStage
+
+    cfg = {"processors": [{"drop_fields": {"fields": ["text"]}}]}
+    t = pa.table({"conv_id": ["c"], "turn_idx": [0], "role": ["user"],
+                  "tool": ["none"], "text": ["level=x"]})
+    out = ParseStage(cfg)(t)  # must not KeyError
+    assert "text" not in out.column_names
+    assert out["parsed.kind"].to_pylist() == ["none"]
+
+
+def test_router_first_match_wins_with_unconditional():
+    from beats_ray.routing import Router
+
+    t = pa.table({"text": ["level=error x", "plain"], "level": ["error", "info"]})
+    # unconditional FIRST rule catches everything (outil.Select order)
+    r = Router([{"name": "catchall"},
+                {"name": "errors", "when": {"contains": {"text": "error"}}}])
+    assert r(t)["sink"].to_pylist() == ["catchall", "catchall"]
+    # format-string unconditional rule is EVALUATED, not literal
+    r2 = Router([{"name": "lvl-%{[level]}"}])
+    assert r2(t)["sink"].to_pylist() == ["lvl-error", "lvl-info"]
