@@ -77,6 +77,21 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kwargs)
 
+    # --no-resume must run BEFORE dispatching to either mode: stale
+    # lineage (batch OR stream layout) would otherwise skip work the
+    # user explicitly asked to reprocess. Removing the lineage dirs
+    # wholesale also drops the hidden .attempts.json counter file.
+    if args.no_resume:
+        import shutil
+        from pathlib import Path
+
+        out = Path(args.out)
+        for d in list(out.glob("part_id=*")) + list(out.glob("window=*")):
+            shutil.rmtree(d)
+        for sub in ("_lineage", "_stream_lineage"):
+            if (out / sub).exists():
+                shutil.rmtree(out / sub)
+
     if args.stream:
         from .stream import MicroBatchRunner
 
@@ -90,15 +105,6 @@ def main(argv: list[str] | None = None) -> int:
     from .state import CheckpointRunner
 
     runner = CheckpointRunner(args.out)
-    if args.no_resume:
-        import shutil
-        from pathlib import Path
-
-        out = Path(args.out)
-        for d in out.glob("part_id=*"):
-            shutil.rmtree(d)
-        for f in (out / "_lineage").glob("*.json"):
-            f.unlink()
     metrics = runner.run(
         files,
         config=config,

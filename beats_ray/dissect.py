@@ -50,7 +50,9 @@ CONVERTERS = {
     "float": float,
     "double": float,
     "string": str,
-    "boolean": lambda v: v.lower() == "true",
+    # strconv.ParseBool token set (field.go convertBoolean): 1/t/true
+    # (any case) are true — not just the literal "true"
+    "boolean": lambda v: v.lower() in ("1", "t", "true"),
     "ip": str,  # validated downstream; kept as string
 }
 
@@ -336,5 +338,8 @@ def _convert_arr(col: pa.Array, dtype: str | None) -> pa.Array:
     if dtype in ("float", "double"):
         return _masked_cast(col, _FLOAT_RX, pa.float64())
     if dtype == "boolean":
-        return pc.equal(pc.utf8_lower(col), "true")
+        # mirror strconv.ParseBool's true set (1/t/true, case-folded)
+        return pc.is_in(
+            pc.utf8_lower(col), value_set=pa.array(["1", "t", "true"])
+        )
     return col

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from datetime import timezone
 from pathlib import Path
 
 import pyarrow.compute as pc
@@ -80,24 +81,42 @@ class MicroBatchRunner:
 
         # window bounds from parquet ROW-GROUP STATISTICS — metadata
         # only, no column scan (a 100 TB corpus must not be read on the
-        # driver just to find its time range)
+        # driver just to find its time range). Per-FILE ranges are kept
+        # so each window reads only the files whose ts range overlaps it
+        # (the same pruning a dt=/hour= partitioned layout gives free).
         import pyarrow.parquet as pq
 
-        lo = hi = None
+        def _stat_us(dt) -> int:
+            # parquet stats decode to tz-NAIVE datetimes; .timestamp()
+            # would interpret them in the HOST's local timezone and
+            # shift every window bound by the UTC offset — treat as UTC,
+            # matching the pc.min(...).value (epoch micros) fallback
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+
+        file_ranges: list[tuple[str, int, int]] = []
         for f in input_files:
             pf = pq.ParquetFile(f)
             ts_idx = pf.schema_arrow.names.index("ts")
+            f_lo = f_hi = None
             for rg in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(rg).column(ts_idx).statistics
                 if st is None or not st.has_min_max:
-                    # stats missing → fall back to scanning this file's ts
+                    # stats missing → ONE fallback scan of this file's ts
+                    # column covers every row group; stop looping
                     t = pq.read_table(f, columns=["ts"])
                     mn, mx = pc.min(t["ts"]).value, pc.max(t["ts"]).value
-                else:
-                    mn = int(st.min.timestamp() * 1_000_000)
-                    mx = int(st.max.timestamp() * 1_000_000)
-                lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
+                    f_lo = mn if f_lo is None else min(f_lo, mn)
+                    f_hi = mx if f_hi is None else max(f_hi, mx)
+                    break
+                mn, mx = _stat_us(st.min), _stat_us(st.max)
+                f_lo = mn if f_lo is None else min(f_lo, mn)
+                f_hi = mx if f_hi is None else max(f_hi, mx)
+            if f_lo is not None:
+                file_ranges.append((f, f_lo, f_hi))
+        lo = min(r[1] for r in file_ranges)
+        hi = max(r[2] for r in file_ranges)
         w_us = self.window_s * 1_000_000
         first_w, last_w = lo // w_us, hi // w_us
 
@@ -111,7 +130,16 @@ class MicroBatchRunner:
             if w in done:
                 continue
             lo_ts, hi_ts = w * w_us, (w + 1) * w_us
-            ds = rd.read_parquet(input_files)
+            # file-level ts pruning: only files whose [min,max] range
+            # overlaps this window are read at all (row-group stats
+            # already collected above — no extra IO)
+            win_files = [
+                f for f, f_lo, f_hi in file_ranges
+                if f_lo < hi_ts and f_hi >= lo_ts
+            ]
+            if not win_files:
+                continue
+            ds = rd.read_parquet(win_files)
             ds = ds.map_batches(
                 lambda t, lo_ts=lo_ts, hi_ts=hi_ts: t.filter(
                     pc.and_(
@@ -121,7 +149,7 @@ class MicroBatchRunner:
                 ),
                 batch_format="pyarrow",
             )
-            routed = build_dataset(ds, config, num_parts=len(input_files))
+            routed = build_dataset(ds, config, num_parts=len(win_files))
             win_dir = self.out_dir / f"window={w}"
             # idempotent re-run: a window that wrote output but never
             # committed its lineage (crash in between) must be wiped,
@@ -136,7 +164,14 @@ class MicroBatchRunner:
             tmp = self.lineage_dir / f".window-{w}.json.tmp"
             tmp.write_text(
                 json.dumps(
-                    {"window_id": w, "sink_counts": counts}, sort_keys=True
+                    {
+                        "window_id": w,
+                        "sink_counts": counts,
+                        # observable pruning record: which files this
+                        # window actually read (tests assert on it)
+                        "files_read": sorted(win_files),
+                    },
+                    sort_keys=True,
                 )
             )
             os.replace(tmp, self.lineage_dir / f"window-{w}.json")

@@ -51,6 +51,20 @@ def test_typed_conversion():
     assert fields["n"][0].as_py() == 42
 
 
+def test_boolean_parsebool_tokens():
+    """strconv.ParseBool set: 1/t/T/TRUE/true → true; 0/f/others → false
+    (field.go convertBoolean) — both scalar and batch paths."""
+    cd = compile_tokenizer("%{b|boolean}")
+    for tok, want in [("1", True), ("t", True), ("T", True), ("TRUE", True),
+                      ("true", True), ("0", False), ("f", False),
+                      ("F", False), ("false", False), ("nope", False)]:
+        assert cd.apply(tok) == {"b": want}, tok
+    fields, ok = dissect_batch(
+        cd, pa.array(["1", "t", "TRUE", "0", "f", "x"])
+    )
+    assert fields["b"].to_pylist() == [True, True, True, False, False, False]
+
+
 def test_trim_values():
     cd = compile_tokenizer("%{a},%{b}")
     fields, ok = dissect_batch(cd, pa.array([" x , y "]), trim_values="all")

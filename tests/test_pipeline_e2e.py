@@ -256,3 +256,107 @@ def test_unrouted_sink_keeps_rows(ray_session):
     out = build_dataset(rd.from_items(rows), config=cfg, num_parts=1,
                         enrich=False).to_pandas()
     assert sorted(out["sink"]) == ["_unrouted", "hits"]
+
+
+def test_incremental_commit_crash_keeps_committed(sf0001_dir, tmp_path):
+    """Per-group commits: a crash in group k must NOT force groups <k
+    to be reprocessed on resume (their attempt counter stays 1)."""
+    import json as _json
+
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:6]
+    cr = CheckpointRunner(str(tmp_path / "inc"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cr.run(files, commit_every=1, fail_group=3)
+    # groups 0-2 committed before the crash; 3 written but uncommitted
+    done = sorted(
+        p.name for p in (tmp_path / "inc" / "_lineage").glob("part-*.json")
+    )
+    assert done == ["part-00000.json", "part-00001.json", "part-00002.json"]
+
+    m = cr.run(files, commit_every=1)
+    assert m["partitions_done"] == len(files)
+    for i in range(6):
+        rec = _json.loads(
+            (tmp_path / "inc" / "_lineage" / f"part-0000{i}.json").read_text()
+        )
+        # 0-2 committed first try; 3 crashed once then succeeded; 4-5
+        # were never attempted before the crash
+        assert rec["attempt"] == (2 if i == 3 else 1), (i, rec)
+
+
+def _ts_split_corpus(tmp_path, n_files=3, rows_per_file=40):
+    """Tiny transcript corpus where each FILE covers a disjoint
+    one-hour ts range (the dt=/hour= layout a production corpus has)."""
+    import pyarrow as pa
+
+    from beats_ray.schema import TRANSCRIPT_SCHEMA
+
+    files = []
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    for k in range(n_files):
+        ts = [base + pd.Timedelta(hours=k, seconds=30 + i * 10)
+              for i in range(rows_per_file)]
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([f"c{k}-{i % 4}" for i in range(rows_per_file)]),
+                "turn_idx": pa.array(list(range(rows_per_file)), pa.int32()),
+                "role": pa.array(["user"] * rows_per_file),
+                "text": pa.array([f"hello {i}" for i in range(rows_per_file)]),
+                "tool": pa.array(["none"] * rows_per_file),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            },
+            schema=TRANSCRIPT_SCHEMA,
+        )
+        f = str(tmp_path / f"part-{k:05d}.parquet")
+        pq.write_table(tbl, f)
+        files.append(f)
+    return files
+
+
+def test_stream_window_file_pruning(ray_session, tmp_path):
+    """Each streaming window must read ONLY the files whose ts range
+    overlaps it (file-level pruning from row-group stats)."""
+    import json as _json
+
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _ts_split_corpus(tmp_path)
+    out = tmp_path / "stream_prune"
+    totals = MicroBatchRunner(str(out), window_s=3600).run(files)
+    assert sum(totals["rows_routed"].values()) == 3 * 40
+
+    recs = [
+        _json.loads(p.read_text())
+        for p in sorted((out / "_stream_lineage").glob("window-*.json"))
+    ]
+    assert len(recs) == 3
+    for rec in recs:
+        # hour-aligned corpus: every window maps to exactly one file
+        assert len(rec["files_read"]) == 1, rec
+    read_sets = [rec["files_read"][0] for rec in recs]
+    assert sorted(read_sets) == files
+
+
+def test_stream_tz_independent(ray_session, tmp_path):
+    """Window enumeration from parquet stats must treat stat datetimes
+    as UTC — under a non-UTC host TZ no edge rows may be dropped."""
+    import os
+    import time as _time
+
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _ts_split_corpus(tmp_path, n_files=2)
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        totals = MicroBatchRunner(
+            str(tmp_path / "stream_tz"), window_s=3600
+        ).run(files)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert sum(totals["rows_routed"].values()) == 2 * 40
