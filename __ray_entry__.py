@@ -388,9 +388,12 @@ def q_simhash_pairs(sf_dir: str):
 def q_ngram_dup_pairs(sf_dir: str):
     from beats_ray.dataops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs(
         _table(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.6
     )
+    # integer evidence columns only (exact oracle compare; the float
+    # jaccard is inter_n/union_n, trivially derived)
+    return out.select_columns(["a", "b", "inter_n", "union_n"])
 
 
 def q_token_stats(sf_dir: str):
@@ -418,9 +421,13 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
     emb = (
         _table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .filter(lambda r: r["vec_id"] < 4)
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 4)), batch_format="pyarrow"
+        )
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -544,9 +551,14 @@ def q_q3_top_orders(sf_dir: str):
     tie-break."""
     from beats_ray.dataops.joins import bucket_hash_join, semi_join
 
+    import pyarrow.compute as pc
+
     cust = (
         _table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .filter(lambda r: r["c_mktsegment"] == "BUILDING")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     orders = semi_join(
@@ -700,20 +712,23 @@ def q_asof_click_view(sf_dir: str):
     ASOF LEFT JOIN."""
     from beats_ray.dataops.joins import asof_join
 
+    import pyarrow.compute as pc
+
     ev = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click").drop_columns(
-        ["event_type"]
-    )
-    views = (
-        ev.filter(lambda r: r["event_type"] == "view")
-        .drop_columns(["event_type"])
-        .map_batches(
-            lambda t: t.rename_columns(
-                ["view_id" if c == "event_id" else c for c in t.column_names]
-            ),
-            batch_format="pyarrow",
-        )
-    )
+
+    def pick(kind: str, id_name: str):
+        def go(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+            return t.rename_columns(
+                [id_name if c == "event_id" else c for c in t.column_names]
+            )
+
+        return go
+
+    clicks = ev.map_batches(pick("click", "event_id"), batch_format="pyarrow")
+    views = ev.map_batches(pick("view", "view_id"), batch_format="pyarrow")
     joined = asof_join(clicks, views, key="user_id", ts_col="ts")
 
     def out(df: pd.DataFrame) -> pd.DataFrame:
@@ -771,9 +786,13 @@ def q_contamination_screen(sf_dir: str):
     contaminated; unrelated docs are not). Rows-only (hash-set op)."""
     from beats_ray.dataops.textnorm import contamination_screen
 
+    import pyarrow.compute as pc
+
     probe = (
         _table(sf_dir, "documents", ["doc_id", "text"])
-        .filter(lambda r: r["doc_id"] < 5)
+        .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+        )
         .to_pandas()["text"]
         .tolist()
     )
@@ -1013,6 +1032,206 @@ def _pii_chain_sql(col: str) -> str:
         esc = pat.replace("'", "''")  # duckdb '' strings are raw
         expr = f"regexp_replace({expr}, '{esc}', '{repl}', 'g')"
     return expr
+
+
+def _h32(expr: str) -> str:
+    """DuckDB replica of dedup._stable_hash: big-endian first 4 md5
+    bytes as an unsigned 32-bit value."""
+    return f"('0x'||substr(md5({expr}),1,8))::UBIGINT"
+
+
+def _lsh_cte() -> str:
+    """Shared MinHash-LSH CTE block: replays the ENGINE's pipeline in
+    SQL — identical word shingles, identical md5-32 token hashes,
+    identical (a*x+b) mod 2^31-1 minhash (coefficients inlined from the
+    same seeded generator), identical 4-row band keys, identical
+    a<b candidate pairs. Defaults match lsh_candidate_pairs
+    (num_perm=64, bands=16, shingle_k=3)."""
+    from beats_ray.dataops.dedup import minhash_coefficients
+
+    a, b = minhash_coefficients(64)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(64)
+    )
+    g3 = _h32("array_to_string(w[i:i+2], ' ')")
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(w) = 0 THEN CAST([] AS UBIGINT[])
+      WHEN len(w) < 3 THEN [{_h32("array_to_string(w, ' ')")}]
+      ELSE list_distinct([{g3} for i in generate_series(1, len(w)-2)])
+    END AS hs
+  FROM ws
+),
+perm(pi, pa, pb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT s.doc_id, p.pi,
+    CASE WHEN len(s.hs) = 0 THEN 2147483647::UBIGINT
+         ELSE list_min(list_transform(
+                s.hs, h -> (p.pa * h + p.pb) % 2147483647::UBIGINT))
+    END AS mv
+  FROM sh s CROSS JOIN perm p
+),
+bandkey AS (
+  SELECT doc_id, pi // 4 AS band,
+         string_agg(CAST(mv AS VARCHAR), ',' ORDER BY pi) AS bkey
+  FROM sig GROUP BY doc_id, pi // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bandkey l
+  JOIN bandkey r ON l.band = r.band AND l.bkey = r.bkey
+                AND l.doc_id < r.doc_id
+)
+"""
+
+
+def _minhash_dedup_sql() -> str:
+    # threshold 0.5 → inter*2 >= union*1 (exact integer comparison,
+    # same math as minhash_dedup's threshold_fraction path)
+    return _lsh_cte() + """
+, ver AS (
+  SELECT c.a, c.b,
+    len(list_intersect(sa.hs, sb.hs)) AS inter_n,
+    len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS union_n
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT b FROM ver WHERE inter_n * 2 >= union_n * 1)
+"""
+
+
+def _ngram_pairs_sql() -> str:
+    # candidates from word-shingle MinHash (same as the engine); verify
+    # on char-3-gram Jaccard; threshold 0.6 → inter*5 >= union*3
+    c3 = _h32("substr(lower(text), i, 3)")
+    return _lsh_cte() + f"""
+, cg AS (
+  SELECT doc_id,
+    CASE
+      WHEN length(text) = 0 THEN CAST([] AS UBIGINT[])
+      WHEN length(text) < 3 THEN [{_h32("lower(text)")}]
+      ELSE list_distinct([{c3} for i in generate_series(1, length(text)-2)])
+    END AS hs
+  FROM documents
+),
+ver AS (
+  SELECT c.a, c.b,
+    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter_n,
+    CAST(len(sa.hs) + len(sb.hs)
+         - len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS union_n
+  FROM cand c
+  JOIN cg sa ON sa.doc_id = c.a
+  JOIN cg sb ON sb.doc_id = c.b
+)
+SELECT a, b, inter_n, union_n FROM ver WHERE inter_n * 5 >= union_n * 3
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 10) -> str:
+    """Full SimHash replay: per-word 64-bit md5 hash (duplicates
+    counted), per-bit ±1 voting, hash reassembly, then ALL pairs with
+    hamming ≤ max_hamming — the engine's chunk banding is exact
+    (pigeonhole, chunks > max_hamming) so all-pairs is the equivalent
+    ground truth."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, ('0x'||substr(md5(w),1,16))::UBIGINT AS h FROM w
+),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gi
+  GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+),
+alld AS (
+  SELECT d.doc_id, COALESCE(sh.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+FROM alld l JOIN alld r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+"""
+
+
+def _lang_id_sql() -> str:
+    from beats_ray.dataops.textstats import _LANG_MARKERS
+
+    cols = []
+    for lang, marks in _LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in sorted(marks))
+        cols.append(
+            f"len(list_filter(ws, w -> w IN ({inlist}))) AS c_{lang}"
+        )
+    # first-max-wins in the engine's iteration order (strict > chain)
+    langs = list(_LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {gmax} = 0 THEN 'unknown' " + " ".join(
+        f"WHEN c_{l} = {gmax} THEN '{l}'" for l in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws
+  FROM documents
+),
+c AS (SELECT doc_id, {', '.join(cols)} FROM m)
+SELECT doc_id, {case} AS lang_pred FROM c
+"""
+
+
+def _contamination_sql() -> str:
+    # probe set = word-3-gram hashes of docs 0-4 (same as the query);
+    # threshold 0.5 → hits*2 >= max(n,1)*1
+    g3 = _h32("array_to_string(w[i:i+2], ' ')")
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(w) = 0 THEN CAST([] AS UBIGINT[])
+      WHEN len(w) < 3 THEN [{_h32("array_to_string(w, ' ')")}]
+      ELSE list_distinct([{g3} for i in generate_series(1, len(w)-2)])
+    END AS hs
+  FROM ws
+),
+probe AS (
+  SELECT list_distinct(flatten(list(hs ORDER BY doc_id))) AS phs
+  FROM sh WHERE doc_id < 5
+)
+SELECT s.doc_id,
+       CAST(len(s.hs) AS BIGINT) AS n_ngrams,
+       CAST(len(list_intersect(s.hs, p.phs)) AS BIGINT) AS n_probe_hits,
+       (len(list_intersect(s.hs, p.phs)) * 2 >= greatest(len(s.hs), 1))
+         AS contaminated
+FROM sh s CROSS JOIN probe p
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1272,7 +1491,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
             QUALIFY rank <= 10""",
-        # minhash_dedup / simhash_pairs / ngram_dup_pairs / lang_id /
-        # ann_ivf_topk / embed_dup_pairs / media_features / frame_samples:
-        # non-SQL-expressible (sketches / iterative / stubs) → rows-only.
+        # near-dup sketch family: the oracle REPLAYS the full pipeline
+        # in SQL (md5-based token hashes + inlined minhash coefficients
+        # make every step reproducible in DuckDB)
+        "minhash_dedup": _minhash_dedup_sql(),
+        "ngram_dup_pairs": _ngram_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(10),
+        "lang_id": _lang_id_sql(),
+        "contamination_screen": _contamination_sql(),
     }

@@ -9,19 +9,27 @@ Scale design (per the Ray guide's near-dup pattern):
   doc_id) rows → groupby band key → candidate pairs → exact-Jaccard
   verify. The only all-to-all moves ``bands × docs`` tiny rows, never
   documents.
-- verify joins the pair list back to documents via broadcast token-set
-  lookup: valid while candidates ≪ corpus (banding guarantees this for
-  sane thresholds); at 100 TB swap the broadcast for a two-sided hash
-  join on doc_id — the pair list itself stays small.
+- verify is FULLY DISTRIBUTED: the candidate id set (small by LSH
+  construction) semi-joins the docs, the surviving docs tokenize in
+  place, and the token lists bucket-hash-join back onto the pair list
+  (two narrow shuffles keyed on doc_id) — no whole-corpus structure
+  ever materializes on the driver.
 
-All hashes are content-derived (crc32/md5/blake2) — stable across
-processes and runs; never Python's salted ``hash()``.
+All hashes are content-derived (md5-based) — stable across processes
+and runs (never Python's salted ``hash()``), and REPRODUCIBLE IN SQL:
+DuckDB computes the identical 32-bit token hash via
+``('0x'||substr(md5(t),1,8))::UBIGINT``, which is what lets the
+correctness oracle replay the full MinHash-LSH pipeline.
+
+Thresholds are applied with exact integer cross-multiplication
+(``inter * q >= union * p`` for threshold p/q) on BOTH the engine and
+the oracle side, so float rounding can never flip a boundary pair.
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
+from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -36,7 +44,18 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _stable_hash(token: str) -> int:
-    return zlib.crc32(token.encode("utf-8")) & 0xFFFFFFFF
+    """32-bit content hash: big-endian first 4 bytes of md5. md5 (not
+    crc32) so the DuckDB oracle reproduces it bit-exactly:
+    ``('0x'||substr(md5(t),1,8))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:4], "big")
+
+
+def threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact (p, q) for a decimal threshold: ``jaccard >= threshold``
+    becomes ``inter * q >= union * p`` — pure integer math, identical
+    on the engine and the SQL oracle."""
+    fr = Fraction(str(threshold))
+    return fr.numerator, fr.denominator
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
@@ -137,6 +156,13 @@ def _minhash_batch(df: pd.DataFrame, num_perm: int, bands: int,
     return _MINHASHER_CACHE[key](df)
 
 
+def minhash_coefficients(num_perm: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation coefficients — exposed so the SQL oracle
+    can inline the exact same values as a VALUES list."""
+    mh = MinHasher(num_perm=num_perm, bands=1)
+    return mh.a.copy(), mh.b.copy()
+
+
 def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
     """(band, band_hash) buckets → unordered candidate pairs (a < b)."""
     bands_ds = docs.map_batches(
@@ -165,9 +191,6 @@ def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: in
     pairs = map_buckets(bands_ds, "band_hash", emit_pairs, buckets=32)
     # same pair can surface from several bands (different buckets) —
     # dedup via a second bucket pass keyed on the pair
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
-
     def pair_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % 32
@@ -183,74 +206,203 @@ def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: in
     )
 
 
-def verify_jaccard(pairs, docs, shingle_fn=word_shingles, k: int = 3):
-    """Exact Jaccard over the candidate pairs. The doc→token-set table is
-    broadcast once (ray.put) and probed inside the verify stage."""
-    toks = {}
-    for batch in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pandas", batch_size=8192
-    ):
-        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-            toks[int(d)] = shingle_fn(t, k)
-    ref = ray.put(toks)
+def _tokenize_stage(shingle_fn, k: int):
+    """doc → sorted token hashes serialized as a comma-joined STRING
+    column (plain utf8 survives every block format and the null padding
+    a bucket join introduces; ndarray/list cells trip Ray's tensor
+    extension on cross-block concat)."""
 
-    class Verify:
-        def __init__(self, ref):
-            self.toks = ray.get(ref)
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "toks": [
+                    ",".join(map(str, sorted(shingle_fn(t, k))))
+                    for t in df["text"].fillna("")
+                ],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            js = []
-            for a, b in zip(df["a"], df["b"]):
-                sa, sb = self.toks.get(int(a), set()), self.toks.get(int(b), set())
-                inter = len(sa & sb)
-                union = len(sa | sb)
-                js.append(inter / union if union else 0.0)
-            out = df.copy()
-            out["jaccard"] = js
-            return out
+    return tok
 
-    return pairs.map_batches(
-        Verify, fn_constructor_kwargs={"ref": ref}, batch_format="pandas",
-        concurrency=(1, 4),
-    )
+
+def _tok_set(cell) -> set:
+    if cell is None or (isinstance(cell, float) and np.isnan(cell)) or cell == "":
+        return set()
+    return set(int(x) for x in cell.split(","))
+
+
+def verify_jaccard(pairs, docs, shingle_fn=word_shingles, k: int = 3,
+                   buckets: int = 32, broadcast_limit: int = 100_000):
+    """Exact Jaccard over the candidate pairs — fully distributed.
+
+    The pair list is small by LSH construction, so its ID SET broadcasts
+    cheaply; the docs NEVER materialize on the driver: candidates
+    semi-join the corpus and tokenize in place. The token lists then
+    join back onto the pairs adaptively:
+
+    - ≤ ``broadcast_limit`` candidate docs → the CANDIDATE-BOUNDED token
+      table broadcasts once and both pair sides probe it map-side (no
+      shuffle). This is NOT the round-1 anti-pattern: the broadcast is
+      O(candidates), never O(corpus).
+    - beyond the limit → two bucket-hash-joins keyed on doc_id (one
+      narrow shuffle per side), fully shuffle-based — the robust path
+      when banding degenerates and candidates approach the corpus.
+
+    Output: (a, b, inter_n, union_n, jaccard) — integer counts first so
+    thresholds can be applied in exact integer math.
+    """
+    from .joins import broadcast_join, bucket_hash_join, semi_join
+
+    # the pair list and the candidate token table are both SMALL by LSH
+    # construction and each feeds TWO consumers — materialize once so
+    # the upstream LSH / tokenize pipelines don't re-execute per use
+    # (lazy Datasets recompute from the source on every consumption)
+    pairs = pairs.materialize()
+    ids = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": pd.unique(pd.concat([df["a"], df["b"]]))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    ids = ids.drop_duplicates("doc_id")
+
+    docs_c = semi_join(docs.select_columns(["doc_id", "text"]), ids, on="doc_id")
+    toks = docs_c.map_batches(
+        _tokenize_stage(shingle_fn, k), batch_format="pandas"
+    ).materialize()
+
+    # join token lists onto both pair sides (rename → join key matches)
+    if len(ids) <= broadcast_limit:
+        toks_df = toks.to_pandas()  # candidate-bounded, NOT corpus-bounded
+        j = broadcast_join(
+            pairs,
+            toks_df.rename(columns={"doc_id": "a", "toks": "toks_a"}),
+            on="a",
+        )
+        j = broadcast_join(
+            j,
+            toks_df.rename(columns={"doc_id": "b", "toks": "toks_b"}),
+            on="b",
+        )
+    else:
+        toks_a = toks.map_batches(
+            lambda df: df.rename(columns={"doc_id": "a", "toks": "toks_a"}),
+            batch_format="pandas",
+        )
+        toks_b = toks.map_batches(
+            lambda df: df.rename(columns={"doc_id": "b", "toks": "toks_b"}),
+            batch_format="pandas",
+        )
+        j = bucket_hash_join(pairs, toks_a, "a", "a", buckets=buckets)
+        j = bucket_hash_join(j, toks_b, "b", "b", buckets=buckets)
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        inter, union = [], []
+        for ta, tb in zip(df["toks_a"], df["toks_b"]):
+            sa, sb = _tok_set(ta), _tok_set(tb)
+            i = len(sa & sb)
+            inter.append(i)
+            union.append(len(sa) + len(sb) - i)
+        out = pd.DataFrame(
+            {
+                "a": df["a"].astype("int64"),
+                "b": df["b"].astype("int64"),
+                "inter_n": pd.array(inter, dtype="int64"),
+                "union_n": pd.array(union, dtype="int64"),
+            }
+        )
+        out["jaccard"] = np.where(
+            out["union_n"] > 0, out["inter_n"] / out["union_n"].clip(lower=1), 0.0
+        )
+        return out
+
+    return j.map_batches(jaccard, batch_format="pandas")
 
 
 def minhash_dedup(docs, threshold: float = 0.7, **lsh_kwargs):
-    """Near-dup dedup: LSH candidates → Jaccard verify → drop the larger
-    id of every duplicate pair. Returns surviving doc_ids."""
+    """Near-dup dedup: LSH candidates → distributed Jaccard verify →
+    drop the larger id of every duplicate pair (exact integer threshold
+    comparison). Returns surviving doc_ids."""
+    from .joins import semi_join
+
+    p, q = threshold_fraction(threshold)
     pairs = lsh_candidate_pairs(docs, **lsh_kwargs)
     verified = verify_jaccard(pairs, docs)
-    dup = verified.filter(lambda r: r["jaccard"] >= threshold)
-    drop = {int(r["b"]) for r in dup.iter_rows()}
+
+    def dup_b(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["inter_n"] * q >= df["union_n"] * p
+        return pd.DataFrame({"doc_id": df.loc[m, "b"].unique().astype("int64")})
+
+    drop_ids = verified.map_batches(dup_b, batch_format="pandas").to_pandas()
+    drop_ids = drop_ids.drop_duplicates("doc_id")
+    return semi_join(
+        docs.select_columns(["doc_id"]), drop_ids, on="doc_id", anti=True
+    )
+
+
+def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5, **lsh_kwargs):
+    """Character n-gram Jaccard near-dup pairs, LSH-accelerated:
+    candidates from word-shingle MinHash, verification on char n-grams.
+    Output keeps the exact integer (inter_n, union_n) evidence."""
+    p, q = threshold_fraction(threshold)
+    pairs = lsh_candidate_pairs(docs, **lsh_kwargs)
+    verified = verify_jaccard(pairs, docs, shingle_fn=char_ngrams, k=n)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df["doc_id"].isin(drop)][["doc_id"]]
+        m = df["inter_n"] * q >= df["union_n"] * p
+        return df.loc[m, ["a", "b", "inter_n", "union_n", "jaccard"]]
 
-    return docs.map_batches(keep, batch_format="pandas")
+    return verified.map_batches(keep, batch_format="pandas")
 
 
 # --------------------------------------------------------------- SimHash
 
+# byte-popcount lookup (numpy<2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array of any shape."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1).astype(np.int64)
+
 
 class SimHasher:
-    """64-bit SimHash per document (token-hash bit voting)."""
+    """64-bit SimHash per document. Per doc the bit voting is ONE numpy
+    pass (unpackbits over the word-hash vector), not a per-word ×64
+    Python loop; word→hash results are memoized per actor (zipf vocab →
+    high hit rate). Word hash = first 8 md5 bytes (big-endian), which
+    the SQL oracle reproduces as ``('0x'||substr(md5(w),1,16))::UBIGINT``."""
 
     def __init__(self, bits: int = 64):
         self.bits = bits
+        self._cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self._cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+            )
+            self._cache[w] = h
+        return h
 
     def simhash(self, text: str) -> int:
-        v = np.zeros(self.bits, dtype=np.int64)
-        for w in text.lower().split():
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            for i in range(self.bits):
-                v[i] += 1 if (h >> i) & 1 else -1
-        out = 0
-        for i in range(self.bits):
-            if v[i] > 0:
-                out |= 1 << i
-        return out
+        words = text.lower().split()
+        if not words:
+            return 0
+        hs = np.fromiter(
+            (self._word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+        )
+        # bit i of each uint64, LSB-first: little-endian byte view +
+        # unpackbits(bitorder="little") → (n_words, 64)
+        bits = np.unpackbits(
+            hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+        out_bits = (votes > 0).astype(np.uint8)
+        return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         hashes = [self.simhash(t) for t in df["text"].fillna("")]
@@ -263,51 +415,87 @@ class SimHasher:
         )
 
 
-def simhash_dedup(docs, max_hamming: int = 3, chunks: int = 4):
+def _chunks_for(max_hamming: int) -> int:
+    """Smallest power-of-two divisor of 64 STRICTLY greater than
+    ``max_hamming`` — the pigeonhole guarantee: any pair with hamming ≤
+    chunks-1 shares at least one chunk, so candidate recall is EXACT."""
+    for c in (2, 4, 8, 16, 32, 64):
+        if c > max_hamming:
+            return c
+    return 64
+
+
+def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
     """SimHash near-dup pairs: band the 64-bit hash into ``chunks``
-    16-bit keys (pigeonhole: any pair within hamming ≤ chunks-1 shares a
-    chunk) → groupby chunk key → verify hamming distance."""
+    equal-width keys (chunks > max_hamming ⇒ pigeonhole-exact recall)
+    → groupby chunk key → vectorized hamming verify per bucket."""
+    if chunks is None:
+        chunks = _chunks_for(max_hamming)
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunks={chunks} <= max_hamming={max_hamming}: pigeonhole "
+            "guarantee broken (pairs would be silently missed)"
+        )
     sims = docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
 
+    width = 64 // chunks
+    mask = (1 << width) - 1
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "chunk": [], "key": [], "simhash": []}
-        width = 64 // chunks
-        mask = (1 << width) - 1
-        for d, h in zip(df["doc_id"], df["simhash"]):
-            uh = np.int64(h).astype(np.uint64)
-            for c in range(chunks):
-                rows["doc_id"].append(d)
-                rows["chunk"].append(c)
-                rows["key"].append(int((int(uh) >> (c * width)) & mask))
-                rows["simhash"].append(h)
-        return pd.DataFrame(rows)
+        uh = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(df)
+        doc = np.repeat(df["doc_id"].to_numpy(), chunks)
+        chunk = np.tile(np.arange(chunks, dtype=np.int64), n)
+        keys = (
+            (uh[:, None] >> (np.arange(chunks, dtype=np.uint64) * width))
+            & np.uint64(mask)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "chunk": chunk,
+                "key": keys.reshape(-1),
+                "simhash": np.repeat(df["simhash"].to_numpy(), chunks),
+            }
+        )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out: dict = {"a": [], "b": [], "hamming": []}
-        recs = sorted(
-            set(zip(g["doc_id"].tolist(), g["simhash"].tolist()))
-        )
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                ha = int(np.int64(recs[i][1]).astype(np.uint64))
-                hb = int(np.int64(recs[j][1]).astype(np.uint64))
-                dist = bin(ha ^ hb).count("1")
-                if dist <= max_hamming:
-                    out["a"].append(recs[i][0])
-                    out["b"].append(recs[j][0])
-                    out["hamming"].append(dist)
-        return pd.DataFrame(out).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
-        )
+        recs = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
+        ids = recs["doc_id"].to_numpy(dtype=np.int64)
+        hs = recs["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        # vectorized pairwise hamming: popcount of the xor matrix,
+        # upper triangle only (argwhere replaces the O(n²) Python loop)
+        dist = _popcount64(hs[:, None] ^ hs[None, :])
+        cand = np.argwhere(np.triu(dist <= max_hamming, k=1))
+        return pd.DataFrame(
+            {
+                "a": ids[cand[:, 0]],
+                "b": ids[cand[:, 1]],
+                "hamming": dist[cand[:, 0], cand[:, 1]],
+            }
+        ).astype({"a": "int64", "b": "int64", "hamming": "int64"})
 
     cand = sims.map_batches(explode, batch_format="pandas")
     p = cand.groupby(["chunk", "key"]).map_groups(pairs, batch_format="pandas")
-    return p.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
+    # a pair can surface from several shared chunks — dedup via a
+    # pair-keyed bucket pass (32 python calls, not one per pair)
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % 32
+        return df
 
-def ngram_jaccard_pairs(docs, n: int = 3, threshold: float = 0.5, **lsh_kwargs):
-    """Character n-gram Jaccard near-dup pairs, LSH-accelerated:
-    candidates from word-shingle MinHash, verification on char n-grams."""
-    pairs = lsh_candidate_pairs(docs, **lsh_kwargs)
-    verified = verify_jaccard(pairs, docs, shingle_fn=char_ngrams, k=n)
-    return verified.filter(lambda r: r["jaccard"] >= threshold)
+    return (
+        p.map_batches(pair_key, batch_format="pandas")
+        .groupby("_pk")
+        .map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pk"]),
+            batch_format="pandas",
+        )
+    )

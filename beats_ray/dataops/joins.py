@@ -21,22 +21,36 @@ import ray
 from ..fixtures import fnv1a32
 
 
+# per-worker-process broadcast cache: plain TASKS (fusable, no actor
+# pool spin-up — ~1s saved per stage on short pipelines) with ray.get
+# amortized to once per worker per object. Bounded LRU-ish eviction.
+_BCAST_CACHE: dict = {}
+
+
+def _resolve_ref(ref):
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) >= 32:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _probe_merge(df: pd.DataFrame, ref, keys, how) -> pd.DataFrame:
+    return df.merge(_resolve_ref(ref), on=keys, how=how)
+
+
 def broadcast_join(big, small_df: pd.DataFrame, on: str | list[str],
                    how: str = "inner"):
-    """Join a Dataset with a driver-side small DataFrame (broadcast)."""
+    """Join a Dataset with a driver-side small DataFrame (broadcast
+    once via ray.put, probed map-side in fused tasks — no shuffle)."""
     keys = [on] if isinstance(on, str) else list(on)
     ref = ray.put(small_df)
-
-    class Probe:
-        def __init__(self, ref):
-            self.small = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=keys, how=how)
-
     return big.map_batches(
-        Probe, fn_constructor_kwargs={"ref": ref}, batch_format="pandas",
-        concurrency=(1, 4),
+        _probe_merge, fn_kwargs={"ref": ref, "keys": keys, "how": how},
+        batch_format="pandas",
     )
 
 
@@ -139,20 +153,16 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
     return both.groupby("_jb").map_groups(merge, batch_format="pandas")
 
 
+def _semi_mask(df: pd.DataFrame, ref, on, anti) -> pd.DataFrame:
+    mask = df[on].isin(_resolve_ref(ref))
+    return df[~mask] if anti else df[mask]
+
+
 def semi_join(big, keys_df: pd.DataFrame, on: str, anti: bool = False):
-    """Semi/anti join: broadcast the key SET and mask per batch."""
-    key_set = set(keys_df[on].tolist())
-    ref = ray.put(key_set)
-
-    class Filter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = df[on].isin(self.keys)
-            return df[~mask] if anti else df[mask]
-
+    """Semi/anti join: broadcast the key SET once, mask per batch in
+    fused tasks (per-worker cache, no actor pool)."""
+    ref = ray.put(set(keys_df[on].tolist()))
     return big.map_batches(
-        Filter, fn_constructor_kwargs={"ref": ref}, batch_format="pandas",
-        concurrency=(1, 4),
+        _semi_mask, fn_kwargs={"ref": ref, "on": on, "anti": anti},
+        batch_format="pandas",
     )

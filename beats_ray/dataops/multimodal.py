@@ -105,7 +105,11 @@ class ImageFeatures:
 def image_features(media_ds, fake: bool = False, batch_size: int = 32):
     """Feature extraction over image rows — small batches (binary
     payloads), actor pool sized explicitly."""
-    imgs = media_ds.filter(lambda r: r["kind"] == "image")
+    import pyarrow.compute as pc
+
+    imgs = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
     return imgs.map_batches(
         ImageFeatures,
         fn_constructor_kwargs={"fake": fake},
@@ -141,7 +145,11 @@ class FrameSampler:
 
 
 def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 16):
-    vids = media_ds.filter(lambda r: r["kind"] == "video")
+    import pyarrow.compute as pc
+
+    vids = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")), batch_format="pyarrow"
+    )
     return vids.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"every_ms": every_ms, "fake": True},

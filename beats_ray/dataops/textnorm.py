@@ -100,7 +100,13 @@ class ContaminationScreen:
 def contamination_screen(docs, probe_texts: list[str], k: int = 3,
                          threshold: float = 0.5):
     """Flag documents whose word-k-gram overlap with the probe corpus
-    (e.g. an eval benchmark) exceeds ``threshold``."""
+    (e.g. an eval benchmark) exceeds ``threshold``. The threshold is
+    applied with exact integer cross-multiplication (hits*q >=
+    max(n,1)*p for threshold p/q) so the SQL oracle compares exactly —
+    no float boundary flips."""
+    from .dedup import threshold_fraction
+
+    p, q = threshold_fraction(threshold)
     probe: set[int] = set()
     for t in probe_texts:
         probe |= word_shingles(t, k)
@@ -114,8 +120,9 @@ def contamination_screen(docs, probe_texts: list[str], k: int = 3,
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        ratio = df["n_probe_hits"] / df["n_ngrams"].clip(lower=1)
-        df["contaminated"] = ratio >= threshold
+        df["contaminated"] = (
+            df["n_probe_hits"] * q >= df["n_ngrams"].clip(lower=1) * p
+        )
         return df
 
     return scored.map_batches(flag, batch_format="pandas")

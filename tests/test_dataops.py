@@ -292,3 +292,56 @@ def test_security_pipeline_preset(ray_session, sf0001_dir):
                         num_parts=8, enrich=False).to_pandas()
     assert set(out["sink"].unique()) <= {"high_sev", "failures", "audit"}
     assert (out["pipeline"] == "security").all()
+
+
+def test_verify_jaccard_paths_agree(docs):
+    """The candidate-bounded broadcast path and the bucket-hash-join
+    path of verify_jaccard must produce identical (a, b, inter, union)
+    evidence — the bucket path is the 100TB fallback when candidates
+    approach the corpus."""
+    from beats_ray.dataops.dedup import lsh_candidate_pairs, verify_jaccard
+
+    pairs = lsh_candidate_pairs(docs, num_perm=64, bands=32).materialize()
+    cols = ["a", "b", "inter_n", "union_n"]
+    bc = (
+        verify_jaccard(pairs, docs)
+        .to_pandas()[cols]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    bj = (
+        verify_jaccard(pairs, docs, broadcast_limit=0)
+        .to_pandas()[cols]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, bj)
+
+
+def test_simhash_pigeonhole_exact(docs):
+    """simhash_dedup with auto chunking must find EVERY pair within
+    max_hamming (verified against all-pairs brute force)."""
+    from beats_ray.dataops.dedup import SimHasher, simhash_dedup
+
+    df = docs.to_pandas()
+    sh = SimHasher()
+    hs = {int(r.doc_id): sh.simhash(r.text) for r in df.itertuples()}
+    ids = sorted(hs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(hs[ids[i]] ^ hs[ids[j]]).count("1") <= 6:
+                want.add((ids[i], ids[j]))
+    got_df = simhash_dedup(docs, max_hamming=6).to_pandas()
+    got = set(map(tuple, got_df[["a", "b"]].values))
+    assert got == want
+    assert want, "fixture must contain close pairs"
+
+
+def test_simhash_chunks_guard():
+    from beats_ray.dataops.dedup import _chunks_for
+
+    assert _chunks_for(3) == 4
+    assert _chunks_for(10) == 16
+    assert _chunks_for(40) == 64
