@@ -448,12 +448,20 @@ def q_ann_brute_topk(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
+    """IVF machinery driven at FULL probe (n_probe = n_clusters): the
+    bucket assignment, probe filtering and top-k merge all execute, and
+    the result is provably identical to exact brute force — which is
+    what the SQL oracle checks. The approximate regime (n_probe <
+    n_clusters) is covered by the recall test in tests/test_dataops.py
+    (recall is data-dependent, so it has no exact oracle)."""
     from beats_ray.dataops.ann import ivf_topk
 
     res = ivf_topk(
         _table(sf_dir, "embeddings", ["vec_id", "embedding"]),
         _query_vectors(sf_dir),
         k=10,
+        n_clusters=16,
+        n_probe=16,
     )
     res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
     res["rank"] = res.groupby("query_id").cumcount() + 1
@@ -461,6 +469,8 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_embed_dup_pairs(sf_dir: str):
+    """EXACT cosine similarity join (centroid-bound bucket-pair
+    pruning, no false negatives) — oracle = the all-pairs SQL."""
     from beats_ray.dataops.ann import embedding_cosine_dup_pairs
 
     out = embedding_cosine_dup_pairs(
@@ -473,12 +483,18 @@ def q_embed_dup_pairs(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Image decode → feature extraction over the deterministic media
+    corpus. Output = integer pixel evidence (count + sum); the oracle
+    recomputes the tiling/summation math in SQL over the same inlined
+    payload bytes."""
     import ray.data as rd
 
     from beats_ray.dataops.multimodal import image_features, synthesize_media_table
 
     media = rd.from_arrow(synthesize_media_table(64))
-    return image_features(media, fake=True)
+    return image_features(media, fake=True).select_columns(
+        ["media_id", "n_px", "px_sum"]
+    )
 
 
 def q_frame_samples(sf_dir: str):
@@ -1201,6 +1217,56 @@ SELECT doc_id, {case} AS lang_pred FROM c
 """
 
 
+def _media_values_sql() -> str:
+    """The deterministic media corpus inlined as a VALUES table (the
+    INPUT data, in byte-list + hex form); the feature math itself runs
+    in SQL."""
+    from beats_ray.dataops.multimodal import synthesize_media_table
+
+    rows = []
+    for r in synthesize_media_table(64).to_pylist():
+        bs = ", ".join(str(b) for b in r["payload"])
+        rows.append(
+            f"({r['media_id']}, '{r['kind']}', {r['width']}, {r['height']}, "
+            f"{r['duration_ms']}, '{r['payload'].hex()}', [{bs}])"
+        )
+    return (
+        "media(media_id, kind, width, height, duration_ms, payload_hex, bs)"
+        " AS (VALUES " + ", ".join(rows) + ")"
+    )
+
+
+def _media_features_sql() -> str:
+    # fake decode = payload bytes tiled to width*height pixels:
+    # px_sum = full_cycles * sum(bytes) + sum(first remainder bytes)
+    need = "(greatest(width,1) * greatest(height,1))"
+    return f"""
+WITH {_media_values_sql()}
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST({need} AS BIGINT) AS n_px,
+       CAST({need} // len(bs) * list_sum(bs)
+            + CASE WHEN {need} % len(bs) > 0
+                   THEN list_sum(bs[1:{need} % len(bs)])
+                   ELSE 0 END AS BIGINT) AS px_sum
+FROM media WHERE kind = 'image'
+"""
+
+
+def _frame_samples_sql() -> str:
+    return f"""
+WITH {_media_values_sql()}
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_ms AS BIGINT) AS frame_ms,
+       substr(md5(payload_hex || '-' || CAST(frame_ms AS VARCHAR)), 1, 16)
+         AS frame_hash
+FROM (
+  SELECT media_id, payload_hex,
+         unnest(generate_series(0, duration_ms - 1, 500)) AS frame_ms
+  FROM media WHERE kind = 'video'
+)
+"""
+
+
 def _contamination_sql() -> str:
     # probe set = word-3-gram hashes of docs 0-4 (same as the query);
     # threshold 0.5 → hits*2 >= max(n,1)*1
@@ -1491,6 +1557,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
             QUALIFY rank <= 10""",
+        # IVF at full probe is provably exact → same oracle as brute
+        "ann_ivf_topk": """
+            SELECT q.vec_id AS query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+            QUALIFY rank <= 10""",
+        # exact similarity join → all-pairs ground truth
+        "embed_dup_pairs": """
+            SELECT l.vec_id AS a, r.vec_id AS b
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(l.embedding AS DOUBLE[]),
+                    CAST(r.embedding AS DOUBLE[])) >= 0.35""",
         # near-dup sketch family: the oracle REPLAYS the full pipeline
         # in SQL (md5-based token hashes + inlined minhash coefficients
         # make every step reproducible in DuckDB)
@@ -1499,4 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(10),
         "lang_id": _lang_id_sql(),
         "contamination_screen": _contamination_sql(),
+        # media plumbing: input bytes inlined, feature math replayed in SQL
+        "media_features": _media_features_sql(),
+        "frame_samples": _frame_samples_sql(),
     }

@@ -163,46 +163,150 @@ def ivf_topk(
     )
 
 
+class _AssignWithAngle:
+    """Tag each vector with its nearest centroid bucket and its angle
+    to that centroid (radians) — the radius input for bucket-pair
+    pruning."""
+
+    def __init__(self, cents_ref):
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["bucket"] = pd.Series(dtype="int64")
+            df["angle"] = pd.Series(dtype="float64")
+            return df
+        m = _normalize(_batch_matrix(df))
+        sims = m @ self.cents.T
+        b = np.argmax(sims, axis=1)
+        df["bucket"] = b.astype(np.int64)
+        df["angle"] = np.arccos(np.clip(sims[np.arange(len(b)), b], -1.0, 1.0))
+        return df
+
+
 def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
                                n_clusters: int = 16) -> pd.DataFrame:
-    """Embedding-cosine near-dup detection: bucket by nearest centroid
-    (groupby) and compare only within buckets — the all-pairs matmul
-    never materializes."""
+    """EXACT embedding-cosine similarity join, scale-safe.
+
+    Vectors bucket by nearest centroid; a bucket PAIR (i, j) is compared
+    only if the triangle-inequality bound admits a qualifying pair:
+    ``angle(c_i, c_j) <= arccos(threshold) + r_i + r_j`` where ``r`` is
+    the bucket's max member-to-centroid angle. Within admitted pairs the
+    comparison is one vectorized matmul + ``argwhere`` (no Python pair
+    loop). No false negatives (the bound is sound, padded by epsilon for
+    float safety); high thresholds prune most of the n_clusters² grid.
+    Replication factor per vector = number of admitted partner buckets.
+    """
     sample = embeddings.limit(2048).to_pandas()
-    cents = kmeans_fit(_batch_matrix(sample), n_clusters)
+    cents = _normalize(kmeans_fit(_batch_matrix(sample), n_clusters))
     cref = ray.put(cents)
 
-    class Assign:
-        def __init__(self, cents_ref):
-            c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
-            self.cents = np.asarray(c)
+    assigned = embeddings.map_batches(
+        _AssignWithAngle, fn_constructor_kwargs={"cents_ref": cref},
+        batch_format="pandas", concurrency=(1, 4),
+    ).materialize()  # consumed twice: radius pre-agg + pair comparison
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            if len(df) == 0:
-                df["bucket"] = pd.Series(dtype="int64")
-                return df
-            m = _normalize(_batch_matrix(df))
-            df["bucket"] = np.argmax(m @ self.cents.T, axis=1)
-            return df
+    # per-bucket radius: per-batch partial max -> tiny global max
+    from ray.data.aggregate import Max
+
+    radii_df = (
+        assigned.select_columns(["bucket", "angle"])
+        .map_batches(
+            lambda df: df.groupby("bucket", as_index=False)["angle"].max(),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .aggregate(Max("angle", alias_name="angle"))
+        .to_pandas()
+    )
+    radii = np.zeros(len(cents), dtype=np.float64)
+    radii[radii_df["bucket"].to_numpy(dtype=np.int64)] = radii_df["angle"].to_numpy()
+
+    # admitted bucket pairs from the centroid-angle bound (driver-side:
+    # n_clusters² tiny). eps pads float rounding — extra comparisons
+    # only, never lost pairs.
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    eps = 1e-9
+    admitted: list[tuple[int, int]] = [
+        (i, j)
+        for i in range(len(cents))
+        for j in range(i, len(cents))
+        if cang[i, j] <= theta_t + radii[i] + radii[j] + eps
+    ]
+    # group id per admitted pair; each vector replicates to every group
+    # its bucket participates in
+    group_of: dict[tuple[int, int], int] = {p: g for g, p in enumerate(admitted)}
+    by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+    for (i, j), g in group_of.items():
+        by_bucket.setdefault(i, []).append((g, i, j))
+        if i != j:
+            by_bucket.setdefault(j, []).append((g, i, j))
+    bref = ray.put(by_bucket)
+
+    def replicate(df: pd.DataFrame, ref) -> pd.DataFrame:
+        from .joins import _resolve_ref
+
+        bb = _resolve_ref(ref)
+        out = []
+        for b, sub in df.groupby("bucket"):
+            for g, i, j in bb.get(int(b), ()):  # noqa: B023
+                s = sub.copy()
+                s["_grp"] = g
+                # side 0 = bucket i rows, side 1 = bucket j rows
+                s["_side"] = 0 if int(b) == i else 1
+                out.append(s)
+        if not out:
+            return df.head(0).assign(_grp=pd.Series(dtype="int64"),
+                                     _side=pd.Series(dtype="int64"))
+        return pd.concat(out, ignore_index=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_batch_matrix(g))
-        sims = m @ m.T
-        ids = g["vec_id"].to_numpy()
-        out = {"a": [], "b": [], "sim": []}
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out["a"].append(a)
-                    out["b"].append(b)
-                    out["sim"].append(float(sims[i, j]))
-        return pd.DataFrame(out).astype({"a": "int64", "b": "int64", "sim": "float64"})
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+        left = g[g["_side"] == 0]
+        same_bucket = bool((g["_side"] == 0).all())
+        right = left if same_bucket else g[g["_side"] == 1]
+        if left.empty or right.empty:
+            return empty
+        ml = _normalize(_batch_matrix(left))
+        mr = ml if same_bucket else _normalize(_batch_matrix(right))
+        sims = ml @ mr.T
+        mask = sims >= threshold
+        if same_bucket:
+            mask = np.triu(mask, k=1)
+        idx = np.argwhere(mask)
+        if len(idx) == 0:
+            return empty
+        la = left["vec_id"].to_numpy(dtype=np.int64)[idx[:, 0]]
+        rb = right["vec_id"].to_numpy(dtype=np.int64)[idx[:, 1]]
+        a = np.minimum(la, rb)
+        b = np.maximum(la, rb)
+        keep = a != b
+        return pd.DataFrame(
+            {"a": a[keep], "b": b[keep], "sim": sims[idx[:, 0], idx[:, 1]][keep]}
+        ).astype({"a": "int64", "b": "int64", "sim": "float64"})
 
-    assigned = embeddings.map_batches(
-        Assign, fn_constructor_kwargs={"cents_ref": cref}, batch_format="pandas",
-        concurrency=(1, 4),
+    out = (
+        assigned.map_batches(
+            replicate, fn_kwargs={"ref": bref}, batch_format="pandas"
+        )
+        .groupby("_grp")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
     )
-    return assigned.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+    # cross-bucket groups can each see a pair once; same pair can't
+    # appear in two groups (a vector has ONE bucket), but dedup guards
+    # the i==j self-comparison edge
+    return (
+        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    )

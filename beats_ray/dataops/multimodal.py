@@ -88,16 +88,22 @@ class ImageFeatures:
         )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        means, stds = [], []
+        means, stds, n_px, px_sum = [], [], [], []
         for payload, w, h in zip(df["payload"], df["width"], df["height"]):
             px = self.decode(payload, int(w), int(h))
             means.append(float(px.mean()))
             stds.append(float(px.std()))
+            # integer evidence (exactly oracle-comparable; mean/std are
+            # float conveniences derived from these)
+            n_px.append(int(px.size))
+            px_sum.append(int(px.sum(dtype=np.int64)))
         return pd.DataFrame(
             {
                 "media_id": df["media_id"],
                 "feat_mean": means,
                 "feat_std": stds,
+                "n_px": pd.array(n_px, dtype="int64"),
+                "px_sum": pd.array(px_sum, dtype="int64"),
             }
         )
 
@@ -135,9 +141,11 @@ class FrameSampler:
             if not self.fake:
                 raise NotImplementedError("video decode not available offline")
             for t in range(0, int(dur), self.every_ms):
-                h = hashlib.blake2b(
-                    payload + t.to_bytes(4, "big"), digest_size=8
-                ).hexdigest()
+                # md5 over "payloadhex-t": a stand-in frame id the SQL
+                # oracle reproduces exactly (substr(md5(hex||'-'||t),1,16))
+                h = hashlib.md5(
+                    f"{payload.hex()}-{t}".encode("ascii")
+                ).hexdigest()[:16]
                 out["media_id"].append(mid)
                 out["frame_ms"].append(t)
                 out["frame_hash"].append(h)

@@ -345,3 +345,25 @@ def test_simhash_chunks_guard():
     assert _chunks_for(3) == 4
     assert _chunks_for(10) == 16
     assert _chunks_for(40) == 64
+
+
+def test_embed_dup_pairs_exact_vs_allpairs(ray_session):
+    """The centroid-bound bucket-pair pruning must be EXACT: every pair
+    with cosine >= threshold is found, across buckets too (brute-force
+    all-pairs numpy as ground truth)."""
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16)
+    vecs[290:] = vecs[:10] + 0.05 * rng.randn(10, 16)  # planted near-dups
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    got_df = embedding_cosine_dup_pairs(ds, threshold=0.8, n_clusters=8)
+    got = set(map(tuple, got_df[["a", "b"]].values))
+
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = set(map(tuple, np.argwhere(np.triu(sims >= 0.8, k=1))))
+    assert want, "fixture must contain qualifying pairs"
+    assert got == want
