@@ -189,6 +189,71 @@ def q_syslog_parse(sf_dir: str):
     return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
 
 
+def q_syslog_sd_parse(sf_dir: str):
+    """RFC5424 structured-data round-trip: build an SD-bearing 5424
+    line from each turn's identity, parse it through the syslog
+    processor (SD elements + escape handling), and recover the identity
+    from the parsed ``syslog.sd`` JSON. The oracle re-derives the same
+    values directly — equality proves the parser inverted the encoding
+    (including the escaped-quote param)."""
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor({"syslog": {"format": "rfc5424", "field": "line"}})
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        line = (
+            '<165>1 2024-01-01T00:00:00Z host app - MID [meta@1 conv="'
+            + df["conv_id"].astype(str)
+            + '" idx="'
+            + df["turn_idx"].astype(str)
+            + '"][note@2 esc="a \\" b"] payload'
+        )
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"], "turn_idx": df["turn_idx"], "line": line}
+        )
+
+    def extract(t: pa.Table) -> pa.Table:
+        t = proc(t)
+        sd_conv, sd_idx, sd_esc = [], [], []
+        for s in t["syslog.sd"].to_pylist():
+            d = _json.loads(s) if s else {}
+            sd_conv.append(d.get("meta@1", {}).get("conv"))
+            v = d.get("meta@1", {}).get("idx")
+            sd_idx.append(int(v) if v is not None else None)
+            sd_esc.append(d.get("note@2", {}).get("esc"))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "sd_conv": pa.array(sd_conv, pa.string()),
+                "sd_idx": pa.array(sd_idx, pa.int64()),
+                "sd_esc": pa.array(sd_esc, pa.string()),
+            }
+        )
+
+    return (
+        _transcripts(sf_dir)
+        .select_columns(["conv_id", "turn_idx"])
+        .map_batches(build, batch_format="pandas")
+        .map_batches(extract, batch_format="pyarrow")
+    )
+
+
+def q_dead_letter_counts(sf_dir: str):
+    """ES dead-letter routing: rows whose payload exceeds the sink's
+    byte cap re-route to the dead_letter sink (reason + original target
+    preserved); per-sink counts after re-routing."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.sinks import dead_letter_route
+
+    routed = dead_letter_route(_routed(sf_dir), max_text_bytes=100)
+    return grouped_count(routed, ["sink"])
+
+
 def q_multiline_stats(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -303,6 +368,60 @@ def q_rate_limited_counts(sf_dir: str):
     narrow = _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "ts"])
     kept = rate_limit(narrow, k=3, window_s=60)
     return grouped_count(kept, ["conv_id"], name="n_kept")
+
+
+def q_rate_limit_tokens(sf_dir: str):
+    """TRUE token-bucket rate limit (refill semantics, ratelimit/
+    rate_limit.go): 1 token per hour, burst 2, replayed per user over
+    the events stream — kept-event count per user. Oracle = a DuckDB
+    recursive CTE replaying the identical integer recurrence."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.dataops.flows import token_bucket_limit
+
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    kept = token_bucket_limit(ev, key="user_id", limit_n=1, per_s=3600, burst=2)
+    return grouped_count(kept, ["user_id"], name="n_kept")
+
+
+def q_cache_hits(sf_dir: str):
+    """cache processor put/get/delete with TTL (cache/cache.go): views
+    PUT (value = event_id), purchases DELETE, clicks GET. A click
+    resolves the user's latest view if it is newer than any delete and
+    at most ttl_s old. Oracle = DuckDB ASOF join over the same state
+    stream."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def to_ops(t: pa.Table) -> pa.Table:
+        op = pc.case_when(
+            pc.make_struct(
+                pc.equal(t["event_type"], "view"),
+                pc.equal(t["event_type"], "purchase"),
+                pc.equal(t["event_type"], "click"),
+            ),
+            "put", "delete", "get",
+        )
+        return pa.table(
+            {
+                "k": t["user_id"],
+                "ts": t["ts"],
+                "op": op,
+                "v": t["event_id"],
+            }
+        ).filter(pc.is_valid(op))
+
+    ops = ev.map_batches(to_ops, batch_format="pyarrow")
+    out = cache_put_get(ops, key="k", value_col="v", op_col="op",
+                        ts_col="ts", ttl_s=50_000)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id" if c == "k" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_flow_agg(sf_dir: str):
@@ -925,6 +1044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndjson_parse": q_ndjson_parse,
         "syslog_parse": q_syslog_parse,
         "multiline_stats": q_multiline_stats,
+        "syslog_sd_parse": q_syslog_sd_parse,
+        "dead_letter_counts": q_dead_letter_counts,
         "multiline_merge": q_multiline_merge,
         "conv_stats": q_conv_stats,
         "unique_tools": q_unique_tools,
@@ -937,6 +1058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_index": q_format_index,
         "fingerprint_docs": q_fingerprint_docs,
         "rate_limited_counts": q_rate_limited_counts,
+        "rate_limit_tokens": q_rate_limit_tokens,
+        "cache_hits": q_cache_hits,
         # aggregation / windows / sort
         "flow_agg": q_flow_agg,
         "flow_sessions": q_flow_sessions,
@@ -1379,6 +1502,16 @@ def oracle_sql() -> dict[str, str]:
              CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
              CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_s
              FROM t GROUP BY conv_id""",
+        "syslog_sd_parse": f"""
+            SELECT conv_id, turn_idx, conv_id AS sd_conv,
+                   CAST(turn_idx AS BIGINT) AS sd_idx,
+                   'a " b' AS sd_esc
+            FROM read_parquet('{path}')""",
+        "dead_letter_counts": tr
+        + """SELECT CASE WHEN strlen(text) > 100 THEN 'dead_letter'
+                         ELSE sink END AS sink,
+                    COUNT(*) AS n
+             FROM r GROUP BY 1""",
         "multiline_stats": tr
         + """SELECT conv_id, turn_idx,
              length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
@@ -1421,6 +1554,52 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, CAST(floor(epoch(ts)/60) AS BIGINT)
                 ORDER BY turn_idx) <= 3
             ) GROUP BY conv_id""",
+        # token bucket: recursive CTE replays the exact integer
+        # recurrence (unit = per_s*1e6 sub-tokens; cap=2 tokens,
+        # cost=1 token, refill = limit_n * delta_us)
+        "rate_limit_tokens": """
+            WITH RECURSIVE ev AS (
+              SELECT user_id, epoch_us(ts) AS tus,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            tb(user_id, rn, tus, tok, allowed) AS (
+              SELECT user_id, rn, tus,
+                     7200000000 - 3600000000,
+                     TRUE
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, e.tus,
+                     CASE WHEN least(7200000000, t.tok + (e.tus - t.tus))
+                               >= 3600000000
+                          THEN least(7200000000, t.tok + (e.tus - t.tus))
+                               - 3600000000
+                          ELSE least(7200000000, t.tok + (e.tus - t.tus)) END,
+                     least(7200000000, t.tok + (e.tus - t.tus)) >= 3600000000
+              FROM tb t
+              JOIN ev e ON e.user_id = t.user_id AND e.rn = t.rn + 1
+            )
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE allowed) AS BIGINT) AS n_kept
+            FROM tb GROUP BY user_id""",
+        # cache put/get/delete+TTL: ASOF join onto the state stream
+        "cache_hits": """
+            WITH st AS (
+              SELECT user_id, ts, event_type AS sop, event_id AS sv,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sts
+              FROM events WHERE event_type IN ('view', 'purchase')
+            ),
+            g AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+            SELECT g.user_id, g.ts,
+                   CASE WHEN st.sop = 'view'
+                         AND CAST(floor(epoch(g.ts)) AS BIGINT) - st.sts <= 50000
+                        THEN st.sv ELSE -1 END AS cached,
+                   COALESCE(st.sop = 'view'
+                         AND CAST(floor(epoch(g.ts)) AS BIGINT) - st.sts <= 50000,
+                        FALSE) AS hit
+            FROM g ASOF LEFT JOIN st
+              ON g.user_id = st.user_id AND g.ts >= st.ts""",
         "flow_agg": """
             SELECT user_id, event_type,
                    CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS window_s,

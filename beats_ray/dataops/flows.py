@@ -147,6 +147,55 @@ def top_k_users(events, k: int = 10):
     )
 
 
+def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
+                       per_s: int = 1, burst: int | None = None,
+                       ts_col: str = "ts", order_col: str = "event_id",
+                       buckets: int = 32):
+    """TRUE token-bucket rate limiting — the reference's refill
+    semantics (libbeat/processors/ratelimit/rate_limit.go:28-56,103:
+    per-key bucket, capacity = burst, replenish ``limit_n / per_s``
+    tokens per second of event time, spend 1 per allowed event),
+    re-expressed as an event-time replay per key inside map_buckets.
+
+    Exact integer math: one token = ``per_s * 1e6`` sub-units, so the
+    refill over ``delta_us`` microseconds is ``limit_n * delta_us``
+    sub-units — no float drift, and the DuckDB oracle's recursive CTE
+    replays the identical recurrence. The clamped recurrence
+    ``tok = min(cap, tok + refill) - cost`` is inherently sequential
+    per key; keys replay in one tight loop per hash bucket (buckets run
+    in parallel; per-key state is O(1)).
+
+    Returns the ALLOWED rows (same columns)."""
+    from .agg import map_buckets
+
+    unit = per_s * 1_000_000
+    cap = (burst if burst is not None else limit_n) * unit
+    cost = unit
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        tus = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key].to_numpy()
+        allowed = np.zeros(len(g), dtype=bool)
+        tok = 0
+        last = 0
+        prev = None
+        for i in range(len(g)):
+            kk = keys[i]
+            if prev is None or kk != prev:
+                tok = cap  # fresh key: bucket starts full
+                prev = kk
+            else:
+                tok = min(cap, tok + limit_n * (tus[i] - last))
+            last = tus[i]
+            if tok >= cost:
+                allowed[i] = True
+                tok -= cost
+        return g[allowed]
+
+    return map_buckets(events, key, per_bucket, buckets=buckets)
+
+
 def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32):
     """Deterministic token-bucket analogue (ratelimit/rate_limit.go:103
     with per-``fields`` key bucketing): keep the first ``k`` turns per

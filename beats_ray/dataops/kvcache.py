@@ -1,0 +1,95 @@
+"""Cache processor — put / get / delete with TTL expiry.
+
+The reference's cache processor (libbeat/processors/cache/cache.go:26-80,
+Run :128) is a stateful per-event processor: ``put`` stores
+``key → value`` with a TTL, ``get`` enriches later events from the
+store, ``delete`` evicts. Event order defines state.
+
+Batch re-expression: the operation stream is replayed in EVENT TIME —
+for every get, the effective state is the latest put-or-delete for that
+key at or before the get's timestamp; it is a hit iff that operation is
+a put whose age (``get.ts - put.ts``) is within the TTL. That is an
+AS-OF join of the get rows onto the put∪delete rows (one co-locating
+key shuffle, vectorized ``merge_asof`` per bucket — dataops.joins), so
+the cache state never lives in one process: exactly the distribution
+strategy a 100 TB replay needs.
+
+Misses resolve to the integer sentinel ``miss_value`` (avoids the
+nullable-int vs float-NaN dtype drift between engines — FIXTURES
+oracle-parity note).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def cache_put_get(ops, key: str = "k", value_col: str = "v",
+                  op_col: str = "op", ts_col: str = "ts",
+                  ttl_s: int | None = None, miss_value: int = -1,
+                  buckets: int = 32):
+    """Replay a put/get/delete operation stream; returns one row per
+    GET with the resolved ``cached`` value (or ``miss_value``) and a
+    ``hit`` flag.
+
+    ``ops`` columns: ``key``, ``ts_col``, ``op_col`` ('put'|'get'|
+    'delete'), ``value_col`` (meaningful on puts). ``ttl_s=None`` means
+    no expiry (reference: ttl 0 = keep forever)."""
+    import pyarrow.compute as pc
+
+    def pick_gets(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[op_col], "get")).select([key, ts_col])
+
+    def pick_state(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t[op_col], value_set=pa.array(["put", "delete"]))
+        )
+        # carry the state op's own timestamp as a VALUE column (epoch
+        # seconds) — merge_asof keeps only the left's `on` column, and
+        # the TTL check needs the put's time
+        sec = pc.cast(
+            pc.cast(t[ts_col].combine_chunks(), pa.timestamp("s"), safe=False),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key: t[key],
+                ts_col: t[ts_col],
+                "_state_op": t[op_col],
+                "_state_v": t[value_col],
+                "_state_ts_s": sec,
+            }
+        )
+
+    gets = ops.map_batches(pick_gets, batch_format="pyarrow")
+    state = ops.map_batches(pick_state, batch_format="pyarrow")
+
+    from .joins import asof_join
+
+    joined = asof_join(gets, state, key=key, ts_col=ts_col, buckets=buckets)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df["_state_op"].eq("put").fillna(False)
+        if ttl_s is not None:
+            get_s = df[ts_col].astype("datetime64[s]").astype("int64")
+            put_s = pd.to_numeric(df["_state_ts_s"], errors="coerce")
+            age_ok = (get_s - put_s) <= ttl_s
+            hit &= age_ok.fillna(False)
+        key_out = (
+            df[key].astype("int64")
+            if pd.api.types.is_numeric_dtype(df[key])
+            else df[key]
+        )
+        return pd.DataFrame(
+            {
+                key: key_out,
+                ts_col: df[ts_col],
+                "cached": pd.to_numeric(df["_state_v"].where(hit), errors="coerce")
+                .fillna(miss_value)
+                .astype("int64"),
+                "hit": hit.astype(bool),
+            }
+        )
+
+    return joined.map_batches(resolve, batch_format="pandas")

@@ -10,6 +10,7 @@ as vectorized Arrow batch transforms.
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -173,6 +174,31 @@ def _null_if(col: pa.Array, sentinel: str, n: int) -> pa.Array:
     return pc.if_else(pc.equal(col, sentinel), pa.nulls(n, pa.string()), col)
 
 
+# RFC5424 STRUCTURED-DATA: [SD-ID PARAM-NAME="PARAM-VALUE" ...]+ with
+# \" \] \\ escapes inside values (reader/syslog/rfc5424_gen.go SD state
+# machine, parser.go mapping). Two compiled regexes replace the ragel
+# element/param scanners; unescaping mirrors the reference (only the
+# three escapable characters are unescaped).
+_SD_ELEM_RE = re.compile(r'\[([^ \]"=]+)((?:\s+[^ =\]"]+="(?:[^"\\]|\\.)*")*)\]')
+_SD_PARAM_RE = re.compile(r'([^ =\]"]+)="((?:[^"\\]|\\.)*)"')
+_SD_UNESCAPE_RE = re.compile(r'\\(["\\\]])')
+
+
+def parse_sd_elements(sd: str | None) -> str | None:
+    """Parse an SD field into a JSON string
+    ``{"sd-id": {"param": "value", ...}, ...}`` (None for ``-``/empty/
+    unparseable — matching the reference's nil StructuredData)."""
+    if not sd or sd == "-" or sd[0] != "[":
+        return None
+    out: dict[str, dict[str, str]] = {}
+    for m in _SD_ELEM_RE.finditer(sd):
+        params: dict[str, str] = {}
+        for pm in _SD_PARAM_RE.finditer(m.group(2)):
+            params[pm.group(1)] = _SD_UNESCAPE_RE.sub(r"\1", pm.group(2))
+        out[m.group(1)] = params
+    return json.dumps(out, sort_keys=True) if out else None
+
+
 @register("syslog")
 def syslog_proc(cfg: dict):
     """Parse a syslog message from a field (processors/syslog/
@@ -232,6 +258,16 @@ def syslog_proc(cfg: dict):
                     pc.cast(_null_if(pick("ver", None), "", n), pa.int64(),
                             safe=False))
         t = set_col(t, f"{prefix}.msgid", _null_if(pick("msgid", None), "-", n))
+        if s5 is not None:
+            # SD elements: per-row parse of only the 5424-matched rows
+            # (nested key=value structure — not expressible as a single
+            # Arrow kernel; the row loop touches syslog rows only)
+            sd_raw = pc.struct_field(s5, "sd").to_pylist()
+            sd_vals = [
+                parse_sd_elements(v) if ok else None
+                for v, ok in zip(sd_raw, ok5.to_pylist())
+            ]
+            t = set_col(t, f"{prefix}.sd", pa.array(sd_vals, pa.string()))
         t = set_col(t, f"{prefix}.ok", pc.or_(ok3, ok5))
         return t
 

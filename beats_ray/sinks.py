@@ -102,6 +102,60 @@ def _console_sink(sink_dir: Path, cfg: dict) -> None:
             break
 
 
+def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
+                      required: tuple[str, ...] = (),
+                      text_col: str = "text",
+                      dead_sink: str = "dead_letter"):
+    """ES dead-letter-index semantics (outputs/elasticsearch/
+    dead_letter_index.go): documents the sink REJECTS (size cap /
+    missing required field ≈ mapping error) re-route to the dead-letter
+    sink with the failure reason and the original target preserved —
+    the event itself is never dropped. Vectorized validation per batch;
+    size is measured in BYTES (strlen/binary_length — the bulk-request
+    cap is a byte budget, not a codepoint count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def route(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        bad = pa.array([False] * n)
+        reason = pa.nulls(n, pa.string())
+        # reason precedence: missing required field, then size cap
+        if max_text_bytes is not None:
+            text = pc.fill_null(t[text_col].combine_chunks(), "")
+            over = pc.greater(pc.binary_length(text), max_text_bytes)
+            reason = pc.if_else(
+                pc.and_(over, pc.invert(bad)),
+                pa.array(["doc_too_large"] * n), reason,
+            )
+            bad = pc.or_(bad, over)
+        for col in required:
+            missing = (
+                pc.is_null(t[col].combine_chunks())
+                if col in t.column_names
+                else pa.array([True] * n)
+            )
+            reason = pc.if_else(
+                pc.and_(missing, pc.invert(bad)),
+                pa.array([f"missing_field:{col}"] * n), reason,
+            )
+            bad = pc.or_(bad, missing)
+        orig = t["sink"].combine_chunks()
+        t = t.set_column(
+            t.column_names.index("sink"), "sink",
+            pc.if_else(bad, pa.array([dead_sink] * n), orig),
+        )
+        t = t.append_column(
+            "dead_letter.reason", reason
+        ).append_column(
+            "dead_letter.original_sink",
+            pc.if_else(bad, orig, pa.nulls(n, pa.string())),
+        )
+        return t
+
+    return routed_ds.map_batches(route, batch_format="pyarrow")
+
+
 def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32):
     """Exact doc-id dedup before the sink write — the ES duplicate-create
     detection re-expressed (fingerprint → _id → create op counts

@@ -367,3 +367,56 @@ def test_embed_dup_pairs_exact_vs_allpairs(ray_session):
     want = set(map(tuple, np.argwhere(np.triu(sims >= 0.8, k=1))))
     assert want, "fixture must contain qualifying pairs"
     assert got == want
+
+
+def test_token_bucket_refill_semantics(ray_session):
+    """Reference token-bucket math (ratelimit/rate_limit.go): burst
+    capacity, 1-token cost, fractional refill accumulates — verified
+    against a hand-computed replay (limit 1/s, burst 2)."""
+    from beats_ray.dataops.flows import token_bucket_limit
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts_off_ms = [0, 500, 1000, 1200, 10_000]
+    #  t=0.0s: bucket full (2) -> allow (1 left)
+    #  t=0.5s: 1+0.5=1.5      -> allow (0.5)
+    #  t=1.0s: 0.5+0.5=1.0    -> allow (0.0)
+    #  t=1.2s: 0.0+0.2=0.2    -> DENY
+    #  t=10s:  0.2+8.8 -> cap -> allow
+    want_allowed = [True, True, True, False, True]
+    rows = [
+        {"event_id": i, "user_id": 7,
+         "ts": base + pd.Timedelta(milliseconds=ms)}
+        for i, ms in enumerate(ts_off_ms)
+    ]
+    kept = token_bucket_limit(
+        rd.from_items(rows), key="user_id", limit_n=1, per_s=1, burst=2
+    ).to_pandas()
+    got = sorted(kept["event_id"].tolist())
+    assert got == [i for i, a in enumerate(want_allowed) if a]
+
+
+def test_cache_put_get_delete_ttl(ray_session):
+    """cache processor semantics (cache/cache_test.go shape): put->get
+    hit, delete->get miss, re-put->get hit, expiry->miss."""
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    sec = lambda s: base + pd.Timedelta(seconds=s)
+    ops = [
+        {"k": 1, "ts": sec(0), "op": "put", "v": 10},
+        {"k": 1, "ts": sec(10), "op": "get", "v": -1},     # hit 10
+        {"k": 1, "ts": sec(20), "op": "delete", "v": -1},
+        {"k": 1, "ts": sec(30), "op": "get", "v": -1},     # miss (deleted)
+        {"k": 1, "ts": sec(40), "op": "put", "v": 20},
+        {"k": 1, "ts": sec(45), "op": "get", "v": -1},     # hit 20
+        {"k": 1, "ts": sec(40 + 101), "op": "get", "v": -1},  # expired
+        {"k": 2, "ts": sec(5), "op": "get", "v": -1},      # never put
+    ]
+    out = (
+        cache_put_get(rd.from_items(ops), ttl_s=100)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert out["cached"].tolist() == [10, -1, 20, -1, -1]
+    assert out["hit"].tolist() == [True, False, True, False, False]

@@ -191,3 +191,89 @@ def test_decode_duration():
     t = pa.table({"d": ["1h2m3s", "150ms", "bogus"]})
     out = run({"decode_duration": {"field": "d", "target": "sec"}}, t)
     assert out["sec"].to_pylist() == [3723.0, 0.15, None]
+
+
+def test_syslog_rfc5424_structured_data():
+    """SD-element parsing against the reference's rfc5424 test corpus
+    shapes (reader/syslog/parser_test.go): single element, multiple
+    elements, param-less element, escaped ", ] and \\ in values, and
+    the nil cases."""
+    import json
+
+    from beats_ray.processors.parse import parse_sd_elements
+
+    cases = [
+        (
+            '[exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"]',
+            {"exampleSDID@32473": {
+                "iut": "3", "eventSource": "Application", "eventID": "1011"}},
+        ),
+        ('[a@1 k="v"][b@2]', {"a@1": {"k": "v"}, "b@2": {}}),
+        ('[x@1 m="q \\" e"]', {"x@1": {"m": 'q " e'}}),
+        ('[x@1 m="br \\] ck"]', {"x@1": {"m": "br ] ck"}}),
+        ('[x@1 m="bs \\\\ sl"]', {"x@1": {"m": "bs \\ sl"}}),
+        ("-", None),
+        ("", None),
+        (None, None),
+    ]
+    for sd, want in cases:
+        got = parse_sd_elements(sd)
+        assert (json.loads(got) if got else None) == want, sd
+
+
+def test_syslog_5424_sd_column(ray_session):
+    """End-to-end: the syslog processor emits syslog.sd for 5424 rows
+    and null for 3164 rows."""
+    import json
+
+    import pyarrow as pa
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor({"syslog": {}})
+    t = pa.table(
+        {
+            "text": [
+                '<165>1 2024-01-01T00:00:00Z h app - MID [m@1 k="v"] hi',
+                "<34>Oct 11 22:14:15 mymachine su: 'su root' failed",
+            ]
+        }
+    )
+    out = proc(t)
+    sd = out["syslog.sd"].to_pylist()
+    assert json.loads(sd[0]) == {"m@1": {"k": "v"}}
+    assert sd[1] is None
+    assert out["syslog.ok"].to_pylist() == [True, True]
+
+
+def test_dead_letter_route(ray_session):
+    """Oversized / field-missing docs re-route to dead_letter with the
+    reason and original sink preserved; healthy docs untouched
+    (dead_letter_index.go semantics: never drop, always annotate)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from beats_ray.sinks import dead_letter_route
+
+    rows = [
+        {"sink": "main", "text": "ok", "tool": "bash"},
+        {"sink": "main", "text": "x" * 500, "tool": "bash"},
+        {"sink": "other", "text": "ok2", "tool": None},
+    ]
+    out = (
+        dead_letter_route(
+            rd.from_items(rows), max_text_bytes=100, required=("tool",)
+        )
+        .to_pandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "sink"] == "main"
+    assert pd.isna(out.loc[0, "dead_letter.reason"])
+    assert out.loc[1, "sink"] == "dead_letter"
+    assert out.loc[1, "dead_letter.reason"] == "missing_field:tool"
+    assert out.loc[1, "dead_letter.original_sink"] == "other"
+    assert out.loc[2, "sink"] == "dead_letter"
+    assert out.loc[2, "dead_letter.reason"] == "doc_too_large"
+    assert out.loc[2, "dead_letter.original_sink"] == "main"
