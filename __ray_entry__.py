@@ -616,6 +616,39 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_media_real_decode(sf_dir: str):
+    """REAL image decode: the corpus payloads are actual PNG files
+    (pure-Python zlib decode path, fake=False); pixel contents follow a
+    closed-form formula, so the oracle recomputes the decoded pixel sum
+    without any codec — byte-level decode correctness, end to end."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        image_features,
+        synthesize_real_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_real_media_table(24))
+    return image_features(media, fake=False).select_columns(
+        ["media_id", "n_px", "px_sum"]
+    )
+
+
+def q_audio_real_decode(sf_dir: str):
+    """REAL audio decode: actual RIFF/WAVE PCM16 payloads through the
+    pure-Python decoder; sample contents are closed-form, oracle
+    recomputes the amplitude sum independently."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        audio_features,
+        synthesize_real_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_real_media_table(24))
+    return audio_features(media)
+
+
 def q_frame_samples(sf_dir: str):
     import ray.data as rd
 
@@ -1095,6 +1128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
+        "media_real_decode": q_media_real_decode,
+        "audio_real_decode": q_audio_real_decode,
     }
 
 
@@ -1766,4 +1801,31 @@ def oracle_sql() -> dict[str, str]:
         # media plumbing: input bytes inlined, feature math replayed in SQL
         "media_features": _media_features_sql(),
         "frame_samples": _frame_samples_sql(),
+        # REAL codecs: payload contents are closed-form, so the oracle
+        # recomputes decoded features from the generating formula —
+        # independent of any decoder implementation
+        "media_real_decode": """
+            WITH px AS (
+              SELECT m.i AS media_id, ((m.i*31 + x.x*7 + y.y*3) % 256) AS v
+              FROM (SELECT unnest(generate_series(0, 23)) AS i) m,
+                   (SELECT unnest(generate_series(0, 31)) AS x) x,
+                   (SELECT unnest(generate_series(0, 23)) AS y) y
+              WHERE m.i % 2 = 0
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(768 AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id""",
+        "audio_real_decode": """
+            WITH s AS (
+              SELECT m.i AS media_id, abs((m.i*17 + t.t*5) % 2048 - 1024) AS a
+              FROM (SELECT unnest(generate_series(0, 23)) AS i) m,
+                   (SELECT unnest(generate_series(0, 767)) AS t) t
+              WHERE m.i % 2 = 1 AND t.t < 400 + 16*m.i
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(400 + 16*media_id AS BIGINT) AS n_samples,
+                   CAST(16000 AS BIGINT) AS sample_rate,
+                   CAST(SUM(a) AS BIGINT) AS amp_sum
+            FROM s GROUP BY media_id""",
     }

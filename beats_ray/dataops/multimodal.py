@@ -82,9 +82,14 @@ class ImageFeatures:
             import PIL.Image
 
             return np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # REAL offline decode path: pure-Python PNG (stdlib zlib)
+            from .codecs import decode_png
+
+            return decode_png(payload)
         raise NotImplementedError(
-            "image decode requires PIL (not in this container); "
-            "pass fake=True for the deterministic test decoder"
+            "only PNG decodes offline (pure-Python path); other formats "
+            "need PIL — pass fake=True for the deterministic test decoder"
         )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -119,6 +124,77 @@ def image_features(media_ds, fake: bool = False, batch_size: int = 32):
     return imgs.map_batches(
         ImageFeatures,
         fn_constructor_kwargs={"fake": fake},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def synthesize_real_media_table(n: int = 24, width: int = 32,
+                                height: int = 24) -> pa.Table:
+    """Media corpus with REAL payloads: PNG images whose pixel (x, y)
+    of item i is ``(i*31 + x*7 + y*3) % 256`` and PCM WAVs whose sample
+    t is ``((i*17 + t*5) % 2048) - 1024`` — closed-form contents, so an
+    independent oracle can recompute the decoded features without
+    running any codec."""
+    from .codecs import encode_png, encode_wav
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        if i % 2 == 0:
+            y, x = np.mgrid[0:height, 0:width]
+            arr = ((i * 31 + x * 7 + y * 3) % 256).astype(np.uint8)
+            payload, kind, mime = encode_png(arr), "image", "image/png"
+            w, h, dur = width, height, 0
+        else:
+            n_samp = 400 + 16 * i
+            t = np.arange(n_samp, dtype=np.int64)
+            samples = ((i * 17 + t * 5) % 2048 - 1024).astype(np.int16)
+            payload, kind, mime = encode_wav(samples, 16000), "audio", "audio/wav"
+            w, h, dur = 0, 0, int(n_samp * 1000 // 16000)
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioFeatures:
+    """Actor stage: WAV decode → integer amplitude features
+    (n_samples, sample_rate, amp_sum = Σ|sample|) — the audio analogue
+    of ImageFeatures, real decode via the pure-Python PCM path."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .codecs import decode_wav
+
+        n_samples, rates, amp_sum = [], [], []
+        for payload in df["payload"]:
+            samples, rate = decode_wav(payload)
+            flat = np.abs(samples.astype(np.int64)).reshape(-1)
+            n_samples.append(int(samples.shape[0]))
+            rates.append(int(rate))
+            amp_sum.append(int(flat.sum()))
+        return pd.DataFrame(
+            {
+                "media_id": df["media_id"],
+                "n_samples": pd.array(n_samples, dtype="int64"),
+                "sample_rate": pd.array(rates, dtype="int64"),
+                "amp_sum": pd.array(amp_sum, dtype="int64"),
+            }
+        )
+
+
+def audio_features(media_ds, batch_size: int = 32):
+    import pyarrow.compute as pc
+
+    wavs = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    return wavs.map_batches(
+        AudioFeatures,
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=(1, 4),
