@@ -87,16 +87,172 @@ def decode_xml(cfg: dict):
     return run
 
 
+_WINEVT_NS_RE = None  # compiled lazily (module import stays cheap)
+
+_KEYWORD_AUDIT_FAILURE = 0x10000000000000
+_KEYWORD_AUDIT_SUCCESS = 0x20000000000000
+
+
+def _winevt_tag(el) -> str:
+    global _WINEVT_NS_RE
+    if _WINEVT_NS_RE is None:
+        import re as _re
+
+        _WINEVT_NS_RE = _re.compile(r"\{[^}]*\}")
+    return _WINEVT_NS_RE.sub("", el.tag)
+
+
+def _win_opt(m: dict, key: str, val) -> None:
+    """AddOptional (winevent/maputil.go): skip zero values."""
+    if val in (None, "", 0, []):
+        return
+    m[key] = val
+
+
+def decode_winevent(xml_str: str) -> tuple[dict, dict]:
+    """Windows Event Log XML → (winlog map, ecs map), mirroring
+    winevent.Event.Fields (winlogbeat/sys/winevent/event.go:91-152) and
+    the processor's ECS projection
+    (decode_xml_wineventlog/processor.go:139-157)."""
+    root = ET.fromstring(xml_str)
+    parts = {_winevt_tag(c): c for c in root}
+    sys_el = parts.get("System")
+    rend = parts.get("RenderingInfo")
+    sysmap = {_winevt_tag(c): c for c in sys_el} if sys_el is not None else {}
+    rmap = {_winevt_tag(c): c for c in rend} if rend is not None else {}
+
+    def txt(el) -> str:
+        return (el.text or "") if el is not None else ""
+
+    win: dict = {}
+    provider = sysmap.get("Provider")
+    _win_opt(win, "channel", txt(sysmap.get("Channel")))
+    _win_opt(win, "event_id", txt(sysmap.get("EventID")).strip())
+    if provider is not None:
+        _win_opt(win, "provider_name", provider.get("Name", ""))
+        _win_opt(win, "provider_guid", provider.get("Guid", ""))
+    rec = txt(sysmap.get("EventRecordID")).strip()
+    _win_opt(win, "record_id", int(rec) if rec.isdigit() else 0)
+    _win_opt(win, "task", txt(rmap.get("Task")))
+    _win_opt(win, "computer_name", txt(sysmap.get("Computer")))
+    kw_el = rmap.get("Keywords")
+    if kw_el is not None:
+        _win_opt(win, "keywords", [txt(k) for k in kw_el])
+    _win_opt(win, "opcode", txt(rmap.get("Opcode")))
+    ver = txt(sysmap.get("Version")).strip()
+    _win_opt(win, "version", int(ver) if ver.isdigit() else 0)
+    tc = sysmap.get("TimeCreated")
+    if tc is not None:
+        _win_opt(win, "time_created", tc.get("SystemTime", ""))
+    kraw = txt(sysmap.get("Keywords")).strip()
+    try:
+        kbits = int(kraw, 16) if kraw else 0
+    except ValueError:
+        kbits = 0
+    if kbits & _KEYWORD_AUDIT_FAILURE:
+        win["outcome"] = "failure"
+    elif kbits & _KEYWORD_AUDIT_SUCCESS:
+        win["outcome"] = "success"
+    _win_opt(win, "level", txt(rmap.get("Level")).lower())
+    # RemoveWindowsLineEndings (winlogbeat/sys/strings.go:43-46)
+    msg = txt(rmap.get("Message")).replace("\r\n", "\n").rstrip("\n")
+    _win_opt(win, "message", msg)
+    sec = sysmap.get("Security")
+    if sec is not None and sec.get("UserID"):
+        win["user"] = {"identifier": sec.get("UserID")}
+    evd = parts.get("EventData")
+    if evd is not None:
+        pairs = {}
+        for i, d in enumerate(evd):
+            pairs[d.get("Name") or f"param{i + 1}"] = txt(d)
+        _win_opt(win, "event_data", pairs)
+    ud = parts.get("UserData")
+    if ud is not None and len(ud):
+        inner = ud[0]
+        pairs = {_winevt_tag(c): txt(c) for c in inner}
+        pairs["xml_name"] = _winevt_tag(inner)
+        win["user_data"] = pairs
+    corr = sysmap.get("Correlation")
+    if corr is not None:
+        _win_opt(win, "activity_id", corr.get("ActivityID", ""))
+        _win_opt(win, "related_activity_id", corr.get("RelatedActivityID", ""))
+    exc = sysmap.get("Execution")
+    if exc is not None:
+        for attr, key in (
+            ("ProcessID", "process.pid"),
+            ("ThreadID", "process.thread.id"),
+            ("ProcessorID", "processor_id"),
+            ("SessionID", "session_id"),
+            ("KernelTime", "kernel_time"),
+            ("UserTime", "user_time"),
+            ("ProcessorTime", "processor_time"),
+        ):
+            v = exc.get(attr, "")
+            _win_opt(win, key, int(v) if v.isdigit() else 0)
+
+    ecs: dict = {
+        "event.code": win.get("event_id"),
+        "event.kind": "event",
+        "event.provider": win.get("provider_name"),
+    }
+    _win_opt(ecs, "event.action", win.get("task"))
+    _win_opt(ecs, "host.name", win.get("computer_name"))
+    _win_opt(ecs, "event.outcome", win.get("outcome"))
+    _win_opt(ecs, "log.level", win.get("level"))
+    _win_opt(ecs, "message", win.get("message"))
+    return win, ecs
+
+
 @register("decode_xml_wineventlog")
 def decode_xml_wineventlog(cfg: dict):
-    """Windows Event Log XML variant (decode_xml_wineventlog/:88):
-    same tree decode, winlog-flavoured default field/target."""
-    return decode_xml(
-        {
-            "field": cfg.get("field", "message"),
-            "target_field": cfg.get("target_field", "winlog"),
-        }
-    )
+    """Windows Event Log XML → winlog + ECS fields — the full field
+    mapping of decode_xml_wineventlog (processor.go fields(), winevent
+    Fields()), not a generic tree decode. The winlog map lands as a
+    canonical JSON string column (open schema); the fixed ECS
+    projection lands as real columns."""
+    import json
+
+    field = cfg.get("field", "message")
+    target = cfg.get("target_field", "winlog")
+    map_ecs = cfg.get("map_ecs_fields", True)
+    ecs_cols = ("event.code", "event.kind", "event.provider", "event.action",
+                "host.name", "event.outcome", "log.level", "message")
+
+    @_named("decode_xml_wineventlog")
+    def run(t: pa.Table) -> pa.Table:
+        col = get_col(t, field)
+        if col is None:
+            return t
+        n = t.num_rows
+        win_out: list[str | None] = []
+        ecs_out: dict[str, list] = {c: [] for c in ecs_cols}
+        bad = np.zeros(n, dtype=bool)
+        for i, v in enumerate(col.to_pylist()):
+            if v is None:
+                win_out.append(None)
+                for c in ecs_cols:
+                    ecs_out[c].append(None)
+                continue
+            try:
+                win, ecs = decode_winevent(v)
+            except ET.ParseError:
+                win_out.append(None)
+                for c in ecs_cols:
+                    ecs_out[c].append(None)
+                bad[i] = True
+                continue
+            win_out.append(json.dumps(win, sort_keys=True))
+            for c in ecs_cols:
+                ecs_out[c].append(ecs.get(c))
+        t = set_col(t, target, pa.array(win_out, pa.string()))
+        if map_ecs:
+            for c in ecs_cols:
+                t = set_col(t, c, pa.array(ecs_out[c], pa.string()))
+        if bad.any():
+            t = set_error(t, pa.array(bad), "failed to decode xml")
+        return t
+
+    return run
 
 
 @register("extract_array")

@@ -277,3 +277,80 @@ def test_dead_letter_route(ray_session):
     assert out.loc[2, "sink"] == "dead_letter"
     assert out.loc[2, "dead_letter.reason"] == "doc_too_large"
     assert out.loc[2, "dead_letter.original_sink"] == "main"
+
+
+def test_decode_xml_wineventlog_golden():
+    """Full field mapping against the reference's golden event
+    (decode_xml_wineventlog/processor_test.go testMessage /
+    testMessageOutput): winlog map + ECS projection."""
+    import json
+
+    import pyarrow as pa
+
+    from beats_ray.processors import build_processor
+
+    xml = (
+        "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+        "<System><Provider Name='Microsoft-Windows-Security-Auditing' "
+        "Guid='{54849625-5478-4994-a5ba-3e3b0328c30d}'/>"
+        "<EventID>4672</EventID><Version>0</Version><Level>0</Level>"
+        "<Task>12548</Task><Opcode>0</Opcode>"
+        "<Keywords>0x8020000000000000</Keywords>"
+        "<TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>"
+        "<EventRecordID>11303</EventRecordID>"
+        "<Correlation ActivityID='{ffb23523-1f32-0000-c335-b2ff321fd701}'/>"
+        "<Execution ProcessID='652' ThreadID='4660'/>"
+        "<Channel>Security</Channel><Computer>vagrant</Computer>"
+        "<Security/></System>"
+        "<EventData><Data Name='SubjectUserSid'>S-1-5-18</Data>"
+        "<Data Name='SubjectUserName'>SYSTEM</Data></EventData>"
+        "<RenderingInfo Culture='en-US'><Message>Special privileges assigned "
+        "to new logon.</Message><Level>Information</Level>"
+        "<Task>Special Logon</Task><Opcode>Info</Opcode>"
+        "<Channel>Security</Channel>"
+        "<Provider>Microsoft Windows security auditing.</Provider>"
+        "<Keywords><Keyword>Audit Success</Keyword></Keywords>"
+        "</RenderingInfo></Event>"
+    )
+    proc = build_processor({"decode_xml_wineventlog": {"field": "message"}})
+    out = proc(pa.table({"message": [xml]}))
+    win = json.loads(out["winlog"][0].as_py())
+    assert win["channel"] == "Security"
+    assert win["event_id"] == "4672"
+    assert win["provider_name"] == "Microsoft-Windows-Security-Auditing"
+    assert win["provider_guid"] == "{54849625-5478-4994-a5ba-3e3b0328c30d}"
+    assert win["record_id"] == 11303
+    assert win["computer_name"] == "vagrant"
+    assert win["task"] == "Special Logon"
+    assert win["opcode"] == "Info"
+    assert win["level"] == "information"
+    assert win["outcome"] == "success"   # 0x8020... & auditSuccess
+    assert win["keywords"] == ["Audit Success"]
+    assert win["time_created"] == "2021-03-23T09:56:13.137310000Z"
+    assert win["activity_id"] == "{ffb23523-1f32-0000-c335-b2ff321fd701}"
+    assert win["process.pid"] == 652
+    assert win["process.thread.id"] == 4660
+    assert win["event_data"] == {
+        "SubjectUserSid": "S-1-5-18", "SubjectUserName": "SYSTEM"}
+    assert "version" not in win     # zero values skipped (AddOptional)
+    assert "user" not in win        # Security had no UserID attr
+    # ECS projection
+    assert out["event.code"][0].as_py() == "4672"
+    assert out["event.kind"][0].as_py() == "event"
+    assert out["event.provider"][0].as_py() == "Microsoft-Windows-Security-Auditing"
+    assert out["event.action"][0].as_py() == "Special Logon"
+    assert out["host.name"][0].as_py() == "vagrant"
+    assert out["event.outcome"][0].as_py() == "success"
+    assert out["log.level"][0].as_py() == "information"
+    assert out["message"][0].as_py() == "Special privileges assigned to new logon."
+
+
+def test_decode_xml_wineventlog_bad_xml():
+    import pyarrow as pa
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor({"decode_xml_wineventlog": {"field": "message"}})
+    out = proc(pa.table({"message": ["<unclosed", None]}))
+    assert out["winlog"].to_pylist() == [None, None]
+    assert out["error.message"][0].as_py() == "failed to decode xml"

@@ -301,6 +301,8 @@ def test_keyed_metadata_processors():
 
 
 def test_decode_xml_wineventlog():
+    # full winlog field mapping (winevent Fields()), not a raw tree dump
     t = pa.table({"message": ["<Event><System><EventID>42</EventID></System></Event>"]})
     out = build_processor({"decode_xml_wineventlog": {}})(t)
-    assert '"EventID": "42"' in out["winlog"][0].as_py()
+    assert '"event_id": "42"' in out["winlog"][0].as_py()
+    assert out["event.code"][0].as_py() == "42"
