@@ -43,10 +43,12 @@ def _transcripts(sf_dir: str):
     return rd.read_parquet(_tr_files(sf_from_dir(sf_dir)))
 
 
-def _table(sf_dir: str, name: str, columns: list[str] | None = None):
+def _table(sf_dir: str, name: str, columns: list[str] | None = None,
+           blocks: int | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    kwargs = {"override_num_blocks": blocks} if blocks else {}
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
 
 
 def _routed(sf_dir: str):
@@ -458,7 +460,7 @@ def q_tpch_q1(sf_dir: str):
          "l_discount", "l_shipdate"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
         px_cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_pct = np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
@@ -470,8 +472,10 @@ def q_tpch_q1(sf_dir: str):
                 "revenue_um": px_cents * disc_pct,
                 "n": 1,
             }
-        )
-        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        # Arrow out: Ray's global aggregate runs C++ kernels on Arrow
+        # blocks but a slow per-row path on pandas blocks
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         li.map_batches(partial, batch_format="pandas")
@@ -679,7 +683,7 @@ def q_conv_stats(sf_dir: str):
     aggregate coverage with per-batch partial combine)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         sec = df["ts"].astype("datetime64[s]").astype("int64")
         g = (
             pd.DataFrame({"conv_id": df["conv_id"], "sec": sec})
@@ -687,7 +691,8 @@ def q_conv_stats(sf_dir: str):
             .agg(n_turns=("sec", "size"), first_s=("sec", "min"), last_s=("sec", "max"))
         )
         g["n_turns"] = g["n_turns"].astype("int64")
-        return g
+        # Arrow out → global aggregate stays on the fast C++ path
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
         _transcripts(sf_dir)
@@ -729,8 +734,12 @@ def q_q3_top_orders(sf_dir: str):
         )
         .to_pandas()
     )
+    # moderate block counts: the sort shuffle's cost is dominated by
+    # per-sub-block scheduling (blocks × buckets), so 16 fat blocks
+    # beat Ray's default fine split ~4× here; the map work per block
+    # is light enough that 16 tasks still saturate the readers
     orders = semi_join(
-        _table(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _table(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=16),
         cust.rename(columns={"c_custkey": "o_custkey"}),
         on="o_custkey",
     )
@@ -738,16 +747,32 @@ def q_q3_top_orders(sf_dir: str):
     def li_cents(df: pd.DataFrame) -> pd.DataFrame:
         px = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc = np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
-        return pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev_um": px * disc})
+        flat = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev_um": px * disc})
+        # pre-aggregate per batch (avg ~4 lineitems/order): the bucket
+        # join then shuffles one row per (order, batch), not per lineitem
+        return flat.groupby("l_orderkey", as_index=False).agg(
+            rev_um=("rev_um", "sum")
+        )
 
     li = _table(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
+        blocks=16,
     ).map_batches(li_cents, batch_format="pandas")
     joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("l_orderkey", as_index=False).agg(
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW with exact int64: Ray's sort-aggregate on pandas
+        # blocks is ~50x slower than on Arrow blocks (pandas merge path
+        # runs per-row; Arrow uses C++ kernels), and the join's NaN
+        # padding had promoted the ints to float64
+        g = df.groupby("l_orderkey", as_index=False).agg(
             revenue_um=("rev_um", "sum")
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].astype("int64")),
+                "revenue_um": pa.array(g["revenue_um"].astype("int64")),
+            }
         )
 
     from ray.data.aggregate import Sum
@@ -927,7 +952,7 @@ def q_distinct_tools_per_role(sf_dir: str):
         .select_columns(["role", "tool"])
         .map_batches(pairs, batch_format="pyarrow")
         .groupby(["role", "tool"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
     return uniq.groupby("role").aggregate(Count(alias_name="n_tools"))
 

@@ -69,24 +69,63 @@ def _bucket_of(series: pd.Series, buckets: int) -> pd.Series:
     return num_bucket
 
 
-def _with_bucket(ds, key: str, buckets: int, side: str,
-                 fill_cols: list[str] | None = None):
-    """Tag side + bucket, and null-pad the OTHER side's columns so every
-    block of the union carries the full combined schema (Ray's union
-    does not align disjoint schemas; a bucket group otherwise lacks the
-    absent side's columns entirely)."""
-    fill = fill_cols or []
+def _arrow_types(ds) -> dict[str, "pa.DataType"]:
+    """Best-effort Arrow type per column of a Dataset (handles both
+    Arrow- and pandas-block schemas; object dtype ⇒ string)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    out: dict[str, pa.DataType] = {}
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    for name, dt in zip(sch.names, getattr(base, "types", [])):
+        try:
+            out[name] = pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            out[name] = pa.string()
+    return out
 
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_jb"] = _bucket_of(df[key], buckets)
-        df["_side"] = side
-        for c in fill:
-            if c not in df.columns:
-                df[c] = None
-        return df
+
+def _with_bucket(ds, key: str, buckets: int, side: str,
+                 all_types: dict | None = None):
+    """Tag side + bucket and emit a TYPED ARROW block carrying the full
+    combined schema (other side's columns as typed nulls). Ray's union
+    does not align disjoint schemas, and null-padding in pandas would
+    turn every column to object dtype — making the downstream sort
+    shuffle crawl; typed Arrow keeps it a C++ sort."""
+    all_types = all_types or {}
+    ordered = list(all_types)
+
+    def add(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        jb = _bucket_of(df[key], buckets).to_numpy()
+        arrays, names = [], []
+        for c in ordered:
+            typ = all_types[c]
+            if c in df.columns:
+                arrays.append(pa.Array.from_pandas(df[c], type=typ))
+            else:
+                arrays.append(pa.nulls(n, typ))
+            names.append(c)
+        arrays.append(pa.array(jb, pa.int64()))
+        names.append("_jb")
+        arrays.append(pa.array([side] * n, pa.string()))
+        names.append("_side")
+        return pa.table(dict(zip(names, arrays)))
 
     return ds.map_batches(add, batch_format="pandas")
+
+
+def _combined_types(left, right) -> dict:
+    """Union schema (left types win on shared names)."""
+    lt, rt = _arrow_types(left), _arrow_types(right)
+    out = dict(rt)
+    out.update(lt)
+    # preserve left-first column order, then right-only columns
+    ordered = {c: out[c] for c in lt}
+    for c in rt:
+        if c not in ordered:
+            ordered[c] = out[c]
+    return ordered
 
 
 def bucket_hash_join(left, right, left_on: str, right_on: str,
@@ -99,8 +138,9 @@ def bucket_hash_join(left, right, left_on: str, right_on: str,
     collisions get pandas suffixes."""
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
-    l_tag = _with_bucket(left, left_on, buckets, "l", fill_cols=right_cols)
-    r_tag = _with_bucket(right, right_on, buckets, "r", fill_cols=left_cols)
+    types = _combined_types(left, right)
+    l_tag = _with_bucket(left, left_on, buckets, "l", all_types=types)
+    r_tag = _with_bucket(right, right_on, buckets, "r", all_types=types)
     both = l_tag.union(r_tag)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -124,8 +164,9 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
     (allow_exact_matches, = DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)."""
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
-    l_tag = _with_bucket(left, key, buckets, "l", fill_cols=right_cols)
-    r_tag = _with_bucket(right, key, buckets, "r", fill_cols=left_cols)
+    types = _combined_types(left, right)
+    l_tag = _with_bucket(left, key, buckets, "l", all_types=types)
+    r_tag = _with_bucket(right, key, buckets, "r", all_types=types)
     both = l_tag.union(r_tag)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
