@@ -503,9 +503,14 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at hamming ≤ 6 (8 chunks × 8 bits —
+    pigeonhole-exact). Wider radii force narrower chunks whose key
+    space collapses (width 4 ⇒ 16 buckets ⇒ banding stops pruning and
+    the cost approaches all-pairs); ≤6 is the standard 64-bit near-dup
+    operating point."""
     from beats_ray.dataops.dedup import simhash_dedup
 
-    return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=10)
+    return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6)
 
 
 def q_ngram_dup_pairs(sf_dir: str):
@@ -1820,7 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         # make every step reproducible in DuckDB)
         "minhash_dedup": _minhash_dedup_sql(),
         "ngram_dup_pairs": _ngram_pairs_sql(),
-        "simhash_pairs": _simhash_pairs_sql(10),
+        "simhash_pairs": _simhash_pairs_sql(6),
         "lang_id": _lang_id_sql(),
         "contamination_screen": _contamination_sql(),
         # media plumbing: input bytes inlined, feature math replayed in SQL

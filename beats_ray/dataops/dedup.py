@@ -460,29 +460,57 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = g[["doc_id", "simhash"]].drop_duplicates().sort_values("doc_id")
-        ids = recs["doc_id"].to_numpy(dtype=np.int64)
-        hs = recs["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
-            )
-        # vectorized pairwise hamming: popcount of the xor matrix,
-        # upper triangle only (argwhere replaces the O(n²) Python loop)
-        dist = _popcount64(hs[:, None] ^ hs[None, :])
-        cand = np.argwhere(np.triu(dist <= max_hamming, k=1))
+        """One call per HASH BUCKET of (chunk, key) groups (map_buckets,
+        not map_groups-per-distinct-key — that costs an interpreter
+        round per LSH bucket). Within the bucket each group is one
+        dense popcount matrix + triu argwhere; a wide ``max_hamming``
+        forces narrow chunks whose groups are large, and the matrix
+        path avoids materializing the n² self-merge rows."""
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        recs = g.drop_duplicates(["chunk", "key", "doc_id"])
+        out_a, out_b, out_h = [], [], []
+        for _, sub in recs.groupby(["chunk", "key"], sort=False):
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            hs = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            dist = _popcount64(hs[:, None] ^ hs[None, :])
+            cand = np.argwhere(np.triu(dist <= max_hamming, k=1))
+            if len(cand) == 0:
+                continue
+            ia, ib = ids[cand[:, 0]], ids[cand[:, 1]]
+            swap = ia > ib
+            out_a.append(np.where(swap, ib, ia))
+            out_b.append(np.where(swap, ia, ib))
+            out_h.append(dist[cand[:, 0], cand[:, 1]])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "a": ids[cand[:, 0]],
-                "b": ids[cand[:, 1]],
-                "hamming": dist[cand[:, 0], cand[:, 1]],
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
             }
-        ).astype({"a": "int64", "b": "int64", "hamming": "int64"})
+        ).drop_duplicates(["a", "b"]).astype(
+            {"a": "int64", "b": "int64", "hamming": "int64"}
+        )
 
-    cand = sims.map_batches(explode, batch_format="pandas")
-    p = cand.groupby(["chunk", "key"]).map_groups(pairs, batch_format="pandas")
+    from .agg import map_buckets
+
+    def chunk_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ck"] = df["chunk"] * (mask + 1) + df["key"]
+        return df
+
+    cand = sims.map_batches(explode, batch_format="pandas").map_batches(
+        chunk_key, batch_format="pandas"
+    )
+    p = map_buckets(cand, "_ck", lambda g: pairs(g.drop(columns=["_ck"])),
+                    buckets=32)
 
     # a pair can surface from several shared chunks — dedup via a
     # pair-keyed bucket pass (32 python calls, not one per pair)

@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "mask_pii_rows",
     "ann_brute_topk",
+    "simhash_pairs",
+    "embed_dup_pairs",
+    "rate_limit_tokens",
+    "cache_hits",
 ]
 
 
