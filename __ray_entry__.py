@@ -524,6 +524,39 @@ def q_ngram_dup_pairs(sf_dir: str):
     return out.select_columns(["a", "b", "inter_n", "union_n"])
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic 25% corpus sample by content-stable hash threshold
+    (exact integer comparison) — reproducible sampling at any scale."""
+    from beats_ray.dataops.sampling import hash_sample
+
+    return hash_sample(
+        _table(sf_dir, "documents", ["doc_id"]), 0.25
+    ).select_columns(["doc_id"])
+
+
+def q_split_docs(sf_dir: str):
+    """Stable train/val/test split (80/10/10) from cumulative hash
+    ranges — every doc in exactly one split, identical across runs and
+    cluster sizes."""
+    from beats_ray.dataops.sampling import hash_split
+
+    return hash_split(
+        _table(sf_dir, "documents", ["doc_id"]),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select_columns(["doc_id", "split"])
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy fixed-budget sequence packing (512 whitespace tokens per
+    bin, 16 hash buckets) — the training-sequence assembly op; oracle
+    replays the greedy recurrence with a recursive CTE."""
+    from beats_ray.dataops.sampling import pack_sequences
+
+    return pack_sequences(
+        _table(sf_dir, "documents", ["doc_id", "text"]), budget=512, buckets=16
+    )
+
+
 def q_token_stats(sf_dir: str):
     from beats_ray.dataops.textstats import token_stats
 
@@ -1142,6 +1175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         # text analysis
+        "sample_docs": q_sample_docs,
+        "split_docs": q_split_docs,
+        "pack_sequences": q_pack_sequences,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1746,6 +1782,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
             FROM read_parquet('{path}') GROUP BY role""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        # sampling / splits: identical md5-threshold integer math
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
+                    * 4 < 1 * 4294967296""",
+        "split_docs": """
+            WITH h AS (
+              SELECT doc_id,
+                ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT AS hv
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN hv * 5 < 4 * 4294967296 THEN 'train'
+                        WHEN hv * 10 < 9 * 4294967296 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h""",
+        # greedy packing replayed by a recursive CTE (same recurrence)
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id % 16 AS bucket,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS tok,
+                row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            p(bucket, rn, doc_id, tok, run, bin) AS (
+              SELECT bucket, rn, doc_id, tok, tok, 0 FROM d WHERE rn = 1
+              UNION ALL
+              SELECT e.bucket, e.rn, e.doc_id, e.tok,
+                CASE WHEN t.run + e.tok > 512 THEN e.tok
+                     ELSE t.run + e.tok END,
+                CASE WHEN t.run + e.tok > 512 THEN t.bin + 1 ELSE t.bin END
+              FROM p t JOIN d e ON e.bucket = t.bucket AND e.rn = t.rn + 1
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(bin AS BIGINT) AS bin_id,
+                   CAST(tok AS BIGINT) AS n_tokens
+            FROM p""",
         "token_stats": f"""
             SELECT doc_id, length(text) AS n_chars,
                    CASE WHEN trim(text)='' THEN 0

@@ -1,0 +1,145 @@
+"""Deterministic sampling, dataset splits, and sequence packing —
+training-data assembly stages.
+
+- ``hash_sample``: keep a fraction of rows by content-stable hash
+  threshold (md5 of ``salt:key``) — the reproducible "sample 1% of the
+  corpus" op. No RNG state, no coordination: any worker decides any
+  row independently, so it scales embarrassingly and re-runs
+  identically.
+- ``hash_split``: named train/val/test splits from cumulative ranges of
+  the same hash — every doc lands in exactly one split, stable across
+  runs and cluster sizes.
+- ``pack_sequences``: greedy fixed-budget packing of documents into
+  training sequences (bins) — per hash-bucket replay in doc_id order
+  (deterministic), the batch analogue of a packing dataloader. A doc
+  exceeding the budget gets its own bin.
+
+All three are exactly reproducible in SQL (md5 hashing + recursive-CTE
+packing replay), so each has a full value-level oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _stable_hash, threshold_fraction
+
+_HASH_SPACE = 1 << 32
+
+
+def _key_hash(series: pd.Series, salt: str) -> np.ndarray:
+    return np.fromiter(
+        (_stable_hash(f"{salt}:{v}") for v in series.astype(str)),
+        dtype=np.uint64,
+        count=len(series),
+    )
+
+
+def hash_sample(ds, fraction: float, key: str = "doc_id",
+                salt: str = "sample"):
+    """Deterministic fraction sample: keep rows with
+    ``md5_32(salt:key) * q < fraction_p * 2^32`` (exact integer
+    comparison via the fraction p/q — no float boundary)."""
+    p, q = threshold_fraction(fraction)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[key], salt)
+        return df[(h * q) < (p * _HASH_SPACE)]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def hash_split(ds, ratios: dict[str, float], key: str = "doc_id",
+               salt: str = "split"):
+    """Assign each row to one named split by cumulative hash ranges.
+    ``ratios`` must sum to 1 (e.g. {"train": .8, "val": .1, "test": .1});
+    boundaries are exact integer products so the SQL oracle lands every
+    row identically."""
+    names = list(ratios)
+    bounds = []
+    from fractions import Fraction
+
+    acc = Fraction(0)
+    for n in names:
+        lo = acc
+        acc = acc + Fraction(str(ratios[n]))
+        bounds.append((n, lo, acc))
+    if acc != 1:
+        raise ValueError(f"ratios must sum to 1, got {float(acc)}")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer range test: h*den vs num*2^32 stays well under
+        # 2^63 for small ratio denominators
+        h = _key_hash(df[key], salt).astype(np.int64)
+        split = np.empty(len(df), dtype=object)
+        for n, lo, hi in bounds:
+            m = (h * lo.denominator >= lo.numerator * _HASH_SPACE) & (
+                h * hi.denominator < hi.numerator * _HASH_SPACE
+            )
+            split[m] = n
+        out = df.copy()
+        out["split"] = split
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def pack_sequences(docs, budget: int, buckets: int = 16,
+                   key: str = "doc_id", text_col: str = "text"):
+    """Greedy sequence packing: within each hash bucket (``key %
+    buckets``), documents in ``key`` order accumulate into bins of at
+    most ``budget`` whitespace tokens; a doc that would overflow starts
+    the next bin (an oversized doc occupies its own bin). Output:
+    (key, bucket, bin_id, n_tokens).
+
+    The greedy recurrence is sequential per bucket (like the reference's
+    token bucket) — one tight loop per bucket, buckets in parallel."""
+    from .agg import map_buckets
+
+    def tokens_of(df: pd.DataFrame) -> pd.Series:
+        return (
+            df[text_col]
+            .fillna("")
+            .str.split(r"\s+", regex=True)
+            .map(lambda ws: sum(1 for w in ws if w))
+            .astype("int64")
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key].astype("int64"),
+                "bucket": (df[key].astype("int64") % buckets),
+                "n_tokens": tokens_of(df),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        # a map_buckets hash bucket can hold several `bucket` values —
+        # sort by (bucket, key) so the reset detection sees each bucket
+        # as one contiguous run
+        g = g.sort_values(["bucket", key])
+        toks = g["n_tokens"].to_numpy()
+        bkt = g["bucket"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        run = 0
+        cur = 0
+        prev_bucket = None
+        for i in range(len(g)):
+            if prev_bucket is None or bkt[i] != prev_bucket:
+                prev_bucket = bkt[i]
+                run, cur = int(toks[i]), 0
+            elif run + toks[i] > budget:
+                cur += 1
+                run = int(toks[i])
+            else:
+                run += int(toks[i])
+            bins[i] = cur
+        out = g.copy()
+        out["bin_id"] = bins
+        return out[[key, "bucket", "bin_id", "n_tokens"]]
+
+    tagged = docs.map_batches(add_bucket, batch_format="pandas")
+    return map_buckets(tagged, "bucket", pack, buckets=buckets)

@@ -420,3 +420,43 @@ def test_cache_put_get_delete_ttl(ray_session):
     )
     assert out["cached"].tolist() == [10, -1, 20, -1, -1]
     assert out["hit"].tolist() == [True, False, True, False, False]
+
+
+def test_hash_sample_deterministic_fraction(docs):
+    from beats_ray.dataops.sampling import hash_sample
+
+    a = sorted(hash_sample(docs, 0.5, key="doc_id").to_pandas()["doc_id"])
+    b = sorted(hash_sample(docs, 0.5, key="doc_id").to_pandas()["doc_id"])
+    assert a == b                      # reproducible
+    assert 0 < len(a) < 40             # an actual fraction
+    sub = sorted(hash_sample(docs, 0.25, key="doc_id").to_pandas()["doc_id"])
+    assert set(sub) <= set(a)          # nested thresholds ⇒ nested samples
+
+
+def test_hash_split_partition(docs):
+    from beats_ray.dataops.sampling import hash_split
+
+    out = hash_split(docs, {"train": 0.5, "val": 0.25, "test": 0.25}).to_pandas()
+    assert len(out) == 40
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert out["split"].notna().all()  # exhaustive + disjoint by construction
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.3})
+
+
+def test_pack_sequences_budget_invariants(docs):
+    from beats_ray.dataops.sampling import pack_sequences
+
+    out = pack_sequences(docs, budget=30, buckets=4).to_pandas()
+    assert len(out) == 40
+    per_bin = out.groupby(["bucket", "bin_id"]).agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "size"),
+        mx=("n_tokens", "max"),
+    )
+    # a bin is within budget unless it holds a single oversized doc
+    over = per_bin[per_bin["total"] > 30]
+    assert (over["n"] == 1).all()
+    # bin ids are contiguous from 0 within each bucket
+    for _, g in out.groupby("bucket"):
+        ids = sorted(g["bin_id"].unique())
+        assert ids == list(range(len(ids)))
