@@ -59,11 +59,11 @@ def brute_topk(embeddings, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     Per-batch top-k (the combiner) keeps the driver-side merge at
     ``n_batches × k`` rows regardless of corpus size."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
+    from .stagecache import task_stage
+
     partials = embeddings.map_batches(
-        BruteCosine,
-        fn_constructor_kwargs={"query_ref": qref, "k": k},
+        task_stage(BruteCosine, query_ref=qref, k=k),
         batch_format="pandas",
-        concurrency=(1, 4),
     ).to_pandas()
     # deterministic global top-k: sim desc, vec_id asc tie-break
     partials = partials.sort_values(
@@ -144,16 +144,12 @@ def ivf_topk(
     cents = kmeans_fit(_batch_matrix(sample), n_clusters)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     cref = ray.put(cents)
+    from .stagecache import task_stage
+
     partials = embeddings.map_batches(
-        IVFSearcher,
-        fn_constructor_kwargs={
-            "query_ref": qref,
-            "cents_ref": cref,
-            "k": k,
-            "n_probe": n_probe,
-        },
+        task_stage(IVFSearcher, query_ref=qref, cents_ref=cref, k=k,
+                   n_probe=n_probe),
         batch_format="pandas",
-        concurrency=(1, 4),
     ).to_pandas()
     partials = partials.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
@@ -203,9 +199,10 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
     cents = _normalize(kmeans_fit(_batch_matrix(sample), n_clusters))
     cref = ray.put(cents)
 
+    from .stagecache import task_stage
+
     assigned = embeddings.map_batches(
-        _AssignWithAngle, fn_constructor_kwargs={"cents_ref": cref},
-        batch_format="pandas", concurrency=(1, 4),
+        task_stage(_AssignWithAngle, cents_ref=cref), batch_format="pandas"
     ).materialize()  # consumed twice: radius pre-agg + pair comparison
 
     # per-bucket radius: per-batch partial max -> tiny global max

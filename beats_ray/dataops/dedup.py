@@ -436,7 +436,9 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
             f"chunks={chunks} <= max_hamming={max_hamming}: pigeonhole "
             "guarantee broken (pairs would be silently missed)"
         )
-    sims = docs.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4))
+    from .stagecache import task_stage
+
+    sims = docs.map_batches(task_stage(SimHasher), batch_format="pandas")
 
     width = 64 // chunks
     mask = (1 << width) - 1

@@ -121,12 +121,14 @@ def image_features(media_ds, fake: bool = False, batch_size: int = 32):
     imgs = media_ds.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
     )
+    from .stagecache import task_stage
+
+    # light state → fused task (per-worker cache); batch_size stays
+    # SMALL because payload bytes x batch x workers must fit the heap
     return imgs.map_batches(
-        ImageFeatures,
-        fn_constructor_kwargs={"fake": fake},
+        task_stage(ImageFeatures, fake=fake),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, 4),
     )
 
 
@@ -193,11 +195,12 @@ def audio_features(media_ds, batch_size: int = 32):
     wavs = media_ds.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
     )
+    from .stagecache import task_stage
+
     return wavs.map_batches(
-        AudioFeatures,
+        task_stage(AudioFeatures),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, 4),
     )
 
 
@@ -234,10 +237,10 @@ def sample_frames(media_ds, every_ms: int = 500, batch_size: int = 16):
     vids = media_ds.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "video")), batch_format="pyarrow"
     )
+    from .stagecache import task_stage
+
     return vids.map_batches(
-        FrameSampler,
-        fn_constructor_kwargs={"every_ms": every_ms, "fake": True},
+        task_stage(FrameSampler, every_ms=every_ms, fake=True),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, 4),
     )

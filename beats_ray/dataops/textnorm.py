@@ -111,11 +111,11 @@ def contamination_screen(docs, probe_texts: list[str], k: int = 3,
     for t in probe_texts:
         probe |= word_shingles(t, k)
     ref = ray.put(probe)
+    from .stagecache import task_stage
+
     scored = docs.map_batches(
-        ContaminationScreen,
-        fn_constructor_kwargs={"probe_ref": ref, "k": k},
+        task_stage(ContaminationScreen, probe_ref=ref, k=k),
         batch_format="pandas",
-        concurrency=(1, 4),
     )
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:

@@ -51,7 +51,11 @@ class TokenStats:
 
 
 def token_stats(docs):
-    return docs.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 4))
+    from .stagecache import task_stage
+
+    # light state (compiled regexes) → fused task with per-worker
+    # instance cache, not an actor pool (no ~1.5s spin-up per query)
+    return docs.map_batches(task_stage(TokenStats), batch_format="pandas")
 
 
 def quality_score(docs, min_chars: int = 50, max_punct_ratio: float = 0.3):
@@ -109,7 +113,9 @@ class LangId:
 
 
 def lang_id(docs):
-    return docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    from .stagecache import task_stage
+
+    return docs.map_batches(task_stage(LangId), batch_format="pandas")
 
 
 def doc_fingerprint(docs, prefix_len: int = 16):
