@@ -61,6 +61,7 @@ def multiline_merge(
     line_col: str = "line",
     max_lines: int = 500,
     buckets: int = 32,
+    flush_pattern: str | None = None,
 ):
     """Pattern-mode multiline join (multiline/pattern.go semantics):
 
@@ -68,6 +69,9 @@ def multiline_merge(
       is a CONTINUATION of the previous event.
     - ``match="before"``: a matching line belongs to the FOLLOWING
       event (the event ends at the match).
+    - ``flush_pattern``: a line matching it TERMINATES the current
+      event (inclusive) — the next line starts a new event regardless
+      of continuation state (pattern.go flushPattern).
     - ``max_lines``: lines beyond the cap still merge but the event is
       flagged (reference truncates + flags; we keep text and flag so no
       data is lost — tag-and-keep).
@@ -93,6 +97,15 @@ def multiline_merge(
                 [g[c] for c in key_cols]
             ).shift(1)
             is_start = ~prev_m.fillna(False).astype(bool)
+        if flush_pattern is not None:
+            fm = g[line_col].astype(str).str.contains(
+                flush_pattern, regex=True, na=False
+            )
+            # the flush line JOINS the current event (consumed, then
+            # flushed — pattern.go adds it to the buffer before
+            # flushing); the NEXT line opens a new event unconditionally
+            fm_prev = fm.groupby([g[c] for c in key_cols]).shift(1)
+            is_start = (is_start & ~fm) | fm_prev.fillna(False).astype(bool)
         # first line of every key always starts an event
         first_of_key = ~g.duplicated(subset=list(key_cols), keep="first") == True  # noqa: E712
         is_start = is_start | first_of_key

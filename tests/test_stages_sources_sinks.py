@@ -306,3 +306,32 @@ def test_decode_xml_wineventlog():
     out = build_processor({"decode_xml_wineventlog": {}})(t)
     assert '"event_id": "42"' in out["winlog"][0].as_py()
     assert out["event.code"][0].as_py() == "42"
+
+
+def test_multiline_flush_pattern(ray_session):
+    """flush_pattern (multiline/pattern.go flushPattern): the matching
+    line ends the event INCLUSIVE; the next line opens a new event even
+    if it would otherwise be a continuation."""
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 0, "line": "start A"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 1, "line": "\tcont A"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 2, "line": "END"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 3, "line": "\twould-be cont"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 4, "line": "start B"},
+    ]
+    from beats_ray.stages.multiline import multiline_merge
+
+    out = (
+        multiline_merge(
+            rd.from_items(rows), pattern=r"^\s", match="after",
+            flush_pattern=r"^END$",
+        )
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "start A\n\tcont A\nEND",   # flushed inclusive of END
+        "\twould-be cont",          # forced new event after flush
+        "start B",
+    ]
