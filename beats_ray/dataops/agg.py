@@ -58,14 +58,23 @@ def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
 
 def key_histogram(ds, key: str, top: int = 20):
     """Hot-key detection (the skew probe): per-batch partial counts →
-    tiny groupby → top-N heaviest keys. Use before choosing a
-    partitioning strategy: keys whose volume exceeds a worker's memory
-    need salting (decomposable aggs) or dedicated handling."""
-    counts = grouped_count(ds, [key]).to_pandas()
+    tiny groupby → DISTRIBUTED top-N (sort+limit inside the Dataset —
+    the driver sees N rows, not the full key space). Use before
+    choosing a partitioning strategy: keys whose volume exceeds a
+    worker's memory need salting (decomposable aggs) or dedicated
+    handling."""
+    import pyarrow.compute as pc
+
+    counts = grouped_count(ds, [key])
     return (
-        counts.sort_values(["n", key], ascending=[False, True])
-        .head(top)
-        .reset_index(drop=True)
+        counts.map_batches(
+            lambda t: t.append_column("_neg_n", pc.negate(t["n"])),
+            batch_format="pyarrow",
+        )
+        .sort(["_neg_n", key])
+        .limit(top)
+        .drop_columns(["_neg_n"])
+        .to_pandas()
     )
 
 
@@ -85,10 +94,21 @@ def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
     grouped_count already handles via partials)."""
 
     if skew_aware:
-        counts = grouped_count(ds.select_columns([key]), [key]).to_pandas()
-        total = int(counts["n"].sum())
+        from ray.data.aggregate import Sum
+
+        # materialize once (object store, not driver): consumed by both
+        # the total and the hot-key filter
+        counts = grouped_count(ds.select_columns([key]), [key]).materialize()
+        total = int(
+            counts.aggregate(Sum("n", alias_name="total"))["total"]
+        )
         threshold = hot_factor * max(1, total // buckets)
-        hot = sorted(counts.loc[counts["n"] > threshold, key].tolist())
+        # only the HOT keys (few by definition) reach the driver; the
+        # full per-key histogram stays distributed
+        hot_df = counts.map_batches(
+            lambda df: df[df["n"] > threshold], batch_format="pandas"
+        ).to_pandas()
+        hot = sorted(hot_df[key].tolist())
         hot_map = {k: buckets + i for i, k in enumerate(hot)}
     else:
         hot_map = {}
