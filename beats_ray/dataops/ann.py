@@ -242,6 +242,7 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
         if i != j:
             by_bucket.setdefault(j, []).append((g, i, j))
     bref = ray.put(by_bucket)
+    aref = ray.put(admitted)
 
     def replicate(df: pd.DataFrame, ref) -> pd.DataFrame:
         from .joins import _resolve_ref
@@ -249,25 +250,28 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
         bb = _resolve_ref(ref)
         out = []
         for b, sub in df.groupby("bucket"):
-            for g, i, j in bb.get(int(b), ()):  # noqa: B023
+            for g, _i, _j in bb.get(int(b), ()):  # noqa: B023
                 s = sub.copy()
                 s["_grp"] = g
-                # side 0 = bucket i rows, side 1 = bucket j rows
-                s["_side"] = 0 if int(b) == i else 1
                 out.append(s)
         if not out:
-            return df.head(0).assign(_grp=pd.Series(dtype="int64"),
-                                     _side=pd.Series(dtype="int64"))
+            return df.head(0).assign(_grp=pd.Series(dtype="int64"))
         return pd.concat(out, ignore_index=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame, ref) -> pd.DataFrame:
+        from .joins import _resolve_ref
+
         empty = pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "sim": pd.Series(dtype="float64")}
         )
-        left = g[g["_side"] == 0]
-        same_bucket = bool((g["_side"] == 0).all())
-        right = left if same_bucket else g[g["_side"] == 1]
+        # the group's identity IS its admitted bucket pair — sides come
+        # from the bucket column, so an empty side can never be
+        # misread as a same-bucket comparison (no cross-group dups)
+        i, j = _resolve_ref(ref)[int(g["_grp"].iloc[0])]
+        same_bucket = i == j
+        left = g[g["bucket"] == i]
+        right = left if same_bucket else g[g["bucket"] == j]
         if left.empty or right.empty:
             return empty
         ml = _normalize(_batch_matrix(left))
@@ -288,12 +292,18 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
             {"a": a[keep], "b": b[keep], "sim": sims[idx[:, 0], idx[:, 1]][keep]}
         ).astype({"a": "int64", "b": "int64", "sim": "float64"})
 
+    # each unordered pair appears in exactly ONE group (a vector has one
+    # bucket; group = that bucket pair) — no global dedup needed, so the
+    # result could equally stream to parquet at scale; the pair list is
+    # the op's output and is returned as a DataFrame for convenience
     out = (
         assigned.map_batches(
             replicate, fn_kwargs={"ref": bref}, batch_format="pandas"
         )
         .groupby("_grp")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(
+            lambda g: pairs(g, aref), batch_format="pandas"
+        )
         .to_pandas()
     )
     if out.empty:
@@ -301,9 +311,4 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "sim": pd.Series(dtype="float64")}
         )
-    # cross-bucket groups can each see a pair once; same pair can't
-    # appear in two groups (a vector has ONE bucket), but dedup guards
-    # the i==j self-comparison edge
-    return (
-        out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
