@@ -139,3 +139,118 @@ def test_dissect_fixed_length_partition(widths, data):
     assert cd.apply(msg + "x") is None  # leftover → fail
     if len(msg) > 1:
         assert cd.apply(msg[:-1]) is None  # short → fail
+
+
+# ------------------------------------------------- round-2 op properties
+
+
+@given(
+    gaps_ms=st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    limit_n=st.integers(1, 3),
+    burst=st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_token_bucket_matches_reference_replay(gaps_ms, limit_n, burst):
+    """The vectorized bucket replay must equal a straight-line
+    re-implementation of the reference recurrence (rate_limit.go:
+    replenish-then-spend, clamped at capacity) for arbitrary event
+    spacings and parameters."""
+    import numpy as np
+    import pandas as pd
+
+    ts_us = np.cumsum(np.array(gaps_ms, dtype=np.int64) * 1000)
+    # reference replay in exact sub-token units (1 token = per_s*1e6)
+    per_s = 1
+    unit = per_s * 1_000_000
+    cap, cost = burst * unit, unit
+    tok, last = cap, ts_us[0]
+    want = []
+    for i, t in enumerate(ts_us):
+        if i > 0:
+            tok = min(cap, tok + limit_n * (t - last))
+        last = t
+        if tok >= cost:
+            want.append(i)
+            tok -= cost
+
+    from beats_ray.dataops.flows import token_bucket_limit
+
+    import ray.data as rd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"event_id": i, "user_id": 1,
+         "ts": base + pd.Timedelta(microseconds=int(t))}
+        for i, t in enumerate(ts_us)
+    ]
+    kept = token_bucket_limit(
+        rd.from_items(rows), key="user_id", limit_n=limit_n, per_s=per_s,
+        burst=burst,
+    ).to_pandas()
+    assert sorted(kept["event_id"].tolist()) == want
+
+
+@given(
+    toks=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    budget=st.integers(5, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_sequences_matches_greedy_replay(toks, budget):
+    """Distributed packing must equal the straight-line greedy replay
+    for a single bucket (docs in key order, overflow starts a bin)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from beats_ray.dataops.sampling import pack_sequences
+
+    # doc_id = i*B keeps every doc in bucket 0 of B buckets
+    B = 4
+    rows = [
+        {"doc_id": i * B, "text": " ".join(["w"] * t) if t else ""}
+        for i, t in enumerate(toks)
+    ]
+    out = (
+        pack_sequences(rd.from_items(rows), budget=budget, buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    run, cur, want = None, 0, []
+    for t in toks:
+        if run is None:
+            run, cur = t, 0
+        elif run + t > budget:
+            cur, run = cur + 1, t
+        else:
+            run += t
+        want.append(cur)
+    assert out["bin_id"].tolist() == want
+    assert out["n_tokens"].tolist() == toks
+
+
+@given(
+    params=st.dictionaries(
+        st.text(string.ascii_lowercase, min_size=1, max_size=8),
+        st.text(string.ascii_letters + string.digits + ' "]\\',
+                min_size=0, max_size=12),
+        min_size=0, max_size=4,
+    ),
+    sd_id=st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_sd_escape_roundtrip(params, sd_id):
+    """Encoding arbitrary param values with RFC5424 escaping and parsing
+    back must recover the originals exactly."""
+    import json
+
+    from beats_ray.processors.parse import parse_sd_elements
+
+    def esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"').replace("]", "\\]")
+
+    body = "".join(f' {k}="{esc(v)}"' for k, v in params.items())
+    sd = f"[{sd_id}{body}]"
+    got = parse_sd_elements(sd)
+    assert got is not None
+    assert json.loads(got) == {sd_id: params}
