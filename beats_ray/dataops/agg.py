@@ -56,26 +56,34 @@ def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def key_histogram(ds, key: str, top: int = 20):
-    """Hot-key detection (the skew probe): per-batch partial counts →
-    tiny groupby → DISTRIBUTED top-N (sort+limit inside the Dataset —
-    the driver sees N rows, not the full key space). Use before
-    choosing a partitioning strategy: keys whose volume exceeds a
-    worker's memory need salting (decomposable aggs) or dedicated
-    handling."""
+def top_k_by(counts, value_col: str, key_col: str, k: int):
+    """Distributed deterministic top-k over a counts Dataset: per-block
+    top-k combiner (the sort's input shrinks to blocks×k rows) → global
+    sort (value desc, key asc tie-break) → limit. The driver only ever
+    sees k rows — never the full key space."""
     import pyarrow.compute as pc
 
-    counts = grouped_count(ds, [key])
+    def block_topk(t: pa.Table) -> pa.Table:
+        t = t.append_column("_neg", pc.negate(t[value_col]))
+        idx = pc.sort_indices(
+            t, sort_keys=[("_neg", "ascending"), (key_col, "ascending")]
+        )[:k]
+        return t.take(idx)
+
     return (
-        counts.map_batches(
-            lambda t: t.append_column("_neg_n", pc.negate(t["n"])),
-            batch_format="pyarrow",
-        )
-        .sort(["_neg_n", key])
-        .limit(top)
-        .drop_columns(["_neg_n"])
-        .to_pandas()
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["_neg", key_col])
+        .limit(k)
+        .drop_columns(["_neg"])
     )
+
+
+def key_histogram(ds, key: str, top: int = 20):
+    """Hot-key detection (the skew probe): per-batch partial counts →
+    tiny groupby → DISTRIBUTED top-N (top_k_by). Use before choosing a
+    partitioning strategy: keys whose volume exceeds a worker's memory
+    need salting (decomposable aggs) or dedicated handling."""
+    return top_k_by(grouped_count(ds, [key]), "n", key, top).to_pandas()
 
 
 def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
@@ -99,16 +107,17 @@ def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
         # materialize once (object store, not driver): consumed by both
         # the total and the hot-key filter
         counts = grouped_count(ds.select_columns([key]), [key]).materialize()
-        total = int(
-            counts.aggregate(Sum("n", alias_name="total"))["total"]
-        )
+        # Dataset.aggregate returns None on an empty dataset
+        agg_row = counts.aggregate(Sum("n", alias_name="total"))
+        total = int(agg_row["total"]) if agg_row and agg_row.get("total") is not None else 0
         threshold = hot_factor * max(1, total // buckets)
         # only the HOT keys (few by definition) reach the driver; the
         # full per-key histogram stays distributed
         hot_df = counts.map_batches(
             lambda df: df[df["n"] > threshold], batch_format="pandas"
         ).to_pandas()
-        hot = sorted(hot_df[key].tolist())
+        # empty datasets yield a column-less frame (Ray drops schema)
+        hot = sorted(hot_df[key].tolist()) if key in hot_df.columns else []
         hot_map = {k: buckets + i for i, k in enumerate(hot)}
     else:
         hot_map = {}

@@ -191,13 +191,21 @@ def lsh_candidate_pairs(docs, num_perm: int = 64, bands: int = 16, shingle_k: in
     pairs = map_buckets(bands_ds, "band_hash", emit_pairs, buckets=32)
     # same pair can surface from several bands (different buckets) —
     # dedup via a second bucket pass keyed on the pair
+    return _dedup_pair_list(pairs)
+
+
+def _dedup_pair_list(pairs_ds, buckets: int = 32):
+    """Dedup (a, b) pair rows via a pair-keyed hash-bucket pass — one
+    vectorized drop_duplicates per bucket (B python calls, never one
+    per pair). Shared by the MinHash and SimHash candidate paths."""
+
     def pair_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % 32
+        df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % buckets
         return df
 
     return (
-        pairs.map_batches(pair_key, batch_format="pandas")
+        pairs_ds.map_batches(pair_key, batch_format="pandas")
         .groupby("_pk")
         .map_groups(
             lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pk"]),
@@ -382,6 +390,10 @@ class SimHasher:
     def _word_hash(self, w: str) -> int:
         h = self._cache.get(w)
         if h is None:
+            # bound the per-worker memo: vocab is zipf so hits dominate,
+            # but an adversarial corpus must not grow worker RSS forever
+            if len(self._cache) >= 1_000_000:
+                self._cache.clear()
             h = int.from_bytes(
                 hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
             )
@@ -474,21 +486,32 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
         )
         recs = g.drop_duplicates(["chunk", "key", "doc_id"])
         out_a, out_b, out_h = [], [], []
+        TILE = 4096  # caps the dense matrix at ~TILE² (≈150 MB peak);
+        # a degenerate hot group (many identical hashes) must not
+        # materialize an n×n matrix in one task
         for _, sub in recs.groupby(["chunk", "key"], sort=False):
             n = len(sub)
             if n < 2:
                 continue
             ids = sub["doc_id"].to_numpy(dtype=np.int64)
             hs = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-            dist = _popcount64(hs[:, None] ^ hs[None, :])
-            cand = np.argwhere(np.triu(dist <= max_hamming, k=1))
-            if len(cand) == 0:
-                continue
-            ia, ib = ids[cand[:, 0]], ids[cand[:, 1]]
-            swap = ia > ib
-            out_a.append(np.where(swap, ib, ia))
-            out_b.append(np.where(swap, ia, ib))
-            out_h.append(dist[cand[:, 0], cand[:, 1]])
+            for r0 in range(0, n, TILE):
+                hr = hs[r0 : r0 + TILE]
+                for c0 in range(r0, n, TILE):
+                    hc = hs[c0 : c0 + TILE]
+                    dist = _popcount64(hr[:, None] ^ hc[None, :])
+                    m = dist <= max_hamming
+                    if c0 == r0:
+                        m = np.triu(m, k=1)
+                    cand = np.argwhere(m)
+                    if len(cand) == 0:
+                        continue
+                    ia = ids[cand[:, 0] + r0]
+                    ib = ids[cand[:, 1] + c0]
+                    swap = ia > ib
+                    out_a.append(np.where(swap, ib, ia))
+                    out_b.append(np.where(swap, ia, ib))
+                    out_h.append(dist[cand[:, 0], cand[:, 1]])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -514,18 +537,6 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
     p = map_buckets(cand, "_ck", lambda g: pairs(g.drop(columns=["_ck"])),
                     buckets=32)
 
-    # a pair can surface from several shared chunks — dedup via a
-    # pair-keyed bucket pass (32 python calls, not one per pair)
-    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % 32
-        return df
-
-    return (
-        p.map_batches(pair_key, batch_format="pandas")
-        .groupby("_pk")
-        .map_groups(
-            lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pk"]),
-            batch_format="pandas",
-        )
-    )
+    # a pair can surface from several shared chunks — shared pair-keyed
+    # bucket dedup (same helper as the MinHash candidate path)
+    return _dedup_pair_list(p)

@@ -23,19 +23,28 @@ from ..fixtures import fnv1a32
 
 # per-worker-process broadcast cache: plain TASKS (fusable, no actor
 # pool spin-up — ~1s saved per stage on short pipelines) with ray.get
-# amortized to once per worker per object. Bounded LRU-ish eviction.
-_BCAST_CACHE: dict = {}
+# amortized to once per worker per object. True LRU (touch-on-hit) with
+# a SMALL cap: cached payloads can be large (broadcast lookup tables),
+# and unlike an actor pool the worker process outlives the stage — the
+# cap bounds worker RSS growth across a long session.
+from collections import OrderedDict
+
+_BCAST_CACHE: OrderedDict = OrderedDict()
+_BCAST_CACHE_MAX = 8
 
 
 def _resolve_ref(ref):
     if not isinstance(ref, ray.ObjectRef):
         return ref
     key = ref.hex()
-    if key not in _BCAST_CACHE:
-        if len(_BCAST_CACHE) >= 32:
-            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    if key in _BCAST_CACHE:
+        _BCAST_CACHE.move_to_end(key)
+        return _BCAST_CACHE[key]
+    while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+        _BCAST_CACHE.popitem(last=False)
+    val = ray.get(ref)
+    _BCAST_CACHE[key] = val
+    return val
 
 
 def _probe_merge(df: pd.DataFrame, ref, keys, how) -> pd.DataFrame:

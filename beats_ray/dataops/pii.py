@@ -64,21 +64,9 @@ def top_words(docs, field: str = "text", k: int = 20, min_len: int = 1):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    # distributed top-k: per-block top-k pre-reduction (combiner) → the
-    # global sort runs over blocks×k rows and the driver only ever sees
-    # k — never the full corpus vocabulary (itself a large table at
+    # distributed top-k (shared helper): the driver only ever sees k
+    # rows — never the full corpus vocabulary (itself a large table at
     # 100 TB)
-    def block_topk(t: pa.Table) -> pa.Table:
-        t = t.append_column("_neg_n", pc.negate(t["n"]))
-        idx = pc.sort_indices(
-            t, sort_keys=[("_neg_n", "ascending"), ("word", "ascending")]
-        )[:k]
-        return t.take(idx)
+    from .agg import top_k_by
 
-    return (
-        counts.map_batches(block_topk, batch_format="pyarrow")
-        .sort(["_neg_n", "word"])
-        .limit(k)
-        .drop_columns(["_neg_n"])
-        .to_pandas()
-    )
+    return top_k_by(counts, "n", "word", k).to_pandas()

@@ -37,16 +37,31 @@ def _key_hash(series: pd.Series, salt: str) -> np.ndarray:
     )
 
 
+def _lt_threshold(p: int, q: int) -> int:
+    """Exact uint32 cutoff for ``h*q < p*2^32``: h < thr. Computed in
+    arbitrary-precision Python int so huge denominators (e.g. the
+    Fraction of 1/3's float repr) can never overflow the vectorized
+    comparison."""
+    return (p * _HASH_SPACE - 1) // q + 1 if p > 0 else 0
+
+
+def _ge_threshold(p: int, q: int) -> int:
+    """Exact uint32 cutoff for ``h*q >= p*2^32``: h >= thr."""
+    return (p * _HASH_SPACE + q - 1) // q
+
+
 def hash_sample(ds, fraction: float, key: str = "doc_id",
                 salt: str = "sample"):
     """Deterministic fraction sample: keep rows with
-    ``md5_32(salt:key) * q < fraction_p * 2^32`` (exact integer
-    comparison via the fraction p/q — no float boundary)."""
+    ``md5_32(salt:key) < fraction * 2^32`` (exact integer cutoff
+    precomputed in big-int math — equivalent to ``h*q < p*2^32`` but
+    immune to uint64 wraparound for any fraction)."""
     p, q = threshold_fraction(fraction)
+    thr = np.uint64(min(_lt_threshold(p, q), _HASH_SPACE))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         h = _key_hash(df[key], salt)
-        return df[(h * q) < (p * _HASH_SPACE)]
+        return df[h < thr]
 
     return ds.map_batches(pick, batch_format="pandas")
 
@@ -69,16 +84,24 @@ def hash_split(ds, ratios: dict[str, float], key: str = "doc_id",
     if acc != 1:
         raise ValueError(f"ratios must sum to 1, got {float(acc)}")
 
+    # precompute exact uint32 cutoffs in big-int math (no vectorized
+    # multiply → no overflow for any ratio denominator)
+    cuts = [
+        (
+            n,
+            np.uint64(min(_ge_threshold(lo.numerator, lo.denominator),
+                          _HASH_SPACE)),
+            np.uint64(min(_lt_threshold(hi.numerator, hi.denominator),
+                          _HASH_SPACE)),
+        )
+        for n, lo, hi in bounds
+    ]
+
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        # exact integer range test: h*den vs num*2^32 stays well under
-        # 2^63 for small ratio denominators
-        h = _key_hash(df[key], salt).astype(np.int64)
+        h = _key_hash(df[key], salt)
         split = np.empty(len(df), dtype=object)
-        for n, lo, hi in bounds:
-            m = (h * lo.denominator >= lo.numerator * _HASH_SPACE) & (
-                h * hi.denominator < hi.numerator * _HASH_SPACE
-            )
-            split[m] = n
+        for n, lo_t, hi_t in cuts:
+            split[(h >= lo_t) & (h < hi_t)] = n
         out = df.copy()
         out["split"] = split
         return out

@@ -15,17 +15,22 @@ ObjectRefs are — broadcast state rides through unchanged).
 
 from __future__ import annotations
 
-_CACHE: dict = {}
+from collections import OrderedDict
+
+_CACHE: OrderedDict = OrderedDict()
+_CACHE_MAX = 32
 
 
 def _instance(cls, ctor_items: tuple):
     key = (cls.__module__, cls.__qualname__, ctor_items)
     inst = _CACHE.get(key)
     if inst is None:
-        if len(_CACHE) >= 64:
-            _CACHE.pop(next(iter(_CACHE)))
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.popitem(last=False)
         inst = cls(**dict(ctor_items))
         _CACHE[key] = inst
+    else:
+        _CACHE.move_to_end(key)
     return inst
 
 

@@ -120,15 +120,8 @@ def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
         n = t.num_rows
         bad = pa.array([False] * n)
         reason = pa.nulls(n, pa.string())
-        # reason precedence: missing required field, then size cap
-        if max_text_bytes is not None:
-            text = pc.fill_null(t[text_col].combine_chunks(), "")
-            over = pc.greater(pc.binary_length(text), max_text_bytes)
-            reason = pc.if_else(
-                pc.and_(over, pc.invert(bad)),
-                pa.array(["doc_too_large"] * n), reason,
-            )
-            bad = pc.or_(bad, over)
+        # reason precedence: missing required field, then size cap —
+        # checked in that order so the first matching reason wins
         for col in required:
             missing = (
                 pc.is_null(t[col].combine_chunks())
@@ -140,6 +133,14 @@ def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
                 pa.array([f"missing_field:{col}"] * n), reason,
             )
             bad = pc.or_(bad, missing)
+        if max_text_bytes is not None:
+            text = pc.fill_null(t[text_col].combine_chunks(), "")
+            over = pc.greater(pc.binary_length(text), max_text_bytes)
+            reason = pc.if_else(
+                pc.and_(over, pc.invert(bad)),
+                pa.array(["doc_too_large"] * n), reason,
+            )
+            bad = pc.or_(bad, over)
         orig = t["sink"].combine_chunks()
         t = t.set_column(
             t.column_names.index("sink"), "sink",

@@ -460,3 +460,45 @@ def test_pack_sequences_budget_invariants(docs):
     for _, g in out.groupby("bucket"):
         ids = sorted(g["bin_id"].unique())
         assert ids == list(range(len(ids)))
+
+
+def test_hash_sample_large_denominator_fraction(docs):
+    """Fractions whose decimal repr has a huge denominator (e.g. 1/3's
+    float) must not silently wrap the vectorized comparison — the
+    cutoff is precomputed in big-int math (review regression)."""
+    from beats_ray.dataops.sampling import hash_sample
+
+    out = hash_sample(docs, 1 / 3, key="doc_id").to_pandas()
+    # sane fraction of 40 docs, not garbage membership
+    assert 4 <= len(out) <= 28
+    # and monotone vs a strictly larger fraction
+    bigger = hash_sample(docs, 0.75, key="doc_id").to_pandas()
+    assert set(out["doc_id"]) <= set(bigger["doc_id"])
+
+
+def test_map_buckets_skew_aware_empty(ray_session):
+    """skew_aware pre-count on an EMPTY dataset must not crash
+    (Dataset.aggregate returns None there — review regression)."""
+    import pyarrow as pa
+
+    from beats_ray.dataops.agg import map_buckets
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    out = map_buckets(
+        empty, "k", lambda g: g, buckets=4, skew_aware=True
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_dead_letter_reason_precedence(ray_session):
+    """A row that is BOTH missing a required field and oversized gets
+    the missing-field reason (documented precedence — review fix)."""
+    from beats_ray.sinks import dead_letter_route
+
+    rows = [{"sink": "m", "text": "y" * 500, "tool": None}]
+    out = dead_letter_route(
+        rd.from_items(rows), max_text_bytes=100, required=("tool",)
+    ).to_pandas()
+    assert out.loc[0, "dead_letter.reason"] == "missing_field:tool"
