@@ -196,10 +196,12 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
     return map_buckets(events, key, per_bucket, buckets=buckets)
 
 
-def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32):
+def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
+               key_col: str = "conv_id", order_col: str = "turn_idx",
+               ts_col: str = "ts"):
     """Deterministic token-bucket analogue (ratelimit/rate_limit.go:103
     with per-``fields`` key bucketing): keep the first ``k`` turns per
-    (conv_id, window) in turn_idx order.
+    (key, window) in ``order_col`` order.
 
     Keyed stateful op via explicit hash-partition (dataops.agg
     map_buckets): one vectorized pandas pass per bucket — B python
@@ -208,9 +210,9 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32):
     from .agg import map_buckets
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "turn_idx"])
-        win = g["ts"].astype("datetime64[s]").astype("int64") // window_s
-        rank = g.groupby([g["conv_id"], win]).cumcount()
+        g = g.sort_values([key_col, order_col])
+        win = g[ts_col].astype("datetime64[s]").astype("int64") // window_s
+        rank = g.groupby([g[key_col], win]).cumcount()
         return g[rank.to_numpy() < k]
 
-    return map_buckets(transcripts, "conv_id", per_bucket, buckets=buckets)
+    return map_buckets(transcripts, key_col, per_bucket, buckets=buckets)

@@ -182,6 +182,66 @@ class RouteStage:
         return add_part_id(t, self.num_parts)
 
 
+# Dataset-level stages reachable from the YAML config (`stages:`) —
+# keyed/stateful ops a per-batch processor cannot express (they need a
+# co-locating shuffle). Beats configures these as processors in the
+# chain (rate_limit, dedup-by-id); the batch engine applies them after
+# parse+enrich, before routing. Each entry: cfg dict → (ds → ds).
+def _stage_rate_limit(ds, cfg: dict):
+    from .dataops.flows import rate_limit
+
+    return rate_limit(
+        ds,
+        k=int(cfg.get("k", 3)),
+        window_s=int(cfg.get("window_s", 60)),
+        key_col=cfg.get("key", "conv_id"),
+        order_col=cfg.get("order", "turn_idx"),
+        ts_col=cfg.get("ts_field", "ts"),
+    )
+
+
+def _stage_token_bucket(ds, cfg: dict):
+    from .dataops.flows import token_bucket_limit
+
+    return token_bucket_limit(
+        ds,
+        key=cfg.get("key", "conv_id"),
+        limit_n=int(cfg.get("limit_n", 1)),
+        per_s=int(cfg.get("per_s", 1)),
+        burst=int(cfg["burst"]) if "burst" in cfg else None,
+        ts_col=cfg.get("ts_field", "ts"),
+        order_col=cfg.get("order", "turn_idx"),
+    )
+
+
+def _stage_dedup(ds, cfg: dict):
+    from .sinks import dedup_by_doc_id
+
+    return dedup_by_doc_id(ds, id_col=cfg.get("field", "meta.doc_id"))
+
+
+STAGE_REGISTRY = {
+    "rate_limit": _stage_rate_limit,
+    "token_bucket": _stage_token_bucket,
+    "dedup": _stage_dedup,
+}
+
+
+def apply_stages(ds, stages: list[dict]):
+    """Apply configured dataset-level stages in order. Unknown stage
+    names fail EAGERLY on the driver (checks.go behaviour)."""
+    for spec in stages:
+        if len(spec) != 1:
+            raise ValueError(f"stage spec must have exactly one key: {spec}")
+        (name, cfg), = spec.items()
+        if name not in STAGE_REGISTRY:
+            raise ValueError(
+                f"unknown stage {name!r}; available: {sorted(STAGE_REGISTRY)}"
+            )
+        ds = STAGE_REGISTRY[name](ds, cfg or {})
+    return ds
+
+
 def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
                   enrich: bool = True, enrich_concurrency=(1, 8),
                   enrich_mode: str = "task"):
@@ -215,6 +275,9 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
             batch_size=None,
             concurrency=enrich_concurrency,
         )
+    stages = (config or {}).get("stages", [])
+    if stages:
+        ds = apply_stages(ds, stages)
     ds = ds.map_batches(
         RouteStage(config, num_parts), batch_format="pyarrow", batch_size=None
     )

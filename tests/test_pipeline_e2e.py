@@ -360,3 +360,51 @@ def test_stream_tz_independent(ray_session, tmp_path):
             os.environ["TZ"] = old_tz
         _time.tzset()
     assert sum(totals["rows_routed"].values()) == 2 * 40
+
+
+def test_config_stages_surface(sf0001_dir, tmp_path):
+    """`stages:` in the YAML config applies keyed dataset-level ops
+    (rate limit / token bucket / dedup) between enrich and routing —
+    the Beats processor-chain positions for these, re-expressed."""
+    files = sorted(glob.glob(sf0001_dir + "/part-*.parquet"))[:2]
+    base = build_dataset(rd.read_parquet(files), num_parts=4).count()
+
+    cfg = {
+        "processors": [],
+        "stages": [{"rate_limit": {"k": 2, "window_s": 60}}],
+        "routes": [{"name": "default"}],
+    }
+    limited = build_dataset(rd.read_parquet(files), config=cfg, num_parts=4)
+    n = limited.count()
+    assert 0 < n < base  # the limiter actually dropped rows
+
+    # unknown stage name fails eagerly on the driver
+    bad = {"processors": [], "stages": [{"nope": {}}], "routes": [{"name": "d"}]}
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_dataset(rd.read_parquet(files), config=bad, num_parts=4)
+
+
+def test_cli_config_with_stages(sf0001_dir, tmp_path):
+    """The CLI drives a stages-bearing YAML end to end."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "rl.yaml"
+    cfg.write_text(
+        "processors: []\n"
+        "stages:\n"
+        "  - rate_limit: {k: 2, window_s: 60}\n"
+        "routes:\n"
+        "  - name: default\n"
+    )
+    out_dir = tmp_path / "cli_out"
+    r = subprocess.run(
+        [sys.executable, "-m", "beats_ray",
+         "--input", sf0001_dir + "/part-0000*.parquet",
+         "--out", str(out_dir), "--config", str(cfg), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["rows_out"] < metrics["rows_in"]
