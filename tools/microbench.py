@@ -71,6 +71,57 @@ def main(n_rows: int = 200_000):
         arg = parsed if name == "route_stage" else tbl
         dt = bench(fn, arg)
         out["rows_per_sec"][name] = round(n / dt)
+
+    # ---- round-2 kernels (their own row counts; rows/sec comparable) ----
+    import numpy as np
+    import pandas as pd
+
+    from beats_ray.dataops.codecs import decode_png, decode_wav, encode_png, encode_wav
+    from beats_ray.dataops.dedup import SimHasher, _minhash_batch
+    from beats_ray.dataops.flows import token_bucket_limit  # noqa: F401 (shape below)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(5000),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % 97}" for j in range(40))
+                for i in range(5000)
+            ],
+        }
+    )
+    sh = SimHasher()
+    dt = bench(lambda d: [sh.simhash(t) for t in d["text"]], docs)
+    out["rows_per_sec"]["simhash_64bit"] = round(len(docs) / dt)
+    dt = bench(
+        lambda d: _minhash_batch(d, num_perm=64, bands=16, shingle_k=3), docs
+    )
+    out["rows_per_sec"]["minhash_signature"] = round(len(docs) / dt)
+
+    png = encode_png(np.arange(64 * 48, dtype=np.uint8).reshape(48, 64) % 256)
+    dt = bench(lambda p: [decode_png(p) for _ in range(100)], png)
+    out["rows_per_sec"]["png_decode_64x48"] = round(100 / dt)
+    wav = encode_wav((np.arange(16000) % 2048 - 1024).astype(np.int16))
+    dt = bench(lambda p: [decode_wav(p) for _ in range(200)], wav)
+    out["rows_per_sec"]["wav_decode_1s"] = round(200 / dt)
+
+    # token-bucket replay throughput (pure recurrence, single key)
+    tus = np.cumsum(np.full(100_000, 250_000, dtype=np.int64))
+
+    def replay(tus_arr):
+        unit = 1_000_000
+        cap = 2 * unit
+        tok, last = cap, tus_arr[0]
+        kept = 0
+        for t in tus_arr:
+            tok = min(cap, tok + (t - last))
+            last = t
+            if tok >= unit:
+                kept += 1
+                tok -= unit
+        return kept
+
+    dt = bench(replay, tus)
+    out["rows_per_sec"]["token_bucket_replay"] = round(len(tus) / dt)
     print(json.dumps(out))
 
 
