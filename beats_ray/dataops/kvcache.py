@@ -28,14 +28,18 @@ import pyarrow as pa
 def cache_put_get(ops, key: str = "k", value_col: str = "v",
                   op_col: str = "op", ts_col: str = "ts",
                   ttl_s: int | None = None, miss_value: int = -1,
-                  buckets: int = 32):
+                  buckets: int = 32, value_kind: str = "int"):
     """Replay a put/get/delete operation stream; returns one row per
     GET with the resolved ``cached`` value (or ``miss_value``) and a
     ``hit`` flag.
 
     ``ops`` columns: ``key``, ``ts_col``, ``op_col`` ('put'|'get'|
     'delete'), ``value_col`` (meaningful on puts). ``ttl_s=None`` means
-    no expiry (reference: ttl 0 = keep forever)."""
+    no expiry (reference: ttl 0 = keep forever). ``value_kind``:
+    'int' (miss → integer sentinel, oracle-stable dtype) or 'str'
+    (arbitrary values, miss → str(miss_value))."""
+    if value_kind not in ("int", "str"):
+        raise ValueError(f"value_kind must be 'int' or 'str', got {value_kind!r}")
     import pyarrow.compute as pc
 
     def pick_gets(t: pa.Table) -> pa.Table:
@@ -81,13 +85,23 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             if pd.api.types.is_numeric_dtype(df[key])
             else df[key]
         )
+        if value_kind == "int":
+            cached = (
+                pd.to_numeric(df["_state_v"].where(hit), errors="coerce")
+                .fillna(miss_value)
+                .astype("int64")
+            )
+        else:
+            cached = (
+                df["_state_v"].where(hit).astype(object)
+                .where(hit, str(miss_value))
+                .astype(str)
+            )
         return pd.DataFrame(
             {
                 key: key_out,
                 ts_col: df[ts_col],
-                "cached": pd.to_numeric(df["_state_v"].where(hit), errors="coerce")
-                .fillna(miss_value)
-                .astype("int64"),
+                "cached": cached,
                 "hit": hit.astype(bool),
             }
         )

@@ -502,3 +502,25 @@ def test_dead_letter_reason_precedence(ray_session):
         rd.from_items(rows), max_text_bytes=100, required=("tool",)
     ).to_pandas()
     assert out.loc[0, "dead_letter.reason"] == "missing_field:tool"
+
+
+def test_cache_string_values(ray_session):
+    """value_kind='str' caches arbitrary string values (the reference's
+    general case); misses resolve to the stringified sentinel."""
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    base = pd.Timestamp("2024-01-01")
+    sec = lambda s: base + pd.Timedelta(seconds=s)
+    ops = [
+        {"k": 1, "ts": sec(0), "op": "put", "v": "alpha"},
+        {"k": 1, "ts": sec(5), "op": "get", "v": ""},
+        {"k": 2, "ts": sec(5), "op": "get", "v": ""},
+    ]
+    out = (
+        cache_put_get(rd.from_items(ops), value_kind="str", miss_value=-1)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["cached"].tolist() == ["alpha", "-1"]
+    assert out["hit"].tolist() == [True, False]
