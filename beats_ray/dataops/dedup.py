@@ -391,9 +391,13 @@ class SimHasher:
         h = self._cache.get(w)
         if h is None:
             # bound the per-worker memo: vocab is zipf so hits dominate,
-            # but an adversarial corpus must not grow worker RSS forever
+            # but an adversarial corpus must not grow worker RSS
+            # forever. Evict only the OLDER half — dict preserves
+            # insertion order, and the hot zipf head re-enters quickly,
+            # so the high hit rate the memo exists for survives eviction
             if len(self._cache) >= 1_000_000:
-                self._cache.clear()
+                for k in list(self._cache)[: len(self._cache) // 2]:
+                    del self._cache[k]
             h = int.from_bytes(
                 hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
             )
@@ -486,9 +490,9 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
         )
         recs = g.drop_duplicates(["chunk", "key", "doc_id"])
         out_a, out_b, out_h = [], [], []
-        TILE = 4096  # caps the dense matrix at ~TILE² (≈150 MB peak);
-        # a degenerate hot group (many identical hashes) must not
-        # materialize an n×n matrix in one task
+        TILE = 2048  # caps per-task transients (xor matrix + popcount
+        # byte view + int64 result ≈ 3×TILE²×8 B ≈ 100 MB) so a
+        # degenerate hot group can't OOM a full worker pool
         for _, sub in recs.groupby(["chunk", "key"], sort=False):
             n = len(sub)
             if n < 2:

@@ -93,7 +93,7 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             )
         else:
             cached = (
-                df["_state_v"].where(hit).astype(object)
+                df["_state_v"].astype(object)
                 .where(hit, str(miss_value))
                 .astype(str)
             )

@@ -231,8 +231,11 @@ def apply_stages(ds, stages: list[dict]):
     """Apply configured dataset-level stages in order. Unknown stage
     names fail EAGERLY on the driver (checks.go behaviour)."""
     for spec in stages:
-        if len(spec) != 1:
-            raise ValueError(f"stage spec must have exactly one key: {spec}")
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(
+                f"stage spec must be a single-key mapping like "
+                f"'- rate_limit: {{k: 3}}', got: {spec!r}"
+            )
         (name, cfg), = spec.items()
         if name not in STAGE_REGISTRY:
             raise ValueError(
