@@ -372,6 +372,20 @@ def q_rate_limited_counts(sf_dir: str):
     return grouped_count(kept, ["conv_id"], name="n_kept")
 
 
+def q_stage_rate_limited_counts(sf_dir: str):
+    """Config-driven `stages:` surface end to end: the flagship parse
+    chain with a keyed rate-limit stage (first 2 turns per conversation
+    per minute) applied before routing — per-sink counts of the
+    surviving rows."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.pipeline import FLAGSHIP_CONFIG, build_dataset
+
+    cfg = dict(FLAGSHIP_CONFIG)
+    cfg["stages"] = [{"rate_limit": {"k": 2, "window_s": 60}}]
+    routed = build_dataset(_transcripts(sf_dir), config=cfg, num_parts=8)
+    return grouped_count(routed, ["sink"])
+
+
 def q_rate_limit_tokens(sf_dir: str):
     """TRUE token-bucket rate limit (refill semantics, ratelimit/
     rate_limit.go): 1 token per hour, burst 2, replayed per user over
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": q_fingerprint_docs,
         "rate_limited_counts": q_rate_limited_counts,
         "rate_limit_tokens": q_rate_limit_tokens,
+        "stage_rate_limited_counts": q_stage_rate_limited_counts,
         "cache_hits": q_cache_hits,
         # aggregation / windows / sort
         "flow_agg": q_flow_agg,
@@ -1655,6 +1670,14 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, CAST(floor(epoch(ts)/60) AS BIGINT)
                 ORDER BY turn_idx) <= 3
             ) GROUP BY conv_id""",
+        "stage_rate_limited_counts": tr
+        + """SELECT sink, COUNT(*) AS n FROM (
+               SELECT sink FROM r
+               QUALIFY row_number() OVER (
+                 PARTITION BY conv_id,
+                              CAST(floor(epoch(ts)/60) AS BIGINT)
+                 ORDER BY turn_idx) <= 2
+             ) GROUP BY sink""",
         # token bucket: recursive CTE replays the exact integer
         # recurrence (unit = per_s*1e6 sub-tokens; cap=2 tokens,
         # cost=1 token, refill = limit_n * delta_us)
