@@ -538,6 +538,43 @@ def q_ngram_dup_pairs(sf_dir: str):
     return out.select_columns(["a", "b", "inter_n", "union_n"])
 
 
+def q_c4_clean_docs(sf_dir: str):
+    """C4-style rule cleaning over the transcript turns (JSON turns hit
+    the '{' blocklist; dissect log lines end in '"' so the terminal-
+    punctuation rule fires both ways): line keep rules + blocklist,
+    integer evidence + cleaned text. Row id is the SQL-reproducible
+    md5-based conv hash + turn."""
+    from beats_ray.dataops.dedup import _stable_hash
+    from beats_ray.dataops.quality import c4_line_filter
+
+    def with_id(df: pd.DataFrame) -> pd.DataFrame:
+        ids = [
+            _stable_hash(c) * 100_000 + int(t)
+            for c, t in zip(df["conv_id"], df["turn_idx"])
+        ]
+        return pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"), "text": df["text"]}
+        )
+
+    docs = (
+        _transcripts(sf_dir)
+        .select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(with_id, batch_format="pandas")
+    )
+    return c4_line_filter(docs)
+
+
+def q_bigram_coverage(sf_dir: str):
+    """Two-pass fit-then-score: top-500 corpus bigram model (distributed
+    top-k) broadcast back over the corpus; per-doc bigram counts and
+    model hits — the LM-coverage quality signal."""
+    from beats_ray.dataops.quality import bigram_coverage
+
+    return bigram_coverage(
+        _table(sf_dir, "documents", ["doc_id", "text"]), model_k=500
+    )
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic 25% corpus sample by content-stable hash threshold
     (exact integer comparison) — reproducible sampling at any scale."""
@@ -1190,6 +1227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         # text analysis
+        "c4_clean_docs": q_c4_clean_docs,
+        "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
@@ -1805,6 +1844,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
             FROM read_parquet('{path}') GROUP BY role""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        # C4 cleaning rules replayed with list lambdas
+        "c4_clean_docs": rf"""
+            WITH d AS (
+              SELECT ('0x'||substr(md5(conv_id),1,8))::UBIGINT::BIGINT
+                       * 100000 + turn_idx AS doc_id,
+                text,
+                (contains(lower(text), 'lorem ipsum')
+                 OR contains(lower(text), 'javascript')
+                 OR contains(lower(text), '{{')) AS blocked,
+                string_split(text, chr(10)) AS lines
+              FROM read_parquet('{path}')
+            ),
+            k AS (
+              SELECT doc_id, blocked, lines,
+                list_filter(lines, ln ->
+                  regexp_matches(ln, '[.!?"]\s*$')
+                  AND len(list_filter(regexp_split_to_array(ln, '\s+'),
+                                      w -> w <> '')) >= 5) AS kept
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   blocked,
+                   CASE WHEN blocked THEN ''
+                        ELSE COALESCE(array_to_string(kept, chr(10)), '')
+                   END AS clean_text
+            FROM k""",
+        # fit-then-score: the oracle re-fits the same top-k model
+        "bigram_coverage": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id,
+                unnest([ws[i] || ' ' || ws[i+1]
+                        for i in generate_series(1, len(ws)-1)]) AS g
+              FROM w
+            ),
+            model AS (
+              SELECT g FROM (
+                SELECT g, count(*) AS n FROM bi GROUP BY g
+              ) ORDER BY n DESC, g LIMIT 500
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bi,
+                     CAST(count(*) FILTER (
+                       WHERE g IN (SELECT g FROM model)) AS BIGINT) AS n_in
+              FROM bi GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bi, 0) AS n_bigrams,
+                   COALESCE(s.n_in, 0) AS n_in_model
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         # sampling / splits: identical md5-threshold integer math
         "sample_docs": """
             SELECT doc_id FROM documents

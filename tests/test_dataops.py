@@ -524,3 +524,53 @@ def test_cache_string_values(ray_session):
     )
     assert out["cached"].tolist() == ["alpha", "-1"]
     assert out["hit"].tolist() == [True, False]
+
+
+def test_c4_line_filter_rules(ray_session):
+    """C4 rules: terminal punctuation + min words per line; blocklist
+    empties the doc but keeps its row (tag-and-keep)."""
+    from beats_ray.dataops.quality import c4_line_filter
+
+    rows = [
+        {"doc_id": 0,
+         "text": "This line has enough words and punctuation.\nshort.\n"
+                 "no terminal punctuation here at all\n"
+                 'a quoted ending with five words here "'},
+        {"doc_id": 1, "text": "Uses Lorem Ipsum filler text everywhere."},
+        {"doc_id": 2, "text": "json blob { inside } this doc."},
+    ]
+    out = (
+        c4_line_filter(rd.from_items(rows), min_words=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "n_kept"] == 2   # first + quoted line
+    assert not out.loc[0, "blocked"]
+    assert "enough words" in out.loc[0, "clean_text"]
+    assert out.loc[1, "blocked"] and out.loc[1, "clean_text"] == ""
+    assert out.loc[2, "blocked"]
+
+
+def test_bigram_coverage_fit_then_score(ray_session):
+    """Model = top-k corpus bigrams; scores count model hits per doc."""
+    from beats_ray.dataops.quality import bigram_coverage, fit_bigram_model
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b"},     # 'a b' x3, 'b a' x2
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "x"},               # no bigrams
+    ]
+    ds = rd.from_items(rows)
+    model = fit_bigram_model(ds, model_k=2)
+    assert model["bigram"].tolist() == ["a b", "b a"]  # count desc, tie asc
+    out = (
+        bigram_coverage(ds, model_k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_bigrams"].tolist() == [5, 3, 0]
+    # doc 1's bigrams are 'a b', 'b c', 'c d' — only 'a b' is in-model
+    assert out["n_in_model"].tolist() == [5, 1, 0]
