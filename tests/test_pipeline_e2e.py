@@ -408,3 +408,21 @@ def test_cli_config_with_stages(sf0001_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     metrics = _json.loads(r.stdout.strip().splitlines()[-1])
     assert metrics["rows_out"] < metrics["rows_in"]
+
+
+def test_stream_with_stages(ray_session, tmp_path):
+    """Micro-batch streaming composes with config `stages:` — each
+    window's build_dataset applies the keyed rate limit."""
+    files = _ts_split_corpus(tmp_path, n_files=2)
+    from beats_ray.stream import MicroBatchRunner
+
+    cfg = {
+        "processors": [],
+        "stages": [{"rate_limit": {"k": 1, "window_s": 3600}}],
+        "routes": [{"name": "default"}],
+    }
+    totals = MicroBatchRunner(
+        str(tmp_path / "stream_stages"), window_s=3600
+    ).run(files, config=cfg)
+    # 2 files x 4 conversations x 1 kept turn per (conv, hour-window)
+    assert sum(totals["rows_routed"].values()) == 2 * 4
