@@ -608,6 +608,16 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_packed_sequences_text(sf_dir: str):
+    """Materialized packed training sequences: one row per bin with
+    concatenated member text (doc order), doc/token counts."""
+    from beats_ray.dataops.sampling import pack_and_concat
+
+    return pack_and_concat(
+        _table(sf_dir, "documents", ["doc_id", "text"]), budget=512, buckets=16
+    )
+
+
 def q_token_stats(sf_dir: str):
     from beats_ray.dataops.textstats import token_stats
 
@@ -1232,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
+        "packed_sequences_text": q_packed_sequences_text,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1942,6 +1953,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bin AS BIGINT) AS bin_id,
                    CAST(tok AS BIGINT) AS n_tokens
             FROM p""",
+        # same recursive packing replay, then string_agg per bin
+        "packed_sequences_text": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id % 16 AS bucket, text,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END AS tok,
+                row_number() OVER (PARTITION BY doc_id % 16
+                                   ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            p(bucket, rn, doc_id, tok, run, bin) AS (
+              SELECT bucket, rn, doc_id, tok, tok, 0 FROM d WHERE rn = 1
+              UNION ALL
+              SELECT e.bucket, e.rn, e.doc_id, e.tok,
+                CASE WHEN t.run + e.tok > 512 THEN e.tok
+                     ELSE t.run + e.tok END,
+                CASE WHEN t.run + e.tok > 512 THEN t.bin + 1 ELSE t.bin END
+              FROM p t JOIN d e ON e.bucket = t.bucket AND e.rn = t.rn + 1
+            )
+            SELECT p.bucket::BIGINT AS bucket, p.bin::BIGINT AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(p.tok) AS BIGINT) AS n_tokens,
+                   string_agg(d.text, chr(10) ORDER BY p.doc_id) AS text
+            FROM p JOIN d ON d.doc_id = p.doc_id
+            GROUP BY p.bucket, p.bin""",
         "token_stats": f"""
             SELECT doc_id, length(text) AS n_chars,
                    CASE WHEN trim(text)='' THEN 0

@@ -166,3 +166,65 @@ def pack_sequences(docs, budget: int, buckets: int = 16,
 
     tagged = docs.map_batches(add_bucket, batch_format="pandas")
     return map_buckets(tagged, "bucket", pack, buckets=buckets)
+
+
+def pack_and_concat(docs, budget: int, buckets: int = 16,
+                    key: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n"):
+    """Materialize the packed TRAINING SEQUENCES: same greedy binning as
+    ``pack_sequences``, but each bin becomes one output row with the
+    member documents' text concatenated in ``key`` order (the actual
+    sequence a dataloader would consume). Output: (bucket, bin_id,
+    n_docs, n_tokens, text)."""
+    from .agg import map_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df[text_col]
+            .fillna("")
+            .str.split(r"\s+", regex=True)
+            .map(lambda ws: sum(1 for w in ws if w))
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                key: df[key].astype("int64"),
+                "bucket": (df[key].astype("int64") % buckets),
+                "n_tokens": toks,
+                text_col: df[text_col].fillna(""),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", key])
+        toks = g["n_tokens"].to_numpy()
+        bkt = g["bucket"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        run = 0
+        cur = 0
+        prev_bucket = None
+        for i in range(len(g)):
+            if prev_bucket is None or bkt[i] != prev_bucket:
+                prev_bucket = bkt[i]
+                run, cur = int(toks[i]), 0
+            elif run + toks[i] > budget:
+                cur += 1
+                run = int(toks[i])
+            else:
+                run += int(toks[i])
+            bins[i] = cur
+        g = g.assign(bin_id=bins)
+        out = (
+            g.groupby(["bucket", "bin_id"], as_index=False)
+            .agg(
+                n_docs=(key, "size"),
+                n_tokens=("n_tokens", "sum"),
+                text=(text_col, lambda s: sep.join(s)),
+            )
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    tagged = docs.map_batches(add_bucket, batch_format="pandas")
+    return map_buckets(tagged, "bucket", pack, buckets=buckets)
