@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "embed_dup_pairs",
     "rate_limit_tokens",
     "cache_hits",
+    "c4_clean_docs",
+    "bigram_coverage",
+    "pack_sequences",
 ]
 
 
