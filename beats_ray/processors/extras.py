@@ -406,6 +406,120 @@ def translate(cfg: dict):
     return run
 
 
+@register("translate_sid")
+def translate_sid(cfg: dict):
+    """Windows SID → account name (translate_sid/translatesid.go:75):
+    the keyed-lookup archetype with SID-flavoured field defaults; the
+    table is config-fed (no AD endpoint offline)."""
+    return translate(
+        {
+            "field": cfg.get("field", "winlog.user.identifier"),
+            "target_field": cfg.get("account_name_target", "user.name"),
+            "dictionary": cfg.get("dictionary", {}),
+            "default": cfg.get("default"),
+        }
+    )
+
+
+@register("translate_ldap_attribute")
+def translate_ldap_attribute(cfg: dict):
+    """LDAP attribute lookup (translate_ldap_attribute/:141) — same
+    keyed-lookup archetype, LDAP-flavoured defaults; connection + live
+    directory are external systems, the mapping table is config-fed."""
+    return translate(
+        {
+            "field": cfg.get("field", "user.id"),
+            "target_field": cfg.get("target_field", "user.attribute"),
+            "dictionary": cfg.get("dictionary", {}),
+            "default": cfg.get("default"),
+        }
+    )
+
+
+@register("dns")
+def dns_proc(cfg: dict):
+    """DNS resolution (dns/dns.go:80) modeled offline: a config-fed
+    resolution table (hostname → address) probed vectorized; resolution
+    FAILURES are tagged in-band (``<target>.status`` = NXDOMAIN) the
+    way the reference records failure-cache entries — no live resolver
+    in this container."""
+    field = cfg.get("field", "source.domain")
+    target = cfg.get("target_field", "dns.answer")
+    table: dict = cfg.get("resolutions", cfg.get("dictionary", {}))
+
+    @_named("dns")
+    def run(t: pa.Table) -> pa.Table:
+        col = get_col(t, field)
+        if col is None:
+            return t
+        keys = [str(k) for k in table]
+        vals = [str(table[k]) for k in table]
+        idx = pc.index_in(
+            pc.cast(col.combine_chunks(), pa.string()),
+            value_set=pa.array(keys, pa.string()),
+        )
+        mapped = pc.take(pa.array(vals, pa.string()), idx)
+        t = set_col(t, target, mapped)
+        status = pc.if_else(
+            pc.is_valid(mapped),
+            pa.array(["OK"] * t.num_rows),
+            pa.array(["NXDOMAIN"] * t.num_rows),
+        )
+        # rows with a null input field have no resolution attempt
+        status = pc.if_else(
+            pc.is_valid(col.combine_chunks()), status,
+            pa.nulls(t.num_rows, pa.string()),
+        )
+        return set_col(t, f"{target}.status", status)
+
+    return run
+
+
+@register("now")
+def now_proc(cfg: dict):
+    """Inject a timestamp column (now/now.go:65). Wall-clock is
+    nondeterministic, so the engine requires the time via config
+    (``value``: ISO string) — the driver/test injects it, mirroring how
+    the reference's tests fix the clock."""
+    target = cfg.get("target_field", "event.created")
+    value = cfg.get("value")
+    if value is None:
+        raise ValueError(
+            "now: provide 'value' (ISO timestamp) — wall-clock reads are "
+            "nondeterministic in a replayable batch pipeline"
+        )
+    import pandas as pd
+
+    ts = pd.Timestamp(value)
+
+    @_named("now")
+    def run(t: pa.Table) -> pa.Table:
+        return set_col(
+            t, target,
+            pa.array([ts.to_pydatetime()] * t.num_rows, pa.timestamp("us")),
+        )
+
+    return run
+
+
+def _stage_only(name: str):
+    def factory(cfg: dict):
+        raise ValueError(
+            f"{name} needs a co-locating keyed shuffle and cannot run as a "
+            f"per-batch processor; configure it under 'stages:' instead "
+            f"(see beats_ray.pipeline.STAGE_REGISTRY)"
+        )
+
+    return factory
+
+
+# Beats configures these as processors; in the batch engine they are
+# dataset-level stages. Registering them here makes the config-surface
+# error EAGER and actionable instead of "unknown processor".
+register("rate_limit")(_stage_only("rate_limit"))
+register("cache")(_stage_only("cache"))
+
+
 @register("script")
 def script(cfg: dict):
     """Python-UDF processor — the user-extension surface replacing the

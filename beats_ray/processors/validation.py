@@ -63,7 +63,12 @@ ALLOWED_KEYS: dict[str, set[str]] = {
     "add_kubernetes_metadata": {"match_field", "target_prefix", "index"},
     "add_process_metadata": {"match_field", "target_prefix", "index"},
     "decode_xml_wineventlog": {"field", "target_field", "ignore_missing",
-                               "ignore_failure"},
+                               "ignore_failure", "map_ecs_fields"},
+    "translate_sid": {"field", "account_name_target", "dictionary", "default"},
+    "translate_ldap_attribute": {"field", "target_field", "dictionary",
+                                 "default"},
+    "dns": {"field", "target_field", "resolutions", "dictionary", "type"},
+    "now": {"target_field", "value"},
     "add_observer_metadata": {"fields"},
     "add_agent_metadata": {"fields"},
     "add_cloud_metadata": {"fields"},

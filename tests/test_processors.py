@@ -354,3 +354,47 @@ def test_decode_xml_wineventlog_bad_xml():
     out = proc(pa.table({"message": ["<unclosed", None]}))
     assert out["winlog"].to_pylist() == [None, None]
     assert out["error.message"][0].as_py() == "failed to decode xml"
+
+
+def test_translate_sid_and_ldap_aliases():
+    import pyarrow as pa
+
+    t = pa.table({"winlog.user.identifier": ["S-1-5-18", "S-1-0-0"],
+                  "user.id": ["u1", "u2"]})
+    out = build_processor(
+        {"translate_sid": {"dictionary": {"S-1-5-18": "SYSTEM"},
+                           "default": "unknown"}}
+    )(t)
+    assert out["user.name"].to_pylist() == ["SYSTEM", "unknown"]
+    out = build_processor(
+        {"translate_ldap_attribute": {"dictionary": {"u1": "Alice"}}}
+    )(t)
+    assert out["user.attribute"].to_pylist() == ["Alice", None]
+
+
+def test_dns_lookup_and_failure_tag():
+    import pyarrow as pa
+
+    t = pa.table({"source.domain": ["a.example", "missing.example", None]})
+    out = build_processor(
+        {"dns": {"resolutions": {"a.example": "10.0.0.1"}}}
+    )(t)
+    assert out["dns.answer"].to_pylist() == ["10.0.0.1", None, None]
+    assert out["dns.answer.status"].to_pylist() == ["OK", "NXDOMAIN", None]
+
+
+def test_now_requires_injected_value():
+    import pyarrow as pa
+
+    t = pa.table({"x": [1]})
+    out = build_processor({"now": {"value": "2024-05-01T00:00:00"}})(t)
+    assert str(out["event.created"][0].as_py()) == "2024-05-01 00:00:00"
+    with pytest.raises(ValueError, match="value"):
+        build_processor({"now": {}})
+
+
+def test_stage_only_processors_redirect():
+    with pytest.raises(ValueError, match="stages"):
+        build_processor({"rate_limit": {"limit": "100/s"}})
+    with pytest.raises(ValueError, match="stages"):
+        build_processor({"cache": {}})
