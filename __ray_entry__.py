@@ -409,7 +409,10 @@ def q_cache_hits(sf_dir: str):
 
     from beats_ray.dataops.kvcache import cache_put_get
 
-    ev = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    ev = _table(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+        blocks=16,
+    )
 
     def to_ops(t: pa.Table) -> pa.Table:
         op = pc.case_when(
@@ -1006,7 +1009,12 @@ def q_asof_click_view(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    ev = _table(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    # moderate fat blocks: the asof join's sort cost scales with
+    # map-blocks × buckets (same lever as q3)
+    ev = _table(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+        blocks=16,
+    )
 
     def pick(kind: str, id_name: str):
         def go(t: pa.Table) -> pa.Table:
