@@ -394,7 +394,7 @@ def q_rate_limit_tokens(sf_dir: str):
     from beats_ray.dataops.agg import grouped_count
     from beats_ray.dataops.flows import token_bucket_limit
 
-    ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"], blocks=16)
     kept = token_bucket_limit(ev, key="user_id", limit_n=1, per_s=3600, burst=2)
     return grouped_count(kept, ["user_id"], name="n_kept")
 
@@ -446,13 +446,16 @@ def q_cache_hits(sf_dir: str):
 def q_flow_agg(sf_dir: str):
     from beats_ray.dataops.flows import flow_agg
 
-    return flow_agg(_table(sf_dir, "events", ["user_id", "event_type", "ts", "value"]))
+    return flow_agg(
+        _table(sf_dir, "events", ["user_id", "event_type", "ts", "value"],
+               blocks=16)
+    )
 
 
 def q_sessionize(sf_dir: str):
     from beats_ray.dataops.flows import sessionize
 
-    return sessionize(_table(sf_dir, "events", ["user_id", "ts"]))
+    return sessionize(_table(sf_dir, "events", ["user_id", "ts"], blocks=16))
 
 
 def q_top_users(sf_dir: str):
@@ -1108,7 +1111,8 @@ def q_flow_sessions(sf_dir: str):
     from beats_ray.dataops.flows import flow_sessions
 
     return flow_sessions(
-        _table(sf_dir, "events", ["user_id", "event_type", "ts"]), timeout_s=30
+        _table(sf_dir, "events", ["user_id", "event_type", "ts"], blocks=16),
+        timeout_s=30,
     )
 
 
