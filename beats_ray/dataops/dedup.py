@@ -29,6 +29,7 @@ the oracle side, so float rounding can never flip a boundary pair.
 from __future__ import annotations
 
 import hashlib
+import re
 from fractions import Fraction
 
 import numpy as np
@@ -36,6 +37,18 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+# Whitespace = RE2's ASCII \s class ([ \t\n\f\r]) EVERYWHERE a DuckDB
+# oracle tokenizes with '\s+': Python's unicode-aware str.split()/re \s
+# additionally matches \x0b, \xa0, … and would silently diverge from
+# the SQL replay on non-ASCII-whitespace corpora.
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Split on ASCII whitespace (RE2 \\s), dropping empty pieces —
+    the ONE tokenizer shared by every oracle-paired text op."""
+    return [w for w in _WS_RE.split(text) if w]
 
 # 31-bit Mersenne prime: with 32-bit shingle hashes, a*x fits uint64
 # (2^31 x 2^32 = 2^63) so the modular hash is EXACT — a 61-bit prime
@@ -59,7 +72,7 @@ def threshold_fraction(threshold: float) -> tuple[int, int]:
 
 
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    words = text.lower().split()
+    words = ws_tokens(text.lower())
     if len(words) < k:
         return {_stable_hash(" ".join(words))} if words else set()
     return {_stable_hash(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
@@ -405,7 +418,7 @@ class SimHasher:
         return h
 
     def simhash(self, text: str) -> int:
-        words = text.lower().split()
+        words = ws_tokens(text.lower())
         if not words:
             return 0
         hs = np.fromiter(

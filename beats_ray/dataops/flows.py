@@ -57,18 +57,34 @@ def flow_agg(events, window_s: int = 10, buckets: int = 32):
         g = g.rename_columns(
             ["user_id", "event_type", "window_s", "n", "value_cents"]
         )
+        uid = g["user_id"].combine_chunks()
+        if pa.types.is_integer(uid.type):
+            keyh = pc.fill_null(pc.cast(uid, pa.int64(), safe=False), 0)
+        else:
+            # non-numeric keys: FNV of the unique values (hash_bucket's
+            # type-agnostic shape) — keeps flow_agg accepting any key
+            from ..fixtures import fnv1a32
+
+            uniq = pc.unique(uid)
+            vals = pa.array(
+                [fnv1a32(str(x)) for x in uniq.to_pylist()], pa.int64()
+            )
+            keyh = pc.fill_null(pc.take(vals, pc.index_in(uid, value_set=uniq)), 0)
+        win = pc.fill_null(g["window_s"].combine_chunks(), 0)
         bucket = pc.cast(
             pc.bit_wise_and(
-                pc.add(pc.multiply(g["user_id"], 1_000_003), g["window_s"]),
-                buckets - 1,
+                pc.add(pc.multiply(keyh, 1_000_003), win), buckets - 1
             ),
             pa.int64(),
         )
         return g.append_column("_bucket", bucket)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: null-keyed groups must survive like they did in
+        # the Ray Sum-aggregate path (silent row loss otherwise)
         return g.groupby(
-            ["user_id", "event_type", "window_s"], as_index=False
+            ["user_id", "event_type", "window_s"], as_index=False,
+            dropna=False,
         ).agg(n=("n", "sum"), value_cents=("value_cents", "sum"))
 
     partials = events.map_batches(partial, batch_format="pyarrow")

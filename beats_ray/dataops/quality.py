@@ -18,6 +18,8 @@ fit-then-score n-gram coverage model.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,8 +27,12 @@ import pyarrow.compute as pc
 
 import ray
 
+from .dedup import ws_tokens
+
 C4_BLOCKLIST = ("lorem ipsum", "javascript", "{")
-TERMINAL_PUNCT = (".", "!", "?", '"')
+# terminal punctuation followed only by ASCII whitespace — the RE2 \s
+# class, so the SQL oracle's '[.!?"]\s*$' matches identically
+_C4_END_RE = re.compile(r'[.!?"][ \t\n\f\r]*$')
 
 
 def c4_line_filter(docs, text_col: str = "text", min_words: int = 5):
@@ -43,8 +49,8 @@ def c4_line_filter(docs, text_col: str = "text", min_words: int = 5):
             kept = [
                 ln
                 for ln in lines
-                if ln.rstrip().endswith(TERMINAL_PUNCT)
-                and len(ln.split()) >= min_words
+                if _C4_END_RE.search(ln)
+                and len(ws_tokens(ln)) >= min_words
             ]
             n_lines.append(len(lines))
             n_kept.append(len(kept))
@@ -107,7 +113,10 @@ def bigram_coverage(docs, text_col: str = "text", model_k: int = 10_000):
         vocab = _resolve_ref(ref)
         n_bi, n_in = [], []
         for text in df[text_col].fillna(""):
-            ws = [w for w in text.lower().split() if w]
+            # SAME tokenizer as the fit pass (Arrow RE2 \s+) — a
+            # unicode-aware split here would score docs against a model
+            # that tokenized them differently
+            ws = ws_tokens(text.lower())
             grams = [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
             n_bi.append(len(grams))
             n_in.append(sum(1 for g in grams if g in vocab))

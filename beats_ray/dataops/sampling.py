@@ -122,11 +122,11 @@ def pack_sequences(docs, budget: int, buckets: int = 16,
     from .agg import map_buckets
 
     def tokens_of(df: pd.DataFrame) -> pd.Series:
+        from .dedup import ws_tokens
+
+        # ASCII \s tokenizer — identical to the recursive-CTE oracle
         return (
-            df[text_col]
-            .fillna("")
-            .str.split(r"\s+", regex=True)
-            .map(lambda ws: sum(1 for w in ws if w))
+            df[text_col].fillna("").map(lambda t: len(ws_tokens(t)))
             .astype("int64")
         )
 
@@ -140,32 +140,40 @@ def pack_sequences(docs, budget: int, buckets: int = 16,
         )
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        # a map_buckets hash bucket can hold several `bucket` values —
-        # sort by (bucket, key) so the reset detection sees each bucket
-        # as one contiguous run
-        g = g.sort_values(["bucket", key])
-        toks = g["n_tokens"].to_numpy()
-        bkt = g["bucket"].to_numpy()
-        bins = np.zeros(len(g), dtype=np.int64)
-        run = 0
-        cur = 0
-        prev_bucket = None
-        for i in range(len(g)):
-            if prev_bucket is None or bkt[i] != prev_bucket:
-                prev_bucket = bkt[i]
-                run, cur = int(toks[i]), 0
-            elif run + toks[i] > budget:
-                cur += 1
-                run = int(toks[i])
-            else:
-                run += int(toks[i])
-            bins[i] = cur
-        out = g.copy()
-        out["bin_id"] = bins
-        return out[[key, "bucket", "bin_id", "n_tokens"]]
+        g = _assign_bins(g, budget, key)
+        return g[[key, "bucket", "bin_id", "n_tokens"]]
 
     tagged = docs.map_batches(add_bucket, batch_format="pandas")
     return map_buckets(tagged, "bucket", pack, buckets=buckets)
+
+
+def _assign_bins(g: pd.DataFrame, budget: int, key: str) -> pd.DataFrame:
+    """The greedy binning recurrence shared by pack_sequences and
+    pack_and_concat: sort by (bucket, key) — a map_buckets hash bucket
+    can hold several `bucket` values, so the reset detection needs each
+    bucket as one contiguous run — then accumulate to the budget,
+    overflow starts the next bin. Returns g sorted with a bin_id
+    column."""
+    g = g.sort_values(["bucket", key])
+    toks = g["n_tokens"].to_numpy()
+    bkt = g["bucket"].to_numpy()
+    bins = np.zeros(len(g), dtype=np.int64)
+    run = 0
+    cur = 0
+    prev_bucket = None
+    for i in range(len(g)):
+        if prev_bucket is None or bkt[i] != prev_bucket:
+            prev_bucket = bkt[i]
+            run, cur = int(toks[i]), 0
+        elif run + toks[i] > budget:
+            cur += 1
+            run = int(toks[i])
+        else:
+            run += int(toks[i])
+        bins[i] = cur
+    out = g.copy()
+    out["bin_id"] = bins
+    return out
 
 
 def pack_and_concat(docs, budget: int, buckets: int = 16,
@@ -179,11 +187,10 @@ def pack_and_concat(docs, budget: int, buckets: int = 16,
     from .agg import map_buckets
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import ws_tokens
+
         toks = (
-            df[text_col]
-            .fillna("")
-            .str.split(r"\s+", regex=True)
-            .map(lambda ws: sum(1 for w in ws if w))
+            df[text_col].fillna("").map(lambda t: len(ws_tokens(t)))
             .astype("int64")
         )
         return pd.DataFrame(
@@ -196,24 +203,7 @@ def pack_and_concat(docs, budget: int, buckets: int = 16,
         )
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["bucket", key])
-        toks = g["n_tokens"].to_numpy()
-        bkt = g["bucket"].to_numpy()
-        bins = np.zeros(len(g), dtype=np.int64)
-        run = 0
-        cur = 0
-        prev_bucket = None
-        for i in range(len(g)):
-            if prev_bucket is None or bkt[i] != prev_bucket:
-                prev_bucket = bkt[i]
-                run, cur = int(toks[i]), 0
-            elif run + toks[i] > budget:
-                cur += 1
-                run = int(toks[i])
-            else:
-                run += int(toks[i])
-            bins[i] = cur
-        g = g.assign(bin_id=bins)
+        g = _assign_bins(g, budget, key)
         out = (
             g.groupby(["bucket", "bin_id"], as_index=False)
             .agg(

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from .dedup import word_shingles
+from .dedup import word_shingles, ws_tokens
 
 
 def normalize_text(ds, field: str = "text", target: str = "norm_text"):
@@ -51,8 +51,7 @@ def repetition_score(docs, field: str = "text"):
             df[field]
             .fillna("")
             .str.lower()
-            .str.split(r"\s+", regex=True)
-            .map(lambda ws: [w for w in ws if w])
+            .map(ws_tokens)  # ASCII \s class — oracle parity
         )
         exploded = pd.DataFrame(
             {"doc_id": df["doc_id"].repeat(words.str.len()), "w": words.explode().dropna()}

@@ -10,6 +10,8 @@ from __future__ import annotations
 import re
 import string
 
+from .dedup import ws_tokens
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -17,7 +19,7 @@ import pyarrow as pa
 # Shared regex definitions — the DuckDB oracle uses the same patterns
 # (RE2 & Python `re` agree on these constructs).
 PUNCT_CLASS = "[" + re.escape(string.punctuation) + "]"
-WS_SPLIT = r"\s+"
+WS_SPLIT = r"[ \t\n\f\r]+"  # RE2 \s class — oracle parity (see dedup.ws_tokens)
 BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "it")
 STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
@@ -38,10 +40,9 @@ class TokenStats:
             {
                 "doc_id": df["doc_id"],
                 "n_chars": text.str.len().astype("int64"),
-                "n_ws_tokens": text.str.strip()
-                .str.split(WS_SPLIT, regex=True)
-                .map(lambda x: 0 if x == [""] else len(x))
-                .astype("int64"),
+                "n_ws_tokens": text.map(
+                    lambda t: len(ws_tokens(t))
+                ).astype("int64"),
                 "n_bpe_tokens": text.str.count(self.bpe).astype("int64"),
                 "n_punct": text.str.count(self.punct).astype("int64"),
                 "n_stopwords": text.str.lower().str.count(self.stop).astype("int64"),

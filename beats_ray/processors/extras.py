@@ -443,8 +443,16 @@ def dns_proc(cfg: dict):
     FAILURES are tagged in-band (``<target>.status`` = NXDOMAIN) the
     way the reference records failure-cache entries — no live resolver
     in this container."""
-    field = cfg.get("field", "source.domain")
-    target = cfg.get("target_field", "dns.answer")
+    kind = cfg.get("type", "forward")
+    if kind not in ("forward", "reverse"):
+        raise ValueError(f"dns: type must be forward or reverse, got {kind!r}")
+    # reverse (PTR) mode probes an address field and answers hostnames
+    field = cfg.get(
+        "field", "source.ip" if kind == "reverse" else "source.domain"
+    )
+    target = cfg.get(
+        "target_field", "dns.hostname" if kind == "reverse" else "dns.answer"
+    )
     table: dict = cfg.get("resolutions", cfg.get("dictionary", {}))
 
     @_named("dns")

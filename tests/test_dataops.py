@@ -574,3 +574,38 @@ def test_bigram_coverage_fit_then_score(ray_session):
     assert out["n_bigrams"].tolist() == [5, 3, 0]
     # doc 1's bigrams are 'a b', 'b c', 'c d' — only 'a b' is in-model
     assert out["n_in_model"].tolist() == [5, 1, 0]
+
+
+def test_flow_agg_string_keys_and_nulls(ray_session):
+    """flow_agg accepts non-numeric keys and keeps null-keyed groups
+    (review regressions from the bucketed rewrite)."""
+    from beats_ray.dataops.flows import flow_agg
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"user_id": "alice", "event_type": "click",
+         "ts": base, "value": 1.0},
+        {"user_id": "alice", "event_type": "click",
+         "ts": base + pd.Timedelta(seconds=1), "value": 2.0},
+        {"user_id": None, "event_type": "view",
+         "ts": base, "value": 3.0},
+    ]
+    out = flow_agg(rd.from_items(rows)).to_pandas()
+    assert len(out) == 2
+    a = out[out["user_id"] == "alice"].iloc[0]
+    assert a["n"] == 2 and a["value_cents"] == 300
+    nul = out[out["user_id"].isna()].iloc[0]
+    assert nul["n"] == 1 and nul["value_cents"] == 300
+
+
+def test_ascii_whitespace_tokenizer_matches_re2():
+    """ws_tokens must match RE2's \\s (ASCII) — NOT Python's unicode
+    \\s — because every oracle tokenizes with DuckDB regexps."""
+    from beats_ray.dataops.dedup import ws_tokens
+
+    assert ws_tokens("a b\tc\nd") == ["a", "b", "c", "d"]
+    # \x0b and \xa0 are unicode whitespace but NOT RE2 \s: they stay
+    # inside the token, exactly as the SQL side sees them
+    assert ws_tokens("a\x0bb") == ["a\x0bb"]
+    assert ws_tokens("a\xa0b") == ["a\xa0b"]
+    assert ws_tokens("") == []
