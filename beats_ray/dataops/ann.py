@@ -31,7 +31,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class BruteCosine:
-    """Actor stage: query matrix resolved & normalized once per actor."""
+    """Search stage (cached task): query matrix resolved & normalized
+    once per worker."""
 
     def __init__(self, query_ref, k: int):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref

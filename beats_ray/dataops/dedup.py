@@ -4,16 +4,17 @@ Scale design (per the Ray guide's near-dup pattern):
 - exact: content-hash column in ``map_batches`` → ``groupby(hash)`` →
   deterministic survivor (min doc_id) per group. One shuffle keyed on
   the hash (uniform — no skew).
-- MinHash-LSH: shingle → minhash signature per batch (stateful actor
-  holds the permutation coefficients) → explode to (band, band_hash,
+- MinHash-LSH: shingle → minhash signature per batch (per-worker
+  cached coefficient state, plain tasks) → explode to (band, band_hash,
   doc_id) rows → groupby band key → candidate pairs → exact-Jaccard
   verify. The only all-to-all moves ``bands × docs`` tiny rows, never
   documents.
 - verify is FULLY DISTRIBUTED: the candidate id set (small by LSH
   construction) semi-joins the docs, the surviving docs tokenize in
-  place, and the token lists bucket-hash-join back onto the pair list
-  (two narrow shuffles keyed on doc_id) — no whole-corpus structure
-  ever materializes on the driver.
+  place, and the token lists join back onto the pair list — via a
+  candidate-bounded broadcast below ``broadcast_limit``, or doc_id-
+  keyed bucket joins above it — no whole-corpus structure ever
+  materializes on the driver.
 
 All hashes are content-derived (md5-based) — stable across processes
 and runs (never Python's salted ``hash()``), and REPRODUCIBLE IN SQL:
@@ -120,8 +121,9 @@ def exact_dedup(docs, content_col: str = "text", id_col: str = "doc_id"):
 
 
 class MinHasher:
-    """Actor stage: permutation coefficients generated once per actor
-    from a fixed seed; per batch emits (doc_id, band, band_hash)."""
+    """Signature stage (cached per worker process): permutation
+    coefficients generated once from a fixed seed; per batch emits
+    (doc_id, band, band_hash)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         rng = np.random.RandomState(42)

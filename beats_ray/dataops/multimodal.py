@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is real and tested; the codec kernels are STUBS — this
-container ships no image/audio libraries, so ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True`` supplies the
-deterministic test decoder. Large binary payloads need SMALL batch
+Decode paths, in preference order: PIL when installed → the REAL
+pure-Python codecs in ``dataops.codecs`` (PNG via stdlib zlib,
+RIFF/WAVE PCM16) → ``fake=True`` deterministic test decoder. Only
+video frame extraction remains a stub (no feasible pure-Python
+container parser offline). Large binary payloads need SMALL batch
 sizes (batch bytes × concurrency must fit worker heap — guide:
 memory-aware batching), hence the explicit ``batch_size`` defaults.
 """
@@ -60,8 +60,10 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 class ImageFeatures:
-    """Actor stage: decode → feature-extract. Real pipelines put model
-    load here (once per actor); the decode kernel is the stub seam."""
+    """Decode → feature-extract stage (run as a cached task via
+    stagecache.task_stage; construct once per worker). Decode prefers
+    PIL, falls back to the pure-Python PNG codec, or the fake test
+    decoder when fake=True."""
 
     def __init__(self, fake: bool = False):
         self.fake = fake
@@ -165,7 +167,7 @@ def synthesize_real_media_table(n: int = 24, width: int = 32,
 
 
 class AudioFeatures:
-    """Actor stage: WAV decode → integer amplitude features
+    """WAV decode → integer amplitude features
     (n_samples, sample_rate, amp_sum = Σ|sample|) — the audio analogue
     of ImageFeatures, real decode via the pure-Python PCM path."""
 

@@ -73,7 +73,8 @@ def repetition_score(docs, field: str = "text"):
 
 
 class ContaminationScreen:
-    """Actor stage: the probe n-gram set resolves once per actor."""
+    """Probe stage (cached task): the broadcast probe n-gram set
+    resolves once per worker."""
 
     def __init__(self, probe_ref, k: int = 3):
         self.probe = (

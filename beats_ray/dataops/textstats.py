@@ -26,8 +26,8 @@ STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
 class TokenStats:
-    """Stateful actor stage: regexes compiled once per actor
-    (__init__), vectorized pandas str ops per batch."""
+    """Stateful stage (cached task via stagecache): regexes compiled
+    once per worker, vectorized pandas str ops per batch."""
 
     def __init__(self):
         self.punct = re.compile(PUNCT_CLASS)
@@ -94,7 +94,8 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Language-ID actor: marker sets built once per actor."""
+    """Language-ID stage: marker sets built once per worker (cached
+    task)."""
 
     def __init__(self):
         self.word = re.compile(r"[a-zà-ÿ]+")
