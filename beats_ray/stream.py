@@ -21,6 +21,14 @@ scan-and-filter path is what gets exercised here.)
 Restart/resume: completed windows are recorded like partitions
 (state/lineage pattern); a resumed run replays only missing windows and
 rebuilds the counters from lineage — at-least-once, effectively-once.
+
+Config ``stages:`` (keyed rate limit / token bucket / dedup) run per
+WINDOW in this mode: keyed state resets at window boundaries. That is
+exact whenever the window length is at least the stage's state horizon
+(rate-limit window, bucket refill time); batch mode (CheckpointRunner)
+replays the whole stream, so its stage state is global. Cross-window
+carried state would need the StreamState-actor pattern extended to
+per-key snapshots — documented trade-off, not silent.
 """
 
 from __future__ import annotations
