@@ -183,7 +183,9 @@ def top_k_users(events, k: int = 10):
 def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
                        per_s: int = 1, burst: int | None = None,
                        ts_col: str = "ts", order_col: str = "event_id",
-                       buckets: int = 32):
+                       buckets: int = 32,
+                       initial_state: "pd.DataFrame | None" = None,
+                       emit_state: bool = False):
     """TRUE token-bucket rate limiting — the reference's refill
     semantics (libbeat/processors/ratelimit/rate_limit.go:28-56,103:
     per-key bucket, capacity = burst, replenish ``limit_n / per_s``
@@ -198,25 +200,58 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
     per key; keys replay in one tight loop per hash bucket (buckets run
     in parallel; per-key state is O(1)).
 
-    Returns the ALLOWED rows (same columns)."""
+    Continuous operation: ``initial_state`` (a DataFrame with columns
+    [key, tok, last_us] from a previous event-time segment) seeds the
+    per-key buckets, and ``emit_state=True`` returns the segment's
+    FINAL per-key state instead of the rows — the carry mechanism the
+    streaming runner uses so the bucket never resets at a window
+    boundary. Emitted state is GC'd exactly like the reference
+    (rate_limit.go gc): keys whose bucket is full again are dropped —
+    a full bucket is indistinguishable from a fresh one.
+
+    Returns the ALLOWED rows (same columns), or the state DataFrame
+    when ``emit_state`` is set."""
+    import ray
+
     from .agg import map_buckets
+    from .joins import _resolve_ref
 
     unit = per_s * 1_000_000
     cap = (burst if burst is not None else limit_n) * unit
     cost = unit
+    if initial_state is not None and len(initial_state):
+        seed_ref = ray.put(
+            {
+                k: (int(t), int(l))
+                for k, t, l in zip(
+                    initial_state[key], initial_state["tok"],
+                    initial_state["last_us"],
+                )
+            }
+        )
+    else:
+        seed_ref = None
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
         g = g.sort_values([key, ts_col, order_col], kind="mergesort")
         tus = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key].to_numpy()
         allowed = np.zeros(len(g), dtype=bool)
+        state: dict = {}
         tok = 0
         last = 0
         prev = None
         for i in range(len(g)):
             kk = keys[i]
             if prev is None or kk != prev:
-                tok = cap  # fresh key: bucket starts full
+                if prev is not None:
+                    state[prev] = (tok, last)
+                carried = seeds.get(kk)
+                if carried is not None:
+                    tok = min(cap, carried[0] + limit_n * (tus[i] - carried[1]))
+                else:
+                    tok = cap  # fresh key: bucket starts full
                 prev = kk
             else:
                 tok = min(cap, tok + limit_n * (tus[i] - last))
@@ -224,6 +259,14 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
             if tok >= cost:
                 allowed[i] = True
                 tok -= cost
+        if prev is not None:
+            state[prev] = (tok, last)
+        if emit_state:
+            # reference-style gc: a full bucket == a fresh bucket
+            rows = [
+                (k, t, l) for k, (t, l) in state.items() if t < cap
+            ]
+            return pd.DataFrame(rows, columns=[key, "tok", "last_us"])
         return g[allowed]
 
     return map_buckets(events, key, per_bucket, buckets=buckets)

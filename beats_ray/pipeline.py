@@ -200,17 +200,24 @@ def _stage_rate_limit(ds, cfg: dict):
     )
 
 
-def _stage_token_bucket(ds, cfg: dict):
+def token_bucket_stage_kwargs(cfg: dict) -> dict:
+    """The token-bucket parameters a stage spec carries — shared by the
+    in-pipeline stage and the streaming runner's state carry."""
+    return {
+        "key": cfg.get("key", "conv_id"),
+        "limit_n": int(cfg.get("limit_n", 1)),
+        "per_s": int(cfg.get("per_s", 1)),
+        "burst": int(cfg["burst"]) if "burst" in cfg else None,
+        "ts_col": cfg.get("ts_field", "ts"),
+        "order_col": cfg.get("order", "turn_idx"),
+    }
+
+
+def _stage_token_bucket(ds, cfg: dict, initial_state=None):
     from .dataops.flows import token_bucket_limit
 
     return token_bucket_limit(
-        ds,
-        key=cfg.get("key", "conv_id"),
-        limit_n=int(cfg.get("limit_n", 1)),
-        per_s=int(cfg.get("per_s", 1)),
-        burst=int(cfg["burst"]) if "burst" in cfg else None,
-        ts_col=cfg.get("ts_field", "ts"),
-        order_col=cfg.get("order", "turn_idx"),
+        ds, initial_state=initial_state, **token_bucket_stage_kwargs(cfg)
     )
 
 
@@ -227,10 +234,13 @@ STAGE_REGISTRY = {
 }
 
 
-def apply_stages(ds, stages: list[dict]):
+def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):
     """Apply configured dataset-level stages in order. Unknown stage
-    names fail EAGERLY on the driver (checks.go behaviour)."""
-    for spec in stages:
+    names fail EAGERLY on the driver (checks.go behaviour).
+    ``stage_state``: optional {stage_index: state DataFrame} carried in
+    from a previous event-time segment (streaming continuity)."""
+    stage_state = stage_state or {}
+    for i, spec in enumerate(stages):
         if not isinstance(spec, dict) or len(spec) != 1:
             raise ValueError(
                 f"stage spec must be a single-key mapping like "
@@ -241,13 +251,17 @@ def apply_stages(ds, stages: list[dict]):
             raise ValueError(
                 f"unknown stage {name!r}; available: {sorted(STAGE_REGISTRY)}"
             )
-        ds = STAGE_REGISTRY[name](ds, cfg or {})
+        if name == "token_bucket" and i in stage_state:
+            ds = _stage_token_bucket(ds, cfg or {},
+                                     initial_state=stage_state[i])
+        else:
+            ds = STAGE_REGISTRY[name](ds, cfg or {})
     return ds
 
 
 def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
                   enrich: bool = True, enrich_concurrency=(1, 8),
-                  enrich_mode: str = "task"):
+                  enrich_mode: str = "task", stage_state: dict | None = None):
     """Compose the lazy flagship pipeline over a ``ray.data.Dataset``.
 
     ``enrich_mode="task"`` (default): lookup enrich as a plain fused
@@ -280,7 +294,7 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
         )
     stages = (config or {}).get("stages", [])
     if stages:
-        ds = apply_stages(ds, stages)
+        ds = apply_stages(ds, stages, stage_state=stage_state)
     ds = ds.map_batches(
         RouteStage(config, num_parts), batch_format="pyarrow", batch_size=None
     )

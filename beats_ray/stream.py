@@ -134,6 +134,32 @@ class MicroBatchRunner:
         for rec in done.values():
             state.add_window.remote(rec["window_id"], rec["sink_counts"])
 
+        # cross-window carried state for token_bucket stages: the
+        # reference's bucket map survives across batches; here each
+        # window seeds from the previous window's persisted per-key
+        # state (GC'd to in-flight keys) so a bucket never resets at a
+        # window boundary. State replays on the RAW windowed input
+        # after any PRECEDING stages (parse/enrich don't drop rows or
+        # touch the key/ts/order columns, so the row set matches the
+        # in-pipeline stage's input exactly).
+        import pandas as pd
+
+        from .dataops.flows import token_bucket_limit
+        from .pipeline import apply_stages, token_bucket_stage_kwargs
+
+        stages_cfg = (config or {}).get("stages", [])
+        tb_idx = [
+            i for i, s in enumerate(stages_cfg)
+            if isinstance(s, dict) and next(iter(s)) == "token_bucket"
+        ]
+        tb_state: dict[int, pd.DataFrame] = {}
+        if tb_idx and done:
+            last_done = max(done)
+            for i in tb_idx:
+                f = self.lineage_dir / f"state-w{last_done}-s{i}.parquet"
+                if f.exists():
+                    tb_state[i] = pq.read_table(f).to_pandas()
+
         for w in range(first_w, last_w + 1):
             if w in done:
                 continue
@@ -157,7 +183,9 @@ class MicroBatchRunner:
                 ),
                 batch_format="pyarrow",
             )
-            routed = build_dataset(ds, config, num_parts=len(win_files))
+            routed = build_dataset(
+                ds, config, num_parts=len(win_files), stage_state=tb_state
+            )
             win_dir = self.out_dir / f"window={w}"
             # idempotent re-run: a window that wrote output but never
             # committed its lineage (crash in between) must be wiped,
@@ -165,6 +193,39 @@ class MicroBatchRunner:
             if win_dir.exists():
                 shutil.rmtree(win_dir)
             routed.write_parquet(str(win_dir), partition_cols=["sink"])
+            # advance + persist carried token-bucket state BEFORE the
+            # window's lineage commit (resume reloads it atomically
+            # with the window)
+            if tb_idx:
+                import pyarrow as _pa
+
+                prev_ds = ds
+                next_state: dict[int, pd.DataFrame] = {}
+                for i, spec in enumerate(stages_cfg):
+                    (name, cfg_i), = spec.items()
+                    if name == "token_bucket":
+                        kw = token_bucket_stage_kwargs(cfg_i or {})
+                        st = token_bucket_limit(
+                            prev_ds, initial_state=tb_state.get(i),
+                            emit_state=True, **kw,
+                        ).to_pandas()
+                        next_state[i] = st
+                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
+                        pq.write_table(
+                            _pa.Table.from_pandas(st, preserve_index=False),
+                            tmp_f,
+                        )
+                        os.replace(
+                            tmp_f,
+                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
+                        )
+                    if i + 1 <= max(tb_idx):
+                        prev_ds = apply_stages(
+                            prev_ds, [spec], stage_state={0: tb_state.get(i)}
+                            if name == "token_bucket" and i in tb_state
+                            else None,
+                        )
+                tb_state.update(next_state)
             from .state.lineage import _sink_rows
 
             counts = _sink_rows(win_dir)

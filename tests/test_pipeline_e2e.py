@@ -426,3 +426,57 @@ def test_stream_with_stages(ray_session, tmp_path):
     ).run(files, config=cfg)
     # 2 files x 4 conversations x 1 kept turn per (conv, hour-window)
     assert sum(totals["rows_routed"].values()) == 2 * 4
+
+
+def test_stream_token_bucket_carries_state(ray_session, tmp_path):
+    """Continuous-operation contract: a token bucket whose refill
+    horizon exceeds the window length must NOT reset at window
+    boundaries — streaming with carried state equals the single batch
+    replay exactly."""
+    import pyarrow as pa
+
+    from beats_ray.schema import TRANSCRIPT_SCHEMA
+    from beats_ray.stream import MicroBatchRunner
+
+    # two hour-files, SAME conversations in both: with 1 token per 2h
+    # and burst 1, each conv's hour-1 event must be DENIED (bucket only
+    # half-refilled) — a window-local bucket would wrongly allow it
+    files = []
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    for k in range(2):
+        rows = {
+            "conv_id": [f"c{i}" for i in range(4)],
+            "turn_idx": pa.array([k] * 4, pa.int32()),
+            "role": ["user"] * 4,
+            "text": [f"hello {k}-{i}" for i in range(4)],
+            "tool": ["none"] * 4,
+            "ts": pa.array(
+                [base + pd.Timedelta(hours=k, minutes=10)] * 4,
+                pa.timestamp("us"),
+            ),
+        }
+        f = str(tmp_path / f"part-{k:05d}.parquet")
+        pq.write_table(pa.table(rows, schema=TRANSCRIPT_SCHEMA), f)
+        files.append(f)
+
+    cfg = {
+        "processors": [],
+        "stages": [{"token_bucket": {"key": "conv_id", "limit_n": 1,
+                                     "per_s": 7200, "burst": 1,
+                                     "order": "turn_idx"}}],
+        "routes": [{"name": "default"}],
+    }
+    batch_kept = build_dataset(rd.read_parquet(files), config=cfg,
+                               num_parts=2).count()
+    assert batch_kept == 4  # hour-1 events all denied in one replay
+
+    totals = MicroBatchRunner(str(tmp_path / "tbs"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals["rows_routed"].values()) == batch_kept
+
+    # resume keeps the carried-state invariant (no reprocessing drift)
+    totals2 = MicroBatchRunner(str(tmp_path / "tbs"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals2["rows_routed"].values()) == batch_kept
