@@ -245,7 +245,7 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
         for i in range(len(g)):
             kk = keys[i]
             if prev is None or kk != prev:
-                if prev is not None:
+                if emit_state and prev is not None:
                     state[prev] = (tok, last)
                 carried = seeds.get(kk)
                 if carried is not None:
@@ -259,7 +259,7 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
             if tok >= cost:
                 allowed[i] = True
                 tok -= cost
-        if prev is not None:
+        if emit_state and prev is not None:
             state[prev] = (tok, last)
         if emit_state:
             # reference-style gc: a full bucket == a fresh bucket

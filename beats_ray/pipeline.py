@@ -87,17 +87,17 @@ def classify_kind(t: pa.Table) -> pa.Table:
     dissect_ok = (
         pc.is_valid(t["dissect.level"].combine_chunks())
         if "dissect.level" in t.column_names
-        else pa.array([False] * n)
+        else pa.array([False] * n, pa.bool_())
     )
     json_ok = (
         pc.is_valid(t["parsed.event"].combine_chunks())
         if "parsed.event" in t.column_names
-        else pa.array([False] * n)
+        else pa.array([False] * n, pa.bool_())
     )
     syslog_ok = (
         pc.fill_null(t["syslog.ok"].combine_chunks(), False)
         if "syslog.ok" in t.column_names
-        else pa.array([False] * n)
+        else pa.array([False] * n, pa.bool_())
     )
     multi_ok = pc.match_substring_regex(text, _MULTILINE_START)
     kind = pa.nulls(n, pa.string())
@@ -273,13 +273,31 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
     costs an operator boundary.
     Batches are whole blocks (``batch_size=None``): every kernel here is
     vectorized, so bigger batches amortize per-call overhead."""
+    ds = build_pre_stage(ds, config, enrich=enrich,
+                         enrich_concurrency=enrich_concurrency,
+                         enrich_mode=enrich_mode)
+    RouteStage(config, num_parts)._ensure()  # eager route validation
+    stages = (config or {}).get("stages", [])
+    if stages:
+        ds = apply_stages(ds, stages, stage_state=stage_state)
+    ds = ds.map_batches(
+        RouteStage(config, num_parts), batch_format="pyarrow", batch_size=None
+    )
+    return ds
+
+
+def build_pre_stage(ds, config: dict | None = None, enrich: bool = True,
+                    enrich_concurrency=(1, 8), enrich_mode: str = "task"):
+    """The parse+enrich composition BEFORE stages/routing — exposed so
+    the streaming runner's carried-state replay sees exactly the same
+    rows (including any the processor chain dropped) as the in-pipeline
+    stage does."""
     from .enrich import LookupEnricher, broadcast_lookups, enrich_batch
 
     # validate the config EAGERLY on the driver (checks.go behaviour):
     # a typo'd processor key must fail here, not as a RayTaskError deep
     # inside a worker. Workers still compile their own chain instances.
     ParseStage(config)._ensure()
-    RouteStage(config, num_parts)._ensure()
 
     ds = ds.map_batches(ParseStage(config), batch_format="pyarrow", batch_size=None)
     if enrich and enrich_mode == "task":
@@ -292,10 +310,4 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
             batch_size=None,
             concurrency=enrich_concurrency,
         )
-    stages = (config or {}).get("stages", [])
-    if stages:
-        ds = apply_stages(ds, stages, stage_state=stage_state)
-    ds = ds.map_batches(
-        RouteStage(config, num_parts), batch_format="pyarrow", batch_size=None
-    )
     return ds

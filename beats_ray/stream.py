@@ -22,13 +22,15 @@ Restart/resume: completed windows are recorded like partitions
 (state/lineage pattern); a resumed run replays only missing windows and
 rebuilds the counters from lineage — at-least-once, effectively-once.
 
-Config ``stages:`` (keyed rate limit / token bucket / dedup) run per
-WINDOW in this mode: keyed state resets at window boundaries. That is
-exact whenever the window length is at least the stage's state horizon
-(rate-limit window, bucket refill time); batch mode (CheckpointRunner)
-replays the whole stream, so its stage state is global. Cross-window
-carried state would need the StreamState-actor pattern extended to
-per-key snapshots — documented trade-off, not silent.
+Config ``stages:`` in this mode: the TOKEN BUCKET carries per-key
+state ACROSS windows — each window seeds from the previous window's
+persisted state (written atomically with the window's lineage, GC'd to
+in-flight keys exactly like the reference's bucket-map gc, replayed on
+the same parse+enrich row set the in-pipeline stage saw) — so
+streaming equals the single-batch replay; a backfilled out-of-order
+window conservatively replays fresh (never seeded with future state).
+The other stages (k-per-window rate limit, dedup) are window-local:
+exact whenever the window length is at least their state horizon.
 """
 
 from __future__ import annotations
@@ -136,33 +138,51 @@ class MicroBatchRunner:
 
         # cross-window carried state for token_bucket stages: the
         # reference's bucket map survives across batches; here each
-        # window seeds from the previous window's persisted per-key
-        # state (GC'd to in-flight keys) so a bucket never resets at a
-        # window boundary. State replays on the RAW windowed input
-        # after any PRECEDING stages (parse/enrich don't drop rows or
-        # touch the key/ts/order columns, so the row set matches the
-        # in-pipeline stage's input exactly).
+        # window seeds from the IMMEDIATELY PREVIOUS window's persisted
+        # per-key state so a bucket never resets at a window boundary.
+        # The state replay runs on the PRE-STAGE composition
+        # (parse+enrich, build_pre_stage) plus any preceding stages —
+        # exactly the rows the in-pipeline stage saw, including the
+        # effect of row-dropping processors.
         import pandas as pd
 
         from .dataops.flows import token_bucket_limit
-        from .pipeline import apply_stages, token_bucket_stage_kwargs
+        from .pipeline import (
+            apply_stages,
+            build_pre_stage,
+            token_bucket_stage_kwargs,
+        )
 
         stages_cfg = (config or {}).get("stages", [])
         tb_idx = [
             i for i, s in enumerate(stages_cfg)
-            if isinstance(s, dict) and next(iter(s)) == "token_bucket"
+            if isinstance(s, dict) and len(s) == 1
+            and next(iter(s)) == "token_bucket"
         ]
         tb_state: dict[int, pd.DataFrame] = {}
-        if tb_idx and done:
-            last_done = max(done)
+        state_from: int | None = None  # window whose END state tb_state is
+
+        def _load_state(prev_w: int) -> dict[int, pd.DataFrame]:
+            out: dict[int, pd.DataFrame] = {}
             for i in tb_idx:
-                f = self.lineage_dir / f"state-w{last_done}-s{i}.parquet"
+                f = self.lineage_dir / f"state-w{prev_w}-s{i}.parquet"
                 if f.exists():
-                    tb_state[i] = pq.read_table(f).to_pandas()
+                    out[i] = pq.read_table(f).to_pandas()
+            return out
 
         for w in range(first_w, last_w + 1):
             if w in done:
                 continue
+            if tb_idx and state_from != w - 1:
+                # not a sequential continuation (resume gap or a
+                # BACKFILLED window): seed only from window w-1's
+                # persisted state file — NEVER from a later window,
+                # whose future timestamps would produce negative
+                # refills. A backfilled window with no w-1 state
+                # replays fresh (conservative; later windows are not
+                # recomputed).
+                tb_state = _load_state(w - 1)
+                state_from = w - 1 if tb_state else None
             lo_ts, hi_ts = w * w_us, (w + 1) * w_us
             # file-level ts pruning: only files whose [min,max] range
             # overlaps this window are read at all (row-group stats
@@ -172,6 +192,44 @@ class MicroBatchRunner:
                 if f_lo < hi_ts and f_hi >= lo_ts
             ]
             if not win_files:
+                # a QUIET window: carried bucket state rolls forward
+                # (GC: keys fully refilled by the window end drop) and
+                # is persisted — even when empty — so the per-window
+                # state-file chain stays unbroken for resume
+                if tb_idx:
+                    import pyarrow as _pa
+
+                    rolled: dict[int, pd.DataFrame] = {}
+                    for i in tb_idx:
+                        (name, cfg_i), = stages_cfg[i].items()
+                        kw = token_bucket_stage_kwargs(cfg_i or {})
+                        st = tb_state.get(
+                            i,
+                            pd.DataFrame(
+                                columns=[kw["key"], "tok", "last_us"]
+                            ),
+                        )
+                        if len(st):
+                            unit = kw["per_s"] * 1_000_000
+                            cap = (kw["burst"] if kw["burst"] is not None
+                                   else kw["limit_n"]) * unit
+                            refilled = (
+                                st["tok"]
+                                + kw["limit_n"] * (hi_ts - st["last_us"])
+                            ) >= cap
+                            st = st[~refilled].reset_index(drop=True)
+                        rolled[i] = st
+                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
+                        pq.write_table(
+                            _pa.Table.from_pandas(st, preserve_index=False),
+                            tmp_f,
+                        )
+                        os.replace(
+                            tmp_f,
+                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
+                        )
+                    tb_state = rolled
+                    state_from = w
                 continue
             ds = rd.read_parquet(win_files)
             ds = ds.map_batches(
@@ -199,16 +257,41 @@ class MicroBatchRunner:
             if tb_idx:
                 import pyarrow as _pa
 
-                prev_ds = ds
+                # replay on the SAME rows the in-pipeline stage saw:
+                # parse+enrich first (processors may drop rows), then
+                # the preceding stages
+                prev_ds = build_pre_stage(ds, config)
                 next_state: dict[int, pd.DataFrame] = {}
                 for i, spec in enumerate(stages_cfg):
+                    if not isinstance(spec, dict) or len(spec) != 1:
+                        break  # apply_stages already raised eagerly
                     (name, cfg_i), = spec.items()
                     if name == "token_bucket":
                         kw = token_bucket_stage_kwargs(cfg_i or {})
-                        st = token_bucket_limit(
+                        seg = token_bucket_limit(
                             prev_ds, initial_state=tb_state.get(i),
                             emit_state=True, **kw,
                         ).to_pandas()
+                        # carry QUIET keys forward: a key with no events
+                        # this window keeps its previous (tok, last_us)
+                        # unless its bucket has fully refilled by the
+                        # window end (reference gc: full == fresh)
+                        prev_st = tb_state.get(i)
+                        if prev_st is not None and len(prev_st):
+                            key_col = kw["key"]
+                            quiet = prev_st[~prev_st[key_col].isin(seg[key_col])]
+                            unit = kw["per_s"] * 1_000_000
+                            cap = (kw["burst"] if kw["burst"] is not None
+                                   else kw["limit_n"]) * unit
+                            refilled = (
+                                quiet["tok"]
+                                + kw["limit_n"] * (hi_ts - quiet["last_us"])
+                            ) >= cap
+                            st = pd.concat(
+                                [seg, quiet[~refilled]], ignore_index=True
+                            )
+                        else:
+                            st = seg
                         next_state[i] = st
                         tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
                         pq.write_table(
@@ -225,7 +308,8 @@ class MicroBatchRunner:
                             if name == "token_bucket" and i in tb_state
                             else None,
                         )
-                tb_state.update(next_state)
+                tb_state = next_state
+                state_from = w
             from .state.lineage import _sink_rows
 
             counts = _sink_rows(win_dir)

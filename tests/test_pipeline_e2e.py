@@ -480,3 +480,103 @@ def test_stream_token_bucket_carries_state(ray_session, tmp_path):
         files, config=cfg
     )
     assert sum(totals2["rows_routed"].values()) == batch_kept
+
+
+def _tb_corpus(tmp_path, spec):
+    """files: list of (hour, [(conv, minute, text)])"""
+    import pyarrow as pa
+
+    from beats_ray.schema import TRANSCRIPT_SCHEMA
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    files = []
+    for k, rows_spec in spec:
+        rows = {
+            "conv_id": [c for c, _, _ in rows_spec],
+            "turn_idx": pa.array(list(range(len(rows_spec))), pa.int32()),
+            "role": ["user"] * len(rows_spec),
+            "text": [t for _, _, t in rows_spec],
+            "tool": ["none"] * len(rows_spec),
+            "ts": pa.array(
+                [base + pd.Timedelta(hours=k, minutes=m)
+                 for _, m, _ in rows_spec],
+                pa.timestamp("us"),
+            ),
+        }
+        f = str(tmp_path / f"part-{k:05d}.parquet")
+        pq.write_table(pa.table(rows, schema=TRANSCRIPT_SCHEMA), f)
+        files.append(f)
+    return files
+
+
+def test_stream_token_bucket_quiet_window_carries(ray_session, tmp_path):
+    """A key with NO events in the middle window must keep its
+    mid-refill bucket (review regression: quiet keys were dropped from
+    the emitted state, resetting their bucket)."""
+    from beats_ray.stream import MicroBatchRunner
+
+    # c0: events at 00:10 and 02:10 — with 1 token / 3h, burst 1, the
+    # 02:10 event must be DENIED (only ~2/3 refilled). c1 keeps every
+    # window non-empty.
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 10, "a"), ("c1", 20, "b")]),
+        (1, [("c1", 10, "c")]),
+        (2, [("c0", 10, "d"), ("c1", 20, "e")]),
+    ])
+    cfg = {
+        "processors": [],
+        "stages": [{"token_bucket": {"key": "conv_id", "limit_n": 1,
+                                     "per_s": 10800, "burst": 1,
+                                     "order": "turn_idx"}}],
+        "routes": [{"name": "default"}],
+    }
+    batch_kept = build_dataset(rd.read_parquet(files), config=cfg,
+                               num_parts=2).count()
+    totals = MicroBatchRunner(str(tmp_path / "tbq"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals["rows_routed"].values()) == batch_kept
+
+
+def test_stream_token_bucket_with_dropping_processor(ray_session, tmp_path):
+    """Rows dropped by the processor chain must not consume tokens in
+    the carried-state replay (review regression: the state pass ran on
+    RAW input, diverging from the in-pipeline stage)."""
+    from beats_ray.stream import MicroBatchRunner
+
+    # c0 hour-0 has a DROPPED event at 00:05 and a kept one at 00:10;
+    # if the dropped one consumed a token, hour-1's 01:10 event (refill
+    # 1h of a 2h bucket from 00:10) would classify differently
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 5, "DROPME"), ("c0", 10, "keep1"), ("c1", 10, "x")]),
+        (1, [("c0", 10, "keep2"), ("c1", 20, "y")]),
+    ])
+    cfg = {
+        "processors": [
+            {"drop_event": {}, "when": {"contains": {"text": "DROPME"}}},
+        ],
+        "stages": [{"token_bucket": {"key": "conv_id", "limit_n": 1,
+                                     "per_s": 7200, "burst": 1,
+                                     "order": "turn_idx"}}],
+        "routes": [{"name": "default"}],
+    }
+    batch_kept = build_dataset(rd.read_parquet(files), config=cfg,
+                               num_parts=2).count()
+    totals = MicroBatchRunner(str(tmp_path / "tbd"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals["rows_routed"].values()) == batch_kept
+
+
+def test_parse_stage_handles_fully_dropped_block(ray_session):
+    """classify_kind must survive an empty block (drop_event emptied
+    it) — untyped pa.array([]) used to infer null type and crash."""
+    rows = [{"conv_id": "c", "turn_idx": 0, "role": "user",
+             "tool": "none", "text": "gone"}]
+    cfg = {
+        "processors": [{"drop_event": {}, "when": {"has_fields": ["text"]}}],
+        "routes": [{"name": "default"}],
+    }
+    out = build_dataset(rd.from_items(rows), config=cfg, num_parts=1,
+                        enrich=False)
+    assert out.count() == 0
