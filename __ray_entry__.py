@@ -882,15 +882,17 @@ def q_q3_top_orders(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
+    from beats_ray.dataops.agg import top_k_by
+
     agg = (
         joined.map_batches(partial, batch_format="pandas")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_um", alias_name="revenue_um"))
-        .to_pandas()
     )
-    top = agg.sort_values(
-        ["revenue_um", "l_orderkey"], ascending=[False, True]
-    ).head(10)
+    # distributed top-10: per-block combiner + global sort over
+    # blocks×k rows — the driver only ever receives the 10 winners,
+    # never the full per-order aggregate
+    top = top_k_by(agg, "revenue_um", "l_orderkey", 10).to_pandas()
     # the union inside the bucket join NaN-pads the other side's columns
     # (int64 → float64); restore exact integer types for the oracle
     return top.astype({"l_orderkey": "int64", "revenue_um": "int64"}).reset_index(

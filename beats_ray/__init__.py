@@ -23,3 +23,34 @@ owned by bench.py / pytest fixtures / the driver.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptySortPartitionNoise(_logging.Filter):
+    """Drop ONLY the benign empty-schema divergence warning.
+
+    Ray's sort-based shuffle emits schema-less EMPTY blocks for reduce
+    partitions that received no rows (fewer distinct keys than
+    partitions). The executor then warns "RefBundle with a different
+    schema ... new schema: ." once per operator. Our group UDFs are
+    provably never invoked for those partitions
+    (``_apply_udf_to_groups`` yields nothing on an empty block), so no
+    typed-empty-frame fix is possible on the engine side, and the
+    divergence is harmless: the executor's own dedupe early-returns
+    whenever the tracked schema is empty. REAL schema drift (two
+    non-empty schemas) prints both schemas and is NOT filtered."""
+
+    _NEEDLE = "RefBundle with a different schema"
+    _EMPTY = ("new schema: .", "new schema: PandasBlockSchema(names=[], types=[]).")
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if self._NEEDLE not in msg:
+            return True
+        return not any(e in msg for e in self._EMPTY)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySortPartitionNoise())

@@ -26,7 +26,8 @@ def grouped_count(ds, keys: list[str], name: str = "n"):
     def partial(t: pa.Table) -> pa.Table:
         # pure-Arrow partial count (C++ hash aggregation, no pandas hop)
         g = t.select(keys).group_by(keys).aggregate([([], "count_all")])
-        return g.rename_columns([*keys, name])
+        # metadata-free schema: keeps Ray's schema dedup hashable
+        return g.rename_columns([*keys, name]).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -43,6 +44,11 @@ def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
     import pyarrow.compute as pc
 
     def add(t: pa.Table) -> pa.Table:
+        # strip pandas metadata: a pa.Schema carrying metadata is
+        # UNHASHABLE (dict in the hash), which breaks Ray's schema
+        # deduplication in the downstream sort reduce ("Failed to hash
+        # the schemas" warnings, and at scale no block-schema dedup)
+        t = t.replace_schema_metadata(None)
         keys = t[key].combine_chunks()
         uniq = pc.unique(keys)
         vals = pa.array(
@@ -100,6 +106,14 @@ def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
     preserved exactly — a key's rows stay together (salting that SPLITS
     a key is only valid for decomposable aggregations, which
     grouped_count already handles via partials)."""
+
+    from .joins import coalesce_if_fragmented
+
+    # a materialized input that arrives as hundreds of tiny blocks
+    # (row-wise pair lists, id sets) would explode the sort shuffle
+    # below into map-blocks × reduce-partitions micro-tasks; lazy
+    # inputs (tuned fat read blocks) pass through untouched
+    ds = coalesce_if_fragmented(ds, 4 * buckets)
 
     if skew_aware:
         from ray.data.aggregate import Sum

@@ -219,8 +219,11 @@ def _dedup_pair_list(pairs_ds, buckets: int = 32):
         df["_pk"] = (df["a"] * 1_000_003 + df["b"]) % buckets
         return df
 
+    from .joins import coalesce_if_fragmented
+
     return (
-        pairs_ds.map_batches(pair_key, batch_format="pandas")
+        coalesce_if_fragmented(pairs_ds, 4 * buckets)
+        .map_batches(pair_key, batch_format="pandas")
         .groupby("_pk")
         .map_groups(
             lambda g: g.drop_duplicates(["a", "b"]).drop(columns=["_pk"]),
@@ -268,35 +271,54 @@ def verify_jaccard(pairs, docs, shingle_fn=word_shingles, k: int = 3,
       table broadcasts once and both pair sides probe it map-side (no
       shuffle). This is NOT the round-1 anti-pattern: the broadcast is
       O(candidates), never O(corpus).
-    - beyond the limit → two bucket-hash-joins keyed on doc_id (one
-      narrow shuffle per side), fully shuffle-based — the robust path
-      when banding degenerates and candidates approach the corpus.
+    - beyond the limit → the candidate-ID set itself never lands on the
+      driver either: the corpus is filtered with a DISTRIBUTED
+      ``bucket_semi_join`` against the id Dataset, and the token lists
+      attach via two bucket-hash-joins keyed on doc_id (one narrow
+      shuffle per side) — the robust path when banding degenerates and
+      candidates approach the corpus (dup-heavy web crawl).
 
     Output: (a, b, inter_n, union_n, jaccard) — integer counts first so
     thresholds can be applied in exact integer math.
     """
-    from .joins import broadcast_join, bucket_hash_join, semi_join
+    from .joins import (
+        broadcast_join, bucket_hash_join, bucket_semi_join, semi_join,
+    )
 
     # the pair list and the candidate token table are both SMALL by LSH
     # construction and each feeds TWO consumers — materialize once so
     # the upstream LSH / tokenize pipelines don't re-execute per use
     # (lazy Datasets recompute from the source on every consumption)
     pairs = pairs.materialize()
-    ids = pairs.map_batches(
+    ids_ds = pairs.map_batches(
         lambda df: pd.DataFrame(
             {"doc_id": pd.unique(pd.concat([df["a"], df["b"]]))}
         ),
         batch_format="pandas",
-    ).to_pandas()
-    ids = ids.drop_duplicates("doc_id")
+    ).materialize()
+    # per-batch-unique UPPER BOUND on the distinct candidate count: if
+    # even the overcount fits the broadcast budget, collecting is safe
+    # (true count ≤ bound); otherwise NOTHING id-sized reaches the
+    # driver and every step below is shuffle-based
+    n_ids_upper = ids_ds.count()
+    use_broadcast = n_ids_upper <= broadcast_limit
 
-    docs_c = semi_join(docs.select_columns(["doc_id", "text"]), ids, on="doc_id")
+    if use_broadcast:
+        ids = ids_ds.to_pandas().drop_duplicates("doc_id")
+        docs_c = semi_join(
+            docs.select_columns(["doc_id", "text"]), ids, on="doc_id"
+        )
+    else:
+        docs_c = bucket_semi_join(
+            docs.select_columns(["doc_id", "text"]), ids_ds, on="doc_id",
+            buckets=buckets,
+        )
     toks = docs_c.map_batches(
         _tokenize_stage(shingle_fn, k), batch_format="pandas"
     ).materialize()
 
     # join token lists onto both pair sides (rename → join key matches)
-    if len(ids) <= broadcast_limit:
+    if use_broadcast:
         toks_df = toks.to_pandas()  # candidate-bounded, NOT corpus-bounded
         j = broadcast_join(
             pairs,
@@ -343,24 +365,39 @@ def verify_jaccard(pairs, docs, shingle_fn=word_shingles, k: int = 3,
     return j.map_batches(jaccard, batch_format="pandas")
 
 
-def minhash_dedup(docs, threshold: float = 0.7, **lsh_kwargs):
+def minhash_dedup(docs, threshold: float = 0.7,
+                  broadcast_limit: int = 100_000, **lsh_kwargs):
     """Near-dup dedup: LSH candidates → distributed Jaccard verify →
     drop the larger id of every duplicate pair (exact integer threshold
-    comparison). Returns surviving doc_ids."""
-    from .joins import semi_join
+    comparison). Returns surviving doc_ids.
+
+    The DROP-ID set is O(#duplicates) — corpus-proportional on a
+    dup-heavy crawl (50%+ dup rates are common), so it is applied
+    adaptively: a driver-side set broadcast only when a per-batch-unique
+    UPPER BOUND on its size fits ``broadcast_limit``; otherwise a fully
+    distributed anti ``bucket_semi_join`` where the ids never leave the
+    object store."""
+    from .joins import bucket_semi_join, semi_join
 
     p, q = threshold_fraction(threshold)
     pairs = lsh_candidate_pairs(docs, **lsh_kwargs)
-    verified = verify_jaccard(pairs, docs)
+    verified = verify_jaccard(pairs, docs,
+                              broadcast_limit=broadcast_limit)
 
     def dup_b(df: pd.DataFrame) -> pd.DataFrame:
         m = df["inter_n"] * q >= df["union_n"] * p
         return pd.DataFrame({"doc_id": df.loc[m, "b"].unique().astype("int64")})
 
-    drop_ids = verified.map_batches(dup_b, batch_format="pandas").to_pandas()
-    drop_ids = drop_ids.drop_duplicates("doc_id")
-    return semi_join(
-        docs.select_columns(["doc_id"]), drop_ids, on="doc_id", anti=True
+    drop_ds = verified.map_batches(dup_b, batch_format="pandas").materialize()
+    ids = docs.select_columns(["doc_id"])
+    if drop_ds.count() <= broadcast_limit:
+        drop_ids = drop_ds.to_pandas().drop_duplicates("doc_id")
+        return semi_join(ids, drop_ids, on="doc_id", anti=True)
+    survivors = bucket_semi_join(ids, drop_ds, on="doc_id", anti=True)
+    # the union inside the bucket join null-pads ints → float64 in
+    # pandas groups; restore the exact id dtype
+    return survivors.map_batches(
+        lambda df: df.astype({"doc_id": "int64"}), batch_format="pandas"
     )
 
 

@@ -609,3 +609,56 @@ def test_ascii_whitespace_tokenizer_matches_re2():
     assert ws_tokens("a\x0bb") == ["a\x0bb"]
     assert ws_tokens("a\xa0b") == ["a\xa0b"]
     assert ws_tokens("") == []
+
+
+def test_minhash_dedup_dup_heavy_distributed_path(ray_session):
+    """Dup-heavy corpus (90% near-duplicates): the fully distributed
+    drop-set path (broadcast_limit=0 → anti bucket_semi_join, nothing
+    id-sized on the driver) must keep exactly the survivors the
+    broadcast path keeps."""
+    from beats_ray.dataops.dedup import minhash_dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the trip home",
+    ]
+    rows = []
+    for i in range(100):
+        b = base[i % 2]
+        if i >= 10:  # 90% duplicates: exact copies of the two bases
+            rows.append({"doc_id": i, "text": b})
+        else:  # 10% distinct
+            rows.append({"doc_id": i, "text": f"{b} unique tail {i}"})
+    docs = rd.from_items(rows)
+
+    kw = dict(threshold=0.7, num_perm=32, bands=16)
+    bc = sorted(minhash_dedup(docs, **kw).to_pandas()["doc_id"])
+    dist = minhash_dedup(docs, broadcast_limit=0, **kw).to_pandas()
+    assert dist["doc_id"].dtype == "int64"
+    assert sorted(dist["doc_id"]) == bc
+    # 90 exact dups of two bases → only the min-id of each dup cluster
+    # plus the 10 distinct docs survive
+    assert len(bc) < 20
+
+
+def test_bucket_semi_join_matches_broadcast(ray_session):
+    """bucket_semi_join ≡ semi_join (broadcast) for semi and anti, with
+    duplicate keys in the key Dataset."""
+    from beats_ray.dataops.joins import bucket_semi_join, semi_join
+
+    left = rd.from_items(
+        [{"k": i, "v": f"r{i}"} for i in range(50)]
+    )
+    keys_df = pd.DataFrame({"k": [1, 3, 3, 7, 7, 7, 40, 99]})
+    keys_ds = rd.from_pandas(keys_df)
+    for anti in (False, True):
+        want = (
+            semi_join(left, keys_df, on="k", anti=anti)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        got = (
+            bucket_semi_join(left, keys_ds, on="k", anti=anti)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        got = got.astype({"k": "int64"})
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
