@@ -1034,7 +1034,10 @@ def q_asof_click_view(sf_dir: str):
 
     clicks = ev.map_batches(pick("click", "event_id"), batch_format="pyarrow")
     views = ev.map_batches(pick("view", "view_id"), batch_format="pyarrow")
-    joined = asof_join(clicks, views, key="user_id", ts_col="ts")
+    # equal-ts views resolve to the max view_id — deterministic across
+    # runs and mirrored in the oracle's pre-dedupe
+    joined = asof_join(clicks, views, key="user_id", ts_col="ts",
+                       tie_cols=["view_id"])
 
     def out(df: pd.DataFrame) -> pd.DataFrame:
         res = df[["event_id", "user_id", "view_id"]].copy()
@@ -1777,6 +1780,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts, event_type AS sop, event_id AS sv,
                      CAST(floor(epoch(ts)) AS BIGINT) AS sts
               FROM events WHERE event_type IN ('view', 'purchase')
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts
+                ORDER BY sop DESC, sv DESC) = 1
             ),
             g AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
             SELECT g.user_id, g.ts,
@@ -1863,7 +1869,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id, c.user_id,
                    COALESCE(v.event_id, -1) AS view_id
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (
+              SELECT * FROM events WHERE event_type = 'view'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ) v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "distinct_tools_per_role": f"""
             SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools

@@ -188,13 +188,21 @@ def bucket_hash_join(left, right, left_on: str, right_on: str,
 
 
 def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
-              suffix: str = "_r"):
+              suffix: str = "_r", tie_cols: list | None = None):
     """As-of (backward) join: each left row matches the latest right row
     with ``right.ts <= left.ts`` within the same ``key`` (guide: sort
     both sides by (key, ts) within buckets + ``pd.merge_asof`` per
     bucket). One co-locating shuffle on the key; per-bucket work is a
     single vectorized merge_asof. Equal timestamps match
-    (allow_exact_matches, = DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``)."""
+    (allow_exact_matches, = DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    ``tie_cols``: when several right rows share the same (key, ts), the
+    merge_asof winner would otherwise depend on nondeterministic block
+    arrival order (mergesort preserves it). With ``tie_cols`` the right
+    side is sorted by (ts, *tie_cols) and deduped to one row per
+    (key, ts) keeping the LARGEST tie tuple — a stable, run-to-run and
+    oracle-reproducible winner (SQL mirror: ``QUALIFY row_number()
+    OVER (PARTITION BY key, ts ORDER BY tie DESC, ...) = 1``)."""
     left = coalesce_if_fragmented(left, 4 * buckets)
     right = coalesce_if_fragmented(right, 4 * buckets)
     left_cols = list(left.schema().names)
@@ -221,7 +229,11 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
                 out[c + (suffix if c in left_cols else "")] = None
             return out
         lg = lg.sort_values(ts_col, kind="mergesort")
-        rg = rg.sort_values(ts_col, kind="mergesort")
+        if tie_cols:
+            rg = rg.sort_values([ts_col, *tie_cols], kind="mergesort")
+            rg = rg.drop_duplicates([key, ts_col], keep="last")
+        else:
+            rg = rg.sort_values(ts_col, kind="mergesort")
         return pd.merge_asof(
             lg, rg, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
         )

@@ -71,7 +71,11 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
 
     from .joins import asof_join
 
-    joined = asof_join(gets, state, key=key, ts_col=ts_col, buckets=buckets)
+    # deterministic equal-timestamp winner: largest (op, value) tuple —
+    # 'put' > 'delete' lexicographically, then max value (mirrored in
+    # the SQL oracle's QUALIFY row_number() tie-break)
+    joined = asof_join(gets, state, key=key, ts_col=ts_col, buckets=buckets,
+                       tie_cols=["_state_op", "_state_v"])
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         hit = df["_state_op"].eq("put").fillna(False)

@@ -662,3 +662,24 @@ def test_bucket_semi_join_matches_broadcast(ray_session):
         )
         got = got.astype({"k": "int64"})
         pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+
+def test_asof_join_tie_cols_deterministic(ray_session):
+    """Several right rows at the same (key, ts): with tie_cols the
+    winner is the largest tie tuple, stable across block orders."""
+    import pandas as pd
+    from beats_ray.dataops.joins import asof_join
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    right_rows = [
+        {"k": 1, "ts": t0, "val": 10},
+        {"k": 1, "ts": t0, "val": 30},
+        {"k": 1, "ts": t0, "val": 20},
+    ]
+    left = rd.from_items([{"k": 1, "ts": t0 + pd.Timedelta(seconds=5)}])
+    for perm in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        right = rd.from_items([right_rows[i] for i in perm])
+        out = asof_join(left, right, key="k", ts_col="ts",
+                        tie_cols=["val"]).to_pandas()
+        assert len(out) == 1
+        assert int(out["val"].iloc[0]) == 30
