@@ -1957,9 +1957,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH RECURSIVE d AS (
               SELECT doc_id, doc_id % 16 AS bucket,
-                CASE WHEN trim(text) = '' THEN 0
-                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
-                END AS tok,
+                len(list_filter(regexp_split_to_array(text, '\s+'),
+                                w -> w <> '')) AS tok,
                 row_number() OVER (PARTITION BY doc_id % 16
                                    ORDER BY doc_id) AS rn
               FROM documents
@@ -1981,9 +1980,8 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequences_text": r"""
             WITH RECURSIVE d AS (
               SELECT doc_id, doc_id % 16 AS bucket, text,
-                CASE WHEN trim(text) = '' THEN 0
-                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
-                END AS tok,
+                len(list_filter(regexp_split_to_array(text, '\s+'),
+                                w -> w <> '')) AS tok,
                 row_number() OVER (PARTITION BY doc_id % 16
                                    ORDER BY doc_id) AS rn
               FROM documents
@@ -2005,8 +2003,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.bucket, p.bin""",
         "token_stats": f"""
             SELECT doc_id, length(text) AS n_chars,
-                   CASE WHEN trim(text)='' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '')) AS n_ws_tokens,
                    length(regexp_extract_all(text, '{bpe_rx}')) AS n_bpe_tokens,
                    length(regexp_extract_all(text, '{punct}')) AS n_punct,
                    length(regexp_extract_all(lower(text), '{stop_rx}')) AS n_stopwords

@@ -186,11 +186,20 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
                        buckets: int = 32,
                        initial_state: "pd.DataFrame | None" = None,
                        emit_state: bool = False):
-    """TRUE token-bucket rate limiting — the reference's refill
-    semantics (libbeat/processors/ratelimit/rate_limit.go:28-56,103:
+    """Refilling token-bucket rate limiting — the reference's refill
+    model (libbeat/processors/ratelimit/rate_limit.go:28-56,103:
     per-key bucket, capacity = burst, replenish ``limit_n / per_s``
     tokens per second of event time, spend 1 per allowed event),
     re-expressed as an event-time replay per key inside map_buckets.
+
+    Deliberate divergence from the reference: the reference's
+    ``bucket.replenish`` (token_bucket.go:63) does NOT clamp tokens at
+    capacity — only its GC resets full buckets — so a long-idle key
+    there can accumulate more than ``burst`` tokens and admit an
+    over-capacity spike. This engine applies the textbook clamp
+    ``min(cap, tok + refill)`` on every event (no unbounded credit);
+    the DuckDB oracle replays the same clamped recurrence, so engine
+    and oracle agree by construction.
 
     Exact integer math: one token = ``per_s * 1e6`` sub-units, so the
     refill over ``delta_us`` microseconds is ``limit_n * delta_us``

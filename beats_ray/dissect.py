@@ -44,15 +44,33 @@ import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"%\{([^}]*)\}")
 
+# strconv.ParseBool's EXACT accepted set (dissect.go:266) — partially
+# case-sensitive: "True" parses but "tRuE" errors. On error the
+# reference's convertData (dissect.go:277-285) keeps the RAW STRING,
+# which the scalar path mirrors via raise→keep; the Arrow path nulls
+# instead (a typed bool column can't hold the raw string per row).
+_BOOL_TOKENS = {
+    "1": True, "t": True, "T": True, "TRUE": True, "true": True,
+    "True": True,
+    "0": False, "f": False, "F": False, "FALSE": False, "false": False,
+    "False": False,
+}
+
+
+def _parse_bool(v: str) -> bool:
+    try:
+        return _BOOL_TOKENS[v]
+    except KeyError:
+        raise ValueError(f"invalid boolean token {v!r}") from None
+
+
 CONVERTERS = {
     "integer": int,
     "long": int,
     "float": float,
     "double": float,
     "string": str,
-    # strconv.ParseBool token set (field.go convertBoolean): 1/t/true
-    # (any case) are true — not just the literal "true"
-    "boolean": lambda v: v.lower() in ("1", "t", "true"),
+    "boolean": _parse_bool,
     "ip": str,  # validated downstream; kept as string
 }
 
@@ -338,8 +356,13 @@ def _convert_arr(col: pa.Array, dtype: str | None) -> pa.Array:
     if dtype in ("float", "double"):
         return _masked_cast(col, _FLOAT_RX, pa.float64())
     if dtype == "boolean":
-        # mirror strconv.ParseBool's true set (1/t/true, case-folded)
-        return pc.is_in(
-            pc.utf8_lower(col), value_set=pa.array(["1", "t", "true"])
+        # strconv.ParseBool's exact token set; tokens outside it become
+        # null (validate-then-cast, same tag-and-keep policy as the
+        # numeric paths) instead of silently collapsing to false
+        valid = pc.is_in(col, value_set=pa.array(list(_BOOL_TOKENS)))
+        truev = pc.is_in(
+            col,
+            value_set=pa.array([k for k, b in _BOOL_TOKENS.items() if b]),
         )
+        return pc.if_else(valid, truev, pa.scalar(None, pa.bool_()))
     return col

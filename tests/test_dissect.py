@@ -52,17 +52,26 @@ def test_typed_conversion():
 
 
 def test_boolean_parsebool_tokens():
-    """strconv.ParseBool set: 1/t/T/TRUE/true → true; 0/f/others → false
-    (field.go convertBoolean) — both scalar and batch paths."""
+    """strconv.ParseBool's EXACT set (dissect.go:266): 12 tokens incl.
+    the capitalized forms; anything else is a conversion FAILURE — the
+    scalar path keeps the raw string (reference convertData keeps b on
+    error), the typed batch path yields null, never a silent false."""
     cd = compile_tokenizer("%{b|boolean}")
     for tok, want in [("1", True), ("t", True), ("T", True), ("TRUE", True),
-                      ("true", True), ("0", False), ("f", False),
-                      ("F", False), ("false", False), ("nope", False)]:
+                      ("true", True), ("True", True), ("0", False),
+                      ("f", False), ("F", False), ("FALSE", False),
+                      ("false", False), ("False", False)]:
         assert cd.apply(tok) == {"b": want}, tok
+    # invalid tokens (incl. mixed case — ParseBool is case-sensitive
+    # beyond its 12 literals) keep the raw string, like the reference
+    for tok in ("nope", "2", "tRuE", "yes"):
+        assert cd.apply(tok) == {"b": tok}, tok
     fields, ok = dissect_batch(
-        cd, pa.array(["1", "t", "TRUE", "0", "f", "x"])
+        cd, pa.array(["1", "t", "TRUE", "0", "f", "x", "tRuE"])
     )
-    assert fields["b"].to_pylist() == [True, True, True, False, False, False]
+    assert fields["b"].to_pylist() == [
+        True, True, True, False, False, None, None,
+    ]
 
 
 def test_trim_values():
