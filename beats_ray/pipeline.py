@@ -261,7 +261,8 @@ def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):
 
 def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
                   enrich: bool = True, enrich_concurrency=(1, 8),
-                  enrich_mode: str = "task", stage_state: dict | None = None):
+                  enrich_mode: str = "task", stage_state: dict | None = None,
+                  pre_staged: bool = False):
     """Compose the lazy flagship pipeline over a ``ray.data.Dataset``.
 
     ``enrich_mode="task"`` (default): lookup enrich as a plain fused
@@ -272,10 +273,16 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
     the right shape when per-worker setup is heavy (models, dns caches);
     costs an operator boundary.
     Batches are whole blocks (``batch_size=None``): every kernel here is
-    vectorized, so bigger batches amortize per-call overhead."""
-    ds = build_pre_stage(ds, config, enrich=enrich,
-                         enrich_concurrency=enrich_concurrency,
-                         enrich_mode=enrich_mode)
+    vectorized, so bigger batches amortize per-call overhead.
+
+    ``pre_staged=True``: ``ds`` is ALREADY the parse+enrich output
+    (``build_pre_stage``) — used by the streaming runner, which
+    materializes the pre-stage once per window so the routed output and
+    the carried-state replay share a single parse execution."""
+    if not pre_staged:
+        ds = build_pre_stage(ds, config, enrich=enrich,
+                             enrich_concurrency=enrich_concurrency,
+                             enrich_mode=enrich_mode)
     RouteStage(config, num_parts)._ensure()  # eager route validation
     stages = (config or {}).get("stages", [])
     if stages:

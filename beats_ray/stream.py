@@ -241,8 +241,19 @@ class MicroBatchRunner:
                 ),
                 batch_format="pyarrow",
             )
+            # ONE parse+enrich execution per window: when a token_bucket
+            # stage needs the carried-state replay (a second consumer of
+            # the parse+enrich rows), materialize the pre-stage output
+            # once and feed both the routed pipeline and the replay —
+            # a lazy Dataset would re-execute the whole chain per
+            # consumer. Window-bounded, so the pinned blocks are small;
+            # without a token_bucket stage nothing is materialized.
+            pre_ds = build_pre_stage(ds, config)
+            if tb_idx:
+                pre_ds = pre_ds.materialize()
             routed = build_dataset(
-                ds, config, num_parts=len(win_files), stage_state=tb_state
+                pre_ds, config, num_parts=len(win_files),
+                stage_state=tb_state, pre_staged=True,
             )
             win_dir = self.out_dir / f"window={w}"
             # idempotent re-run: a window that wrote output but never
@@ -257,10 +268,10 @@ class MicroBatchRunner:
             if tb_idx:
                 import pyarrow as _pa
 
-                # replay on the SAME rows the in-pipeline stage saw:
-                # parse+enrich first (processors may drop rows), then
-                # the preceding stages
-                prev_ds = build_pre_stage(ds, config)
+                # replay on the SAME rows the in-pipeline stage saw —
+                # the window's already-materialized parse+enrich output
+                # (no second parse execution), then the preceding stages
+                prev_ds = pre_ds
                 next_state: dict[int, pd.DataFrame] = {}
                 for i, spec in enumerate(stages_cfg):
                     if not isinstance(spec, dict) or len(spec) != 1:

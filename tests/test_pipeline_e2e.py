@@ -568,6 +568,65 @@ def test_stream_token_bucket_with_dropping_processor(ray_session, tmp_path):
     assert sum(totals["rows_routed"].values()) == batch_kept
 
 
+def test_stream_token_bucket_single_parse_pass(ray_session, tmp_path,
+                                               monkeypatch):
+    """With a token_bucket stage, each window's parse+enrich executes
+    ONCE: the materialized pre-stage feeds both the routed output and
+    the carried-state replay. Counted by rows actually flowing through
+    ParseStage on workers — before the fix the replay re-executed the
+    whole chain, doubling the count."""
+    import ray
+
+    import beats_ray.pipeline as bp
+    from beats_ray.stream import MicroBatchRunner
+
+    @ray.remote
+    class ParseRowCounter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self, k):
+            self.n += int(k)
+
+        def get(self):
+            return self.n
+
+    counter = ParseRowCounter.options(
+        name="parse_row_counter", namespace="tb_single_pass"
+    ).remote()
+    ray.get(counter.get.remote())  # ensure registered before tasks run
+
+    orig = bp.ParseStage
+
+    class CountingParse(orig):
+        def __call__(self, t):
+            # blocking get: the count is fully applied before the task
+            # finishes, so the driver's final read can't race it
+            ray.get(ray.get_actor(
+                "parse_row_counter", namespace="tb_single_pass"
+            ).inc.remote(t.num_rows))
+            return super().__call__(t)
+
+    monkeypatch.setattr(bp, "ParseStage", CountingParse)
+
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 5, "a"), ("c0", 10, "b"), ("c1", 10, "c")]),
+        (1, [("c0", 10, "d"), ("c1", 20, "e")]),
+    ])
+    n_rows = 5
+    cfg = {
+        "processors": [],
+        "stages": [{"token_bucket": {"key": "conv_id", "limit_n": 1,
+                                     "per_s": 7200, "burst": 1,
+                                     "order": "turn_idx"}}],
+        "routes": [{"name": "default"}],
+    }
+    MicroBatchRunner(str(tmp_path / "tb1p"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert ray.get(counter.get.remote()) == n_rows
+
+
 def test_parse_stage_handles_fully_dropped_block(ray_session):
     """classify_kind must survive an empty block (drop_event emptied
     it) — untyped pa.array([]) used to infer null type and crash."""
