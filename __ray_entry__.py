@@ -703,7 +703,7 @@ def q_embed_dup_pairs(sf_dir: str):
 
     out = embedding_cosine_dup_pairs(
         _table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
-    )
+    ).to_pandas()  # benchmark-scale collect; the op itself streams
     if out.empty:  # empty map_groups outputs can lose column names
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64")})

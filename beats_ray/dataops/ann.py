@@ -184,7 +184,7 @@ class _AssignWithAngle:
 
 
 def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
-                               n_clusters: int = 16) -> pd.DataFrame:
+                               n_clusters: int = 16):
     """EXACT embedding-cosine similarity join, scale-safe.
 
     Vectors bucket by nearest centroid; a bucket PAIR (i, j) is compared
@@ -294,10 +294,12 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
         ).astype({"a": "int64", "b": "int64", "sim": "float64"})
 
     # each unordered pair appears in exactly ONE group (a vector has one
-    # bucket; group = that bucket pair) — no global dedup needed, so the
-    # result could equally stream to parquet at scale; the pair list is
-    # the op's output and is returned as a DataFrame for convenience
-    out = (
+    # bucket; group = that bucket pair) — no global dedup needed. The
+    # pair list is returned as a DATASET: at scale it is result-sized
+    # (can exceed the corpus on dup-heavy inputs) and must stream to
+    # its sink, never collect on the driver; small callers just
+    # .to_pandas() it themselves.
+    return (
         assigned.map_batches(
             replicate, fn_kwargs={"ref": bref}, batch_format="pandas"
         )
@@ -305,11 +307,4 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
         .map_groups(
             lambda g: pairs(g, aref), batch_format="pandas"
         )
-        .to_pandas()
     )
-    if out.empty:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "sim": pd.Series(dtype="float64")}
-        )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)

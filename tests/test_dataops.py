@@ -359,7 +359,9 @@ def test_embed_dup_pairs_exact_vs_allpairs(ray_session):
     ds = rd.from_items(
         [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
     )
-    got_df = embedding_cosine_dup_pairs(ds, threshold=0.8, n_clusters=8)
+    got_df = embedding_cosine_dup_pairs(
+        ds, threshold=0.8, n_clusters=8
+    ).to_pandas()
     got = set(map(tuple, got_df[["a", "b"]].values))
 
     m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
