@@ -399,6 +399,47 @@ def q_rate_limit_tokens(sf_dir: str):
     return grouped_count(kept, ["user_id"], name="n_kept")
 
 
+def q_dns_cache_hits(sf_dir: str):
+    """dns processor TTL lookup-cache replay (dns/cache.go): click
+    events resolve a user-derived host against a config-fed zone
+    (30/40 hosts resolve); successes cache for 600 s, failures for
+    120 s, and each event is classified hit/miss by event-time expiry.
+    Oracle = a recursive CTE replaying the identical anchored-expiry
+    chain per host."""
+    import pandas as pd
+
+    from beats_ray.dataops.dnscache import dns_cache_replay
+
+    ev = _table(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+        blocks=16,
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "click"].copy()
+        df["query"] = (
+            "host-" + (df["user_id"] % 40).astype(str) + ".example"
+        )
+        return df[["event_id", "ts", "query"]]
+
+    zone = {
+        f"host-{i}.example": {"answer": f"10.0.0.{i}", "ttl_s": 600}
+        for i in range(30)
+    }
+    out = dns_cache_replay(
+        ev.map_batches(prep, batch_format="pandas"),
+        key="query", order_col="event_id", resolutions=zone,
+        success_ttl_s=600, failure_ttl_s=120,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        res = df[["event_id", "query", "answer", "status", "cache"]].copy()
+        res["answer"] = res["answer"].fillna("")  # oracle COALESCEs too
+        return res.astype({"event_id": "int64"})
+
+    return out.map_batches(final, batch_format="pandas")
+
+
 def q_cache_hits(sf_dir: str):
     """cache processor put/get/delete with TTL (cache/cache.go): views
     PUT (value = event_id), purchases DELETE, clicks GET. A click
@@ -1235,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_tokens": q_rate_limit_tokens,
         "stage_rate_limited_counts": q_stage_rate_limited_counts,
         "cache_hits": q_cache_hits,
+        "dns_cache_hits": q_dns_cache_hits,
         # aggregation / windows / sort
         "flow_agg": q_flow_agg,
         "flow_sessions": q_flow_sessions,
@@ -1774,6 +1816,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(count(*) FILTER (WHERE allowed) AS BIGINT) AS n_kept
             FROM tb GROUP BY user_id""",
+        # dns TTL lookup cache: recursive CTE replaying the anchored
+        # expiry chain (miss installs expiry=ts+ttl; ts<=expiry hits)
+        "dns_cache_hits": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id, epoch_us(ts) AS tus,
+                     'host-' || CAST(user_id % 40 AS VARCHAR)
+                             || '.example' AS query,
+                     user_id % 40 AS hk,
+                     row_number() OVER (PARTITION BY user_id % 40
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'click'
+            ),
+            ch(hk, rn, tus, expiry, hit) AS (
+              SELECT hk, rn, tus,
+                     tus + CASE WHEN hk < 30 THEN 600000000
+                                ELSE 120000000 END,
+                     FALSE
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.hk, e.rn, e.tus,
+                     CASE WHEN e.tus <= c.expiry THEN c.expiry
+                          ELSE e.tus + CASE WHEN e.hk < 30 THEN 600000000
+                                            ELSE 120000000 END END,
+                     e.tus <= c.expiry
+              FROM ch c JOIN ev e ON e.hk = c.hk AND e.rn = c.rn + 1
+            )
+            SELECT e.event_id, e.query,
+                   CASE WHEN e.hk < 30
+                        THEN '10.0.0.' || CAST(e.hk AS VARCHAR)
+                        ELSE '' END AS answer,
+                   CASE WHEN e.hk < 30 THEN 'OK'
+                        ELSE 'NXDOMAIN' END AS status,
+                   CASE WHEN c.hit THEN 'hit' ELSE 'miss' END AS cache
+            FROM ev e JOIN ch c ON c.hk = e.hk AND c.rn = e.rn""",
         # cache put/get/delete+TTL: ASOF join onto the state stream
         "cache_hits": """
             WITH st AS (

@@ -442,10 +442,28 @@ def dns_proc(cfg: dict):
     resolution table (hostname → address) probed vectorized; resolution
     FAILURES are tagged in-band (``<target>.status`` = NXDOMAIN) the
     way the reference records failure-cache entries — no live resolver
-    in this container."""
+    in this container.
+
+    ``action`` (config.go:73-78, reference default append): when the
+    target field already holds a value, ``append`` joins the new answer
+    onto it (the repo's comma-joined list convention, same as
+    add_tags); ``replace`` overwrites. ``tag_on_failure`` (config.go:38)
+    appends its tags to ``tags`` on rows whose lookup failed.
+
+    The success/failure TTL CACHE semantics (cache.go) are event-time
+    state — a per-batch processor cannot see across batches — and live
+    in ``dataops.dnscache.dns_cache_replay`` (hit/miss/expiry replay);
+    ``success_cache``/``failure_cache`` config keys are accepted here
+    and forwarded to that model's defaults."""
     kind = cfg.get("type", "forward")
     if kind not in ("forward", "reverse"):
         raise ValueError(f"dns: type must be forward or reverse, got {kind!r}")
+    action = cfg.get("action", "append")  # reference default: append
+    if action not in ("append", "replace"):
+        raise ValueError(
+            f"dns: action must be append or replace, got {action!r}"
+        )
+    fail_tags = list(cfg.get("tag_on_failure", []))
     # reverse (PTR) mode probes an address field and answers hostnames
     field = cfg.get(
         "field", "source.ip" if kind == "reverse" else "source.domain"
@@ -462,12 +480,19 @@ def dns_proc(cfg: dict):
             return t
         keys = [str(k) for k in table]
         vals = [str(table[k]) for k in table]
-        idx = pc.index_in(
-            pc.cast(col.combine_chunks(), pa.string()),
-            value_set=pa.array(keys, pa.string()),
-        )
+        src = pc.cast(col.combine_chunks(), pa.string())
+        idx = pc.index_in(src, value_set=pa.array(keys, pa.string()))
         mapped = pc.take(pa.array(vals, pa.string()), idx)
-        t = set_col(t, target, mapped)
+        existing = get_col(t, target)
+        if existing is not None and action == "append":
+            # setFieldValue actionAppend (dns.go:120-134): old value +
+            # new answer become a list — comma-joined here
+            old = pc.cast(existing.combine_chunks(), pa.string())
+            joined = pc.binary_join_element_wise(old, mapped, ",")
+            mapped_out = pc.coalesce(joined, mapped, old)
+        else:
+            mapped_out = mapped
+        t = set_col(t, target, mapped_out)
         status = pc.if_else(
             pc.is_valid(mapped),
             pa.array(["OK"] * t.num_rows),
@@ -475,10 +500,22 @@ def dns_proc(cfg: dict):
         )
         # rows with a null input field have no resolution attempt
         status = pc.if_else(
-            pc.is_valid(col.combine_chunks()), status,
-            pa.nulls(t.num_rows, pa.string()),
+            pc.is_valid(src), status, pa.nulls(t.num_rows, pa.string()),
         )
-        return set_col(t, f"{target}.status", status)
+        t = set_col(t, f"{target}.status", status)
+        if fail_tags:
+            # mapstr.AddTags on lookup failure (dns.go:85-88)
+            failed = pc.and_(pc.is_valid(src), pc.is_null(mapped))
+            tagstr = ",".join(fail_tags)
+            cur = get_col(t, "tags")
+            cur = (pc.cast(cur.combine_chunks(), pa.string())
+                   if cur is not None else pa.nulls(t.num_rows, pa.string()))
+            appended = pc.if_else(
+                pc.is_null(cur), pa.scalar(tagstr),
+                pc.binary_join_element_wise(cur, tagstr, ","),
+            )
+            t = set_col(t, "tags", pc.if_else(failed, appended, cur))
+        return t
 
     return run
 

@@ -67,7 +67,8 @@ ALLOWED_KEYS: dict[str, set[str]] = {
     "translate_sid": {"field", "account_name_target", "dictionary", "default"},
     "translate_ldap_attribute": {"field", "target_field", "dictionary",
                                  "default"},
-    "dns": {"field", "target_field", "resolutions", "dictionary", "type"},
+    "dns": {"field", "target_field", "resolutions", "dictionary", "type",
+            "action", "tag_on_failure", "success_cache", "failure_cache"},
     "now": {"target_field", "value"},
     "add_observer_metadata": {"fields"},
     "add_agent_metadata": {"fields"},

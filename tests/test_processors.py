@@ -383,6 +383,72 @@ def test_dns_lookup_and_failure_tag():
     assert out["dns.answer.status"].to_pylist() == ["OK", "NXDOMAIN", None]
 
 
+def test_dns_action_append_replace_and_failure_tags():
+    """Reference field actions (dns.go:116-138 setFieldValue): append
+    (the default, config.go:73) joins onto an existing target value,
+    replace overwrites; tag_on_failure (dns.go:85-88) tags only rows
+    whose lookup failed."""
+    import pyarrow as pa
+
+    t = pa.table({
+        "source.domain": ["a.example", "missing.example", "a.example"],
+        "dns.answer": ["cached.addr", None, None],
+        "tags": [None, "pre", None],
+    })
+    res = {"resolutions": {"a.example": "10.0.0.1"},
+           "tag_on_failure": ["_dns_fail"]}
+    out = build_processor({"dns": res})(t)  # default action = append
+    assert out["dns.answer"].to_pylist() == [
+        "cached.addr,10.0.0.1", None, "10.0.0.1",
+    ]
+    # failure row got tagged (appended to its existing tags); others kept
+    assert out["tags"].to_pylist() == [None, "pre,_dns_fail", None]
+
+    out = build_processor({"dns": {**res, "action": "replace"}})(t)
+    assert out["dns.answer"].to_pylist() == ["10.0.0.1", None, "10.0.0.1"]
+
+    with pytest.raises(ValueError, match="action"):
+        build_processor({"dns": {"action": "upsert"}})
+
+
+def test_dns_cache_replay_reference_semantics(ray_session):
+    """TTL lookup-cache replay vs a hand-computed reference trace
+    (cache.go): miss installs expiry=ts+ttl, ts<=expiry hits (boundary
+    instant INCLUSIVE — IsExpired is now.After(expires)), first event
+    past expiry re-misses; failures cache for failure_ttl; min_ttl
+    clamps short success TTLs (cache.go:219)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from beats_ray.dataops.dnscache import dns_cache_replay
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    rows = []
+    # ok.example: ttl_s=10 clamped up to min_ttl_s=60
+    #   t=0 miss (expiry 60), t=30 hit, t=60 hit (boundary), t=61 miss
+    for i, sec in enumerate([0, 30, 60, 61]):
+        rows.append({"event_id": i, "query": "ok.example",
+                     "ts": base + pd.Timedelta(seconds=sec)})
+    # bad.example fails, failure_ttl 20: t=0 miss, t=20 hit, t=21 miss
+    for i, sec in enumerate([0, 20, 21]):
+        rows.append({"event_id": 10 + i, "query": "bad.example",
+                     "ts": base + pd.Timedelta(seconds=sec)})
+    out = dns_cache_replay(
+        rd.from_items(rows), key="query", order_col="event_id",
+        resolutions={"ok.example": {"answer": "10.0.0.1", "ttl_s": 10}},
+        success_ttl_s=300, failure_ttl_s=20, min_ttl_s=60, buckets=4,
+    ).to_pandas().sort_values("event_id")
+    got = list(zip(out["event_id"], out["status"], out["cache"]))
+    assert got == [
+        (0, "OK", "miss"), (1, "OK", "hit"), (2, "OK", "hit"),
+        (3, "OK", "miss"),
+        (10, "NXDOMAIN", "miss"), (11, "NXDOMAIN", "hit"),
+        (12, "NXDOMAIN", "miss"),
+    ]
+    assert out["answer"].tolist()[:4] == ["10.0.0.1"] * 4
+    assert out["answer"].isna().tolist()[4:] == [True] * 3
+
+
 def test_now_requires_injected_value():
     import pyarrow as pa
 
