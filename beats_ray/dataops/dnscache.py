@@ -53,7 +53,8 @@ def dns_cache_replay(events, key: str = "query", ts_col: str = "ts",
                      order_col: str = "event_id",
                      resolutions: dict | None = None,
                      success_ttl_s: int = 300, failure_ttl_s: int = 60,
-                     min_ttl_s: int = 0, buckets: int = 32):
+                     min_ttl_s: int = 0, buckets: int = 32,
+                     skew_aware: bool = False):
     """Annotate each event with its dns resolution + cache disposition.
 
     ``resolutions``: {query: answer} or {query: {"answer":..,
@@ -99,4 +100,5 @@ def dns_cache_replay(events, key: str = "query", ts_col: str = "ts",
         out["cache"] = np.where(hit, "hit", "miss")
         return out
 
-    return map_buckets(events, key, per_bucket, buckets=buckets)
+    return map_buckets(events, key, per_bucket, buckets=buckets,
+                       skew_aware=skew_aware)

@@ -183,7 +183,7 @@ def top_k_users(events, k: int = 10):
 def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
                        per_s: int = 1, burst: int | None = None,
                        ts_col: str = "ts", order_col: str = "event_id",
-                       buckets: int = 32,
+                       buckets: int = 32, skew_aware: bool = False,
                        initial_state: "pd.DataFrame | None" = None,
                        emit_state: bool = False):
     """Refilling token-bucket rate limiting — the reference's refill
@@ -278,12 +278,13 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
             return pd.DataFrame(rows, columns=[key, "tok", "last_us"])
         return g[allowed]
 
-    return map_buckets(events, key, per_bucket, buckets=buckets)
+    return map_buckets(events, key, per_bucket, buckets=buckets,
+                       skew_aware=skew_aware)
 
 
 def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
                key_col: str = "conv_id", order_col: str = "turn_idx",
-               ts_col: str = "ts"):
+               ts_col: str = "ts", skew_aware: bool = False):
     """Deterministic token-bucket analogue (ratelimit/rate_limit.go:103
     with per-``fields`` key bucketing): keep the first ``k`` turns per
     (key, window) in ``order_col`` order.
@@ -300,4 +301,5 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
         rank = g.groupby([g[key_col], win]).cumcount()
         return g[rank.to_numpy() < k]
 
-    return map_buckets(transcripts, key_col, per_bucket, buckets=buckets)
+    return map_buckets(transcripts, key_col, per_bucket, buckets=buckets,
+                       skew_aware=skew_aware)

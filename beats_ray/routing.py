@@ -38,20 +38,58 @@ class Router:
             # format-string names are evaluated for unconditional rules
             # too, not stored as a literal fallback
             cond = compile_condition(rule["when"]) if "when" in rule else None
-            self.compiled.append((name, fmt, cond))
-            if fmt is None and name not in self.sink_names:
+            # `mappings:` table form (outil/select.go:289-296,
+            # LookupSelectorExpr): the rule's key expression is looked
+            # up in a value → sink table; a missed lookup yields the
+            # rule's `default` if set, else the row FALLS THROUGH to
+            # the next rule (mapSelector returns "" → listSelector
+            # continues, select.go:225-245)
+            mapping = rule.get("mappings")
+            if mapping is not None:
+                mapping = {str(k): str(v) for k, v in mapping.items()}
+            default = rule.get("default")
+            self.compiled.append((name, fmt, cond, mapping, default))
+            if mapping is not None:
+                for v in mapping.values():
+                    if v not in self.sink_names:
+                        self.sink_names.append(v)
+            elif fmt is None and name not in self.sink_names:
                 self.sink_names.append(name)
+            if default is not None and default not in self.sink_names:
+                self.sink_names.append(default)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
         sink = pa.nulls(n, pa.string())
-        for name, fmt, cond in self.compiled:
+        for name, fmt, cond, mapping, default in self.compiled:
             if cond is None:
                 assign = pc.is_null(sink)
             else:
                 mask = pc.fill_null(cond(t), False)
                 assign = pc.and_(pc.is_null(sink), mask)
-            value = fmt(t) if fmt is not None else pa.scalar(name)
+            if fmt is not None:
+                value = fmt(t)
+            else:
+                value = pa.nulls(n, pa.string()).fill_null(name)
+            if mapping is not None:
+                idx = pc.index_in(
+                    value, value_set=pa.array(list(mapping), pa.string())
+                )
+                value = pc.take(
+                    pa.array(list(mapping.values()), pa.string()), idx
+                )
+            if default is not None:
+                # rule-level fallback (select.go:280-286 `otherwise`):
+                # catches missed lookups and empty key expressions
+                value = pc.if_else(
+                    pc.equal(pc.fill_null(value, ""), ""),
+                    pa.scalar(default), value,
+                )
+            # null/empty value = this rule produced nothing for the row
+            # → leave it unrouted so later rules may claim it
+            assign = pc.and_(
+                assign, pc.invert(pc.equal(pc.fill_null(value, ""), ""))
+            )
             sink = pc.if_else(assign, value, sink)
         # Beats drops events matching no selector but COUNTS the drops
         # (outputs/metrics.go `dropped`); keep-and-observe equivalent:

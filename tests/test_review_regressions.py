@@ -319,3 +319,37 @@ def test_router_first_match_wins_with_unconditional():
     # format-string unconditional rule is EVALUATED, not literal
     r2 = Router([{"name": "lvl-%{[level]}"}])
     assert r2(t)["sink"].to_pylist() == ["lvl-error", "lvl-info"]
+
+
+def test_router_mappings_table_form():
+    """`mappings:` selector (outil/select.go:289-296 LookupSelectorExpr
+    via buildSingle select.go:288-325): the rule's key expression is
+    looked up in a value->sink table; a missed lookup falls back to the
+    rule's `default`, or — without one — leaves the row unrouted so the
+    NEXT rule may claim it (mapSelector '' -> listSelector continues)."""
+    from beats_ray.routing import Router
+
+    t = pa.table({
+        "level": ["error", "warn", "info", "debug"],
+        "text": ["a", "b", "c", "d"],
+    })
+    r = Router([
+        {"index": "%{[level]}",
+         "mappings": {"error": "critical-sink", "warn": "watch-sink"},
+         "when": {"has_fields": ["level"]}},
+        {"name": "rest"},
+    ])
+    assert r(t)["sink"].to_pylist() == [
+        "critical-sink", "watch-sink", "rest", "rest",
+    ]
+    assert "critical-sink" in r.sink_names and "watch-sink" in r.sink_names
+
+    # with a rule-level default the mapping rule itself absorbs misses
+    r2 = Router([
+        {"index": "%{[level]}",
+         "mappings": {"error": "critical-sink"}, "default": "other"},
+        {"name": "unreachable"},
+    ])
+    assert r2(t)["sink"].to_pylist() == [
+        "critical-sink", "other", "other", "other",
+    ]

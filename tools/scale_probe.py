@@ -1,0 +1,216 @@
+"""Scale probes beyond the oracle corpus: dup-heavy dedup, hot-key
+stateful replay, and 10x stateful-family runs.
+
+Each probe prints one JSON line; results are recorded in BASELINE.md.
+All fixtures are synthesized deterministically inside Ray tasks (no
+driver-side corpus construction), so the probes measure the engine's
+distribution shape, not fixture-generation overhead.
+
+Usage:
+    python tools/scale_probe.py dup_heavy hot_key families_10x
+    python tools/scale_probe.py            # all probes
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _base_ts() -> pd.Timestamp:
+    return pd.Timestamp("2024-05-01 00:00:00")
+
+
+# --------------------------------------------------------------- fixtures
+
+
+def dup_heavy_docs(n_docs: int = 200_000, n_unique: int = 20_000):
+    """90%-duplicate corpus: ``n_unique`` distinct 60-token texts, each
+    appearing ``n_docs/n_unique`` times under distinct doc_ids spread
+    across blocks (so the dedup shuffle actually moves rows)."""
+
+    def make(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        group = ids % n_unique
+        # group-prefixed tokens: zero vocabulary overlap across groups,
+        # so cross-group Jaccard is exactly 0 and the true survivor
+        # count is exactly n_unique
+        texts = [
+            " ".join(f"g{int(g)}w{j}" for j in range(60)) for g in group
+        ]
+        return pd.DataFrame({"doc_id": ids.astype("int64"), "text": texts})
+
+    return ray.data.range(n_docs, override_num_blocks=64).map_batches(
+        make, batch_format="pandas"
+    )
+
+
+def hot_key_events(n_events: int = 2_000_000, n_keys: int = 50_000,
+                   hot_share: float = 0.10):
+    """Event stream where ONE key owns ``hot_share`` of all events (a
+    50x-hot conversation at web scale); the rest spread uniformly."""
+    hot_every = int(1 / hot_share)
+
+    def make(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        user = np.where(ids % hot_every == 0, 0, 1 + ids % (n_keys - 1))
+        ts = _base_ts() + pd.to_timedelta(ids * 137, unit="ms")
+        return pd.DataFrame(
+            {"event_id": ids.astype("int64"), "user_id": user.astype("int64"),
+             "ts": ts}
+        )
+
+    return ray.data.range(n_events, override_num_blocks=64).map_batches(
+        make, batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------------- probes
+
+
+def probe_dup_heavy() -> dict:
+    """minhash_dedup on 200k docs / 90% dups with the driver broadcast
+    DISABLED (broadcast_limit=0 forces the bucket_semi_join tail), so
+    the drop-id/candidate-id sets stay in the object store. The driver
+    max-RSS delta is the evidence that no O(dups) structure landed on
+    the driver."""
+    from beats_ray.dataops.dedup import exact_dedup, minhash_dedup
+
+    docs = dup_heavy_docs().materialize()
+    # CONTROL at the same scale: exact_dedup holds no id set on the
+    # driver by construction, so its max-RSS delta is the Ray-framework
+    # floor (task metadata, stats, block refs) that the minhash delta
+    # must be read against
+    rss0 = _rss_mb()
+    t0 = time.perf_counter()
+    n_exact = exact_dedup(docs).count()
+    exact_wall = time.perf_counter() - t0
+    rss_control = _rss_mb() - rss0
+    rss1 = _rss_mb()
+    t0 = time.perf_counter()
+    survivors = minhash_dedup(docs, threshold=0.7, broadcast_limit=0)
+    n = survivors.count()
+    wall = time.perf_counter() - t0
+    return {
+        "probe": "dup_heavy_minhash", "docs": 200_000, "dup_rate": 0.9,
+        "survivors": int(n), "expected_survivors": 20_000,
+        "wall_s": round(wall, 1),
+        "driver_rss_delta_mb": round(_rss_mb() - rss1, 1),
+        "control_exact_survivors": int(n_exact),
+        "control_exact_wall_s": round(exact_wall, 1),
+        "control_rss_delta_mb": round(rss_control, 1),
+    }
+
+
+def probe_hot_key() -> dict:
+    """token_bucket_limit over 2M events with one 10%-hot key, with and
+    without skew_aware bucket isolation; plus cache_put_get (asof-join
+    shape) under the same skew."""
+    from beats_ray.dataops.flows import token_bucket_limit
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    ev = hot_key_events().materialize()
+    out = {"probe": "hot_key", "events": 2_000_000, "hot_share": 0.10}
+    for label, skew in (("plain", False), ("skew_aware", True)):
+        t0 = time.perf_counter()
+        kept = token_bucket_limit(
+            ev, key="user_id", limit_n=1, per_s=2, burst=5,
+            buckets=32, skew_aware=skew,
+        ).count()
+        out[f"token_bucket_{label}_s"] = round(time.perf_counter() - t0, 1)
+        out[f"token_bucket_{label}_kept"] = int(kept)
+
+    def to_ops(df: pd.DataFrame) -> pd.DataFrame:
+        op = np.where(df["event_id"] % 3 == 0, "put",
+                      np.where(df["event_id"] % 3 == 1, "get", "delete"))
+        return pd.DataFrame(
+            {"k": df["user_id"].astype(str), "ts": df["ts"], "op": op,
+             "v": df["event_id"]}
+        )
+
+    ops = ev.map_batches(to_ops, batch_format="pandas")
+    t0 = time.perf_counter()
+    hits = cache_put_get(ops, ttl_s=3600).count()
+    out["cache_replay_s"] = round(time.perf_counter() - t0, 1)
+    out["cache_gets"] = int(hits)
+    return out
+
+
+def probe_families_10x() -> dict:
+    """Round-2 stateful families at 10x the bench corpus (2M events vs
+    sf0.1's ~200k): token bucket, cache replay, dns cache, sequence
+    packing — the ops whose per-key replay is inherently sequential and
+    whose scale story is the bucket fan-out."""
+    from beats_ray.dataops.dnscache import dns_cache_replay
+    from beats_ray.dataops.sampling import pack_sequences
+
+    ev = hot_key_events(n_events=2_000_000, hot_share=1e-7).materialize()
+    out = {"probe": "families_10x", "events": 2_000_000}
+
+    def to_dns(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "ts": df["ts"],
+             "query": "host-" + (df["user_id"] % 1000).astype(str) + ".example"}
+        )
+
+    zone = {f"host-{i}.example": f"10.0.{i // 256}.{i % 256}"
+            for i in range(800)}
+    t0 = time.perf_counter()
+    n = dns_cache_replay(
+        ev.map_batches(to_dns, batch_format="pandas"),
+        resolutions=zone, success_ttl_s=600, failure_ttl_s=120,
+    ).count()
+    out["dns_cache_s"] = round(time.perf_counter() - t0, 1)
+    out["dns_rows"] = int(n)
+
+    # pack 500k docs (10x the documents table) into 2048-token budgets
+    def to_docs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy()
+        n = 37 + (ids * 7919) % 400
+        return pd.DataFrame(
+            {"doc_id": ids.astype("int64"),
+             "text": ["t " * int(k) for k in n]}
+        )
+
+    docs = ray.data.range(500_000, override_num_blocks=32).map_batches(
+        to_docs, batch_format="pandas"
+    )
+    t0 = time.perf_counter()
+    packed = pack_sequences(docs, budget=2048).count()
+    out["pack_500k_s"] = round(time.perf_counter() - t0, 1)
+    out["pack_sequences"] = int(packed)
+    return out
+
+
+PROBES = {
+    "dup_heavy": probe_dup_heavy,
+    "hot_key": probe_hot_key,
+    "families_10x": probe_families_10x,
+}
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(PROBES)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+    for name in names:
+        print(json.dumps(PROBES[name]()), flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
