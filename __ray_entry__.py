@@ -552,7 +552,7 @@ def q_tpch_q1(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     from beats_ray.dataops.dedup import exact_dedup
 
-    return exact_dedup(_table(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+    return exact_dedup(_table(sf_dir, "documents", ["doc_id", "text"], blocks=16)).select_columns(
         ["doc_id"]
     )
 
@@ -560,7 +560,9 @@ def q_dedup_exact(sf_dir: str):
 def q_minhash_dedup(sf_dir: str):
     from beats_ray.dataops.dedup import minhash_dedup
 
-    return minhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+    return minhash_dedup(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), threshold=0.5
+    )
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -571,14 +573,16 @@ def q_simhash_pairs(sf_dir: str):
     operating point."""
     from beats_ray.dataops.dedup import simhash_dedup
 
-    return simhash_dedup(_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6)
+    return simhash_dedup(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), max_hamming=6
+    )
 
 
 def q_ngram_dup_pairs(sf_dir: str):
     from beats_ray.dataops.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(
-        _table(sf_dir, "documents", ["doc_id", "text"]), n=3, threshold=0.6
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), n=3, threshold=0.6
     )
     # integer evidence columns only (exact oracle compare; the float
     # jaccard is inter_n/union_n, trivially derived)
@@ -618,7 +622,7 @@ def q_bigram_coverage(sf_dir: str):
     from beats_ray.dataops.quality import bigram_coverage
 
     return bigram_coverage(
-        _table(sf_dir, "documents", ["doc_id", "text"]), model_k=500
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), model_k=500
     )
 
 
@@ -651,7 +655,7 @@ def q_pack_sequences(sf_dir: str):
     from beats_ray.dataops.sampling import pack_sequences
 
     return pack_sequences(
-        _table(sf_dir, "documents", ["doc_id", "text"]), budget=512, buckets=16
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), budget=512, buckets=16
     )
 
 
@@ -661,7 +665,7 @@ def q_packed_sequences_text(sf_dir: str):
     from beats_ray.dataops.sampling import pack_and_concat
 
     return pack_and_concat(
-        _table(sf_dir, "documents", ["doc_id", "text"]), budget=512, buckets=16
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), budget=512, buckets=16
     )
 
 
@@ -707,7 +711,7 @@ def q_ann_brute_topk(sf_dir: str):
     from beats_ray.dataops.ann import brute_topk
 
     res = brute_topk(
-        _table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16),
         _query_vectors(sf_dir),
         k=10,
     )
@@ -726,7 +730,7 @@ def q_ann_ivf_topk(sf_dir: str):
     from beats_ray.dataops.ann import ivf_topk
 
     res = ivf_topk(
-        _table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16),
         _query_vectors(sf_dir),
         k=10,
         n_clusters=16,
@@ -743,7 +747,7 @@ def q_embed_dup_pairs(sf_dir: str):
     from beats_ray.dataops.ann import embedding_cosine_dup_pairs
 
     out = embedding_cosine_dup_pairs(
-        _table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16), threshold=0.35
     ).to_pandas()  # benchmark-scale collect; the op itself streams
     if out.empty:  # empty map_groups outputs can lose column names
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -904,32 +908,23 @@ def q_q3_top_orders(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
         blocks=16,
     ).map_batches(li_cents, batch_format="pandas")
-    joined = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey")
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        # emit ARROW with exact int64: Ray's sort-aggregate on pandas
-        # blocks is ~50x slower than on Arrow blocks (pandas merge path
-        # runs per-row; Arrow uses C++ kernels), and the join's NaN
-        # padding had promoted the ints to float64
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # grouped on the JOIN KEY inside the bucket merge: every
+        # l_orderkey lives in exactly one bucket, so this is the EXACT
+        # final aggregate — no second global shuffle (the NaN padding of
+        # the union had promoted ints to float64; restore)
         g = df.groupby("l_orderkey", as_index=False).agg(
             revenue_um=("rev_um", "sum")
         )
-        return pa.table(
-            {
-                "l_orderkey": pa.array(g["l_orderkey"].astype("int64")),
-                "revenue_um": pa.array(g["revenue_um"].astype("int64")),
-            }
-        )
+        return g.astype({"l_orderkey": "int64", "revenue_um": "int64"})
 
-    from ray.data.aggregate import Sum
+    agg = bucket_hash_join(
+        li, orders, "l_orderkey", "o_orderkey", post=per_order
+    )
 
     from beats_ray.dataops.agg import top_k_by
 
-    agg = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_um", alias_name="revenue_um"))
-    )
     # distributed top-10: per-block combiner + global sort over
     # blocks×k rows — the driver only ever receives the 10 winners,
     # never the full per-order aggregate
@@ -1043,7 +1038,9 @@ def q_top_words(sf_dir: str):
     word count with per-batch Arrow partials)."""
     from beats_ray.dataops.pii import top_words
 
-    return top_words(_table(sf_dir, "documents", ["doc_id", "text"]), k=20)
+    return top_words(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16), k=20
+    )
 
 
 

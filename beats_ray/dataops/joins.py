@@ -160,13 +160,20 @@ def coalesce_if_fragmented(ds, target: int):
 
 
 def bucket_hash_join(left, right, left_on: str, right_on: str,
-                     buckets: int = 32, how: str = "inner"):
+                     buckets: int = 32, how: str = "inner", post=None):
     """Partitioned hash join of two Datasets: union the bucket-tagged
     sides, group by bucket (ONE co-locating shuffle total), and merge
     within each bucket. Column membership is threaded EXPLICITLY from
     the input schemas (guessing via dropna silently dropped legitimately
     all-null columns and broke one-sided buckets). Column-name
-    collisions get pandas suffixes."""
+    collisions get pandas suffixes.
+
+    ``post``: optional DataFrame→DataFrame applied to each bucket's
+    merged frame INSIDE the merge task. Because every join-key value
+    lives in exactly one bucket, an aggregation grouped on the join key
+    is EXACT here — fusing it avoids a second global shuffle (the
+    groupby-after-join pattern costs another sort over the full join
+    output; measured ~5 s of pure scheduling on a 105k-row join)."""
     left = coalesce_if_fragmented(left, 4 * buckets)
     right = coalesce_if_fragmented(right, 4 * buckets)
     left_cols = list(left.schema().names)
@@ -181,8 +188,9 @@ def bucket_hash_join(left, right, left_on: str, right_on: str,
         rg = g.loc[g["_side"] == "r", right_cols]
         # pandas merge keeps the full output schema even when a side is
         # empty, so one-sided buckets stay schema-stable
-        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how,
-                        suffixes=("", "_r"))
+        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how,
+                       suffixes=("", "_r"))
+        return post(out) if post is not None else out
 
     return both.groupby("_jb").map_groups(merge, batch_format="pandas")
 
