@@ -589,6 +589,20 @@ def q_ngram_dup_pairs(sf_dir: str):
     return out.select_columns(["a", "b", "inter_n", "union_n"])
 
 
+def q_substring_dup_spans(sf_dir: str):
+    """Exact duplicate-substring spans (suffix-array training-data
+    dedup, Lee et al. 2022, as content-defined sampled window hashing):
+    per doc, the number of selected 10-token windows also present in at
+    least one other document. Oracle replays the identical window
+    hashing + sampling in SQL."""
+    from beats_ray.dataops.dedup import window_dup_spans
+
+    return window_dup_spans(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        k=10, sample_mod=4,
+    )
+
+
 def q_c4_clean_docs(sf_dir: str):
     """C4-style rule cleaning over the transcript turns (JSON turns hit
     the '{' blocklist; dissect log lines end in '"' so the terminal-
@@ -1292,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "substring_dup_spans": q_substring_dup_spans,
         # text analysis
         "c4_clean_docs": q_c4_clean_docs,
         "bigram_coverage": q_bigram_coverage,
@@ -2153,6 +2168,39 @@ def oracle_sql() -> dict[str, str]:
         # make every step reproducible in DuckDB)
         "minhash_dedup": _minhash_dedup_sql(),
         "ngram_dup_pairs": _ngram_pairs_sql(),
+        # exact substring-span dedup: identical window hashing + the
+        # content-defined hash%4 sampling, replayed over every 10-token
+        # window (DuckDB list slice l[i:j] is 1-based inclusive)
+        "substring_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS w
+              FROM documents
+            ),
+            starts AS (
+              -- scalar generate_series returns the [1..n] list; unnest
+              -- explodes it per row (the lateral-table form can't see
+              -- columns in this DuckDB build)
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 9)) AS i
+              FROM toks WHERE len(w) >= 10
+            ),
+            wins AS (
+              SELECT DISTINCT doc_id, h FROM (
+                SELECT doc_id,
+                       ('0x'||substr(md5(array_to_string(w[i:i+9], ' ')),
+                                     1, 8))::UBIGINT AS h
+                FROM starts
+              ) WHERE h % 4 = 0
+            ),
+            shared AS (
+              SELECT h FROM wins GROUP BY h
+              HAVING count(DISTINCT doc_id) > 1
+            )
+            SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM wins w JOIN shared s ON s.h = w.h
+            GROUP BY w.doc_id""",
         "simhash_pairs": _simhash_pairs_sql(6),
         "lang_id": _lang_id_sql(),
         "contamination_screen": _contamination_sql(),

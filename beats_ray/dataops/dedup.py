@@ -689,3 +689,73 @@ def simhash_dedup(docs, max_hamming: int = 3, chunks: int | None = None):
     # a pair can surface from several shared chunks — shared pair-keyed
     # bucket dedup (same helper as the MinHash candidate path)
     return _dedup_pair_list(p)
+
+
+# ------------------------------------------- exact substring-span dedup
+
+
+def window_dup_spans(docs, k: int = 10, sample_mod: int = 4,
+                     content_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 32):
+    """Exact duplicate-substring detection — the suffix-array
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") re-expressed for Ray Data as
+    content-defined sampled token-window hashing.
+
+    Every ``k``-token window (stride 1) of the lowercased ws-token
+    stream is hashed (md5-32, the oracle-reproducible hash); a window
+    is SELECTED when ``hash % sample_mod == 0``. Selection is
+    content-defined, so two documents sharing a literal span select the
+    SAME windows inside it regardless of where the span starts in
+    either document — the property a fixed stride lacks (stride-aligned
+    windows of a shifted span hash differently). A shared span of
+    ``s >= k`` tokens contains ``s - k + 1`` windows of which
+    ~``1/sample_mod`` are selected; spans of ``>= k + sample_mod``
+    tokens are detected with high probability, and ``sample_mod=1``
+    makes detection exact at ``k`` tokens.
+
+    Distribution shape: emit (doc_id, window_hash) for selected windows
+    (deduped within doc) → ONE hash-bucket shuffle on the window hash →
+    per bucket, keep hashes spanning >1 distinct doc → per-doc shared
+    counts via the partial-count combiner. Nothing doc-sized shuffles;
+    the emitted stream is ~``n_tokens / sample_mod`` tiny rows.
+
+    Returns (doc_id, n_shared): selected windows that also appear in at
+    least one OTHER document, for docs where that count is positive.
+    """
+    mod = int(sample_mod)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc: list = []
+        out_hash: list = []
+        for doc_id, text in zip(df[id_col], df[content_col].fillna("")):
+            words = ws_tokens(text.lower())
+            if len(words) < k:
+                continue
+            seen = set()
+            for i in range(len(words) - k + 1):
+                h = _stable_hash(" ".join(words[i : i + k]))
+                if h % mod == 0:
+                    seen.add(h)
+            out_doc.extend([doc_id] * len(seen))
+            out_hash.extend(seen)
+        return pd.DataFrame(
+            {id_col: pd.array(out_doc, dtype="int64"),
+             "h": pd.array(out_hash, dtype="int64")}
+        )
+
+    wins = docs.map_batches(emit, batch_format="pandas")
+
+    def shared_only(g: pd.DataFrame) -> pd.DataFrame:
+        # windows present in >1 distinct doc mark duplicated spans
+        n_docs = g.groupby("h")[id_col].transform("nunique")
+        out = g[n_docs > 1]
+        return out if len(out) else pd.DataFrame(
+            {id_col: pd.array([], dtype="int64"),
+             "h": pd.array([], dtype="int64")}
+        )
+
+    from .agg import grouped_count, map_buckets
+
+    shared = map_buckets(wins, "h", shared_only, buckets=buckets)
+    return grouped_count(shared, [id_col], name="n_shared")

@@ -685,3 +685,34 @@ def test_asof_join_tie_cols_deterministic(ray_session):
                         tie_cols=["val"]).to_pandas()
         assert len(out) == 1
         assert int(out["val"].iloc[0]) == 30
+
+
+def test_window_dup_spans_alignment_independent(ray_session):
+    """Content-defined window sampling detects a shared literal span
+    even when it sits at DIFFERENT token offsets in the two documents
+    (a fixed stride would misalign and hash different windows), and
+    unrelated docs report nothing."""
+    import ray.data as rd
+
+    from beats_ray.dataops.dedup import window_dup_spans
+
+    span = " ".join(f"s{i}" for i in range(30))  # 30 shared tokens
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a0 a1 a2 " + span + " a3"},
+        {"doc_id": 2, "text": "b0 " + span},  # span shifted by 2 tokens
+        {"doc_id": 3, "text": " ".join(f"c{i}" for i in range(40))},
+        {"doc_id": 4, "text": "short text"},  # < k tokens: no windows
+    ])
+    out = (
+        window_dup_spans(docs, k=10, sample_mod=2, buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # both span-carrying docs flagged with the SAME shared-window count
+    # (the selected windows inside the span are identical); others absent
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_shared"].iloc[0] == out["n_shared"].iloc[1] > 0
+    # every shared window lies inside the 30-token span: ≤ 21 windows,
+    # ~half selected at sample_mod=2
+    assert out["n_shared"].iloc[0] <= 21
