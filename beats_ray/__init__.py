@@ -25,6 +25,7 @@ owned by bench.py / pytest fixtures / the driver.
 __version__ = "0.1.0"
 
 import logging as _logging
+import os as _os
 
 
 class _EmptySortPartitionNoise(_logging.Filter):
@@ -51,6 +52,12 @@ class _EmptySortPartitionNoise(_logging.Filter):
         return not any(e in msg for e in self._EMPTY)
 
 
-_logging.getLogger(
-    "ray.data._internal.execution.streaming_executor_state"
-).addFilter(_EmptySortPartitionNoise())
+# NOTE: the filter is process-wide (Ray's executor logger is global),
+# so it also silences this one warning for any OTHER Ray Data pipelines
+# in the same process. The filtered message is only ever emitted for
+# schema-LESS empty bundles (real drift prints both schemas and still
+# surfaces); set BEATS_RAY_KEEP_RAY_WARNINGS=1 to skip installing it.
+if not _os.environ.get("BEATS_RAY_KEEP_RAY_WARNINGS"):
+    _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySortPartitionNoise())

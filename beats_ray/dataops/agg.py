@@ -118,6 +118,10 @@ def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
     if skew_aware:
         from ray.data.aggregate import Sum
 
+        # the pre-count is a SECOND consumption of ``ds``: materialize
+        # the input once (object store, not driver) so a lazy upstream
+        # parse/enrich chain doesn't execute twice
+        ds = ds.materialize()
         # materialize once (object store, not driver): consumed by both
         # the total and the hot-key filter
         counts = grouped_count(ds.select_columns([key]), [key]).materialize()

@@ -235,12 +235,19 @@ class MinHasher:
         bands = self.bands
         blake2b = hashlib.blake2b
         # one flat bytes buffer; 8-byte-per-perm band windows sliced as
-        # bytes (≈25% cheaper than per-band ndarray views)
+        # bytes (≈25% cheaper than per-band ndarray views). Band offsets
+        # are computed per doc ROW (row stride = num_perm), so leftover
+        # permutations when bands ∤ num_perm are ignored exactly like
+        # the per-doc path — never folded into a cross-row window.
         allbytes = sigs.tobytes()
         step = self.rows_per_band * 8
+        row_stride = self.num_perm * 8
         out_hash = [
-            blake2b(allbytes[o : o + step], digest_size=8).hexdigest()
-            for o in range(0, len(allbytes), step)
+            blake2b(
+                allbytes[r + b * step : r + (b + 1) * step], digest_size=8
+            ).hexdigest()
+            for r in range(0, n * row_stride, row_stride)
+            for b in range(bands)
         ]
         return pd.DataFrame(
             {
@@ -739,8 +746,9 @@ def window_dup_spans(docs, k: int = 10, sample_mod: int = 4,
                     seen.add(h)
             out_doc.extend([doc_id] * len(seen))
             out_hash.extend(seen)
+        # id dtype follows the input column (string/int ids both valid)
         return pd.DataFrame(
-            {id_col: pd.array(out_doc, dtype="int64"),
+            {id_col: pd.Series(out_doc, dtype=df[id_col].dtype),
              "h": pd.array(out_hash, dtype="int64")}
         )
 
@@ -750,10 +758,9 @@ def window_dup_spans(docs, k: int = 10, sample_mod: int = 4,
         # windows present in >1 distinct doc mark duplicated spans
         n_docs = g.groupby("h")[id_col].transform("nunique")
         out = g[n_docs > 1]
-        return out if len(out) else pd.DataFrame(
-            {id_col: pd.array([], dtype="int64"),
-             "h": pd.array([], dtype="int64")}
-        )
+        # boolean masking preserves the input dtypes, so empty buckets
+        # stay schema-stable for any id type
+        return out
 
     from .agg import grouped_count, map_buckets
 

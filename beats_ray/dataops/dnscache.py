@@ -32,6 +32,10 @@ import pandas as pd
 
 import ray
 
+# unique sentinel for "no previous key yet" — None is a legitimate
+# (normalized-missing) key value and must not collide with it
+_NO_KEY = object()
+
 
 def _normalize_resolutions(resolutions: dict, success_ttl_s: int,
                            min_ttl_s: int) -> dict:
@@ -76,9 +80,12 @@ def dns_cache_replay(events, key: str = "query", ts_col: str = "ts",
         table = _resolve_ref(res_ref)
         g = g.sort_values([key, ts_col, order_col], kind="mergesort")
         tus = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        keys = g[key].to_numpy()
+        # normalize missing keys to one canonical value: NaN != NaN
+        # would reset the chain every row, and None == the loop sentinel
+        # would skip the first key's initialization
+        keys = g[key].where(pd.notna(g[key]), None).to_numpy()
         hit = np.zeros(len(g), dtype=bool)
-        prev = None
+        prev: object = _NO_KEY
         expiry = np.iinfo(np.int64).min
         ttl = 0
         for i in range(len(g)):

@@ -238,7 +238,14 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
             return out
         lg = lg.sort_values(ts_col, kind="mergesort")
         if tie_cols:
-            rg = rg.sort_values([ts_col, *tie_cols], kind="mergesort")
+            # NULL tie values sort FIRST so keep='last' always prefers a
+            # non-null winner — mirroring the oracle's ``ORDER BY tie
+            # DESC`` (DuckDB defaults NULLS LAST on DESC, i.e. nulls
+            # lose); pandas' default na_position='last' would let a
+            # null tie value beat every real one
+            rg = rg.sort_values(
+                [ts_col, *tie_cols], kind="mergesort", na_position="first"
+            )
             rg = rg.drop_duplicates([key, ts_col], keep="last")
         else:
             rg = rg.sort_values(ts_col, kind="mergesort")

@@ -452,12 +452,32 @@ def dns_proc(cfg: dict):
 
     The success/failure TTL CACHE semantics (cache.go) are event-time
     state — a per-batch processor cannot see across batches — and live
-    in ``dataops.dnscache.dns_cache_replay`` (hit/miss/expiry replay);
-    ``success_cache``/``failure_cache`` config keys are accepted here
-    and forwarded to that model's defaults."""
+    in ``dataops.dnscache.dns_cache_replay`` (hit/miss/expiry replay).
+    ``success_cache``/``failure_cache`` config keys
+    (config.go:32-44: ``{capacity.initial/max, min_ttl|ttl}``) are
+    validated here and exposed as ``run.success_min_ttl_s`` /
+    ``run.failure_ttl_s`` on the returned processor so an event-time
+    caller can feed them straight into ``dns_cache_replay``."""
     kind = cfg.get("type", "forward")
     if kind not in ("forward", "reverse"):
         raise ValueError(f"dns: type must be forward or reverse, got {kind!r}")
+
+    def _ttl_of(key: str, field: str) -> int | None:
+        sub = cfg.get(key)
+        if sub is None:
+            return None
+        if not isinstance(sub, dict):
+            raise ValueError(f"dns: {key} must be a mapping, got {sub!r}")
+        val = sub.get(field)
+        if val is None:
+            return None
+        ttl = int(val)
+        if ttl <= 0:
+            raise ValueError(f"dns: {key}.{field} must be positive, got {val!r}")
+        return ttl
+
+    success_min_ttl_s = _ttl_of("success_cache", "min_ttl")
+    failure_ttl_s = _ttl_of("failure_cache", "ttl")
     action = cfg.get("action", "append")  # reference default: append
     if action not in ("append", "replace"):
         raise ValueError(
@@ -517,6 +537,9 @@ def dns_proc(cfg: dict):
             t = set_col(t, "tags", pc.if_else(failed, appended, cur))
         return t
 
+    # parsed TTL config for the event-time replay model (None = unset)
+    run.success_min_ttl_s = success_min_ttl_s
+    run.failure_ttl_s = failure_ttl_s
     return run
 
 

@@ -353,3 +353,93 @@ def test_router_mappings_table_form():
     assert r2(t)["sink"].to_pylist() == [
         "critical-sink", "other", "other", "other",
     ]
+
+
+def test_minhash_bands_not_dividing_num_perm():
+    """Band byte-slicing is computed per doc ROW: with bands that do not
+    divide num_perm the leftover permutations are ignored (same as the
+    per-doc signature path), never folded into a cross-row window."""
+    import hashlib
+
+    import pandas as pd
+
+    from beats_ray.dataops.dedup import MinHasher, word_shingles
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a b c d e f", "g h i j k l"]})
+    out = MinHasher(num_perm=64, bands=12, shingle_k=3)(df)
+    assert len(out) == 24  # 2 docs x 12 bands, rows_per_band = 5
+    sig = MinHasher(64, 12, 3).signature(word_shingles("a b c d e f", 3))
+    exp = hashlib.blake2b(sig[0:5].tobytes(), digest_size=8).hexdigest()
+    assert out["band_hash"].iloc[0] == exp
+
+
+def test_asof_join_null_tie_value_loses(ray_session):
+    """A right row whose tie column is NULL must lose to any non-null
+    tie at the same (key, ts) — matching the oracle's ORDER BY tie DESC
+    (DuckDB places nulls last on DESC)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from beats_ray.dataops.joins import asof_join
+
+    base = pd.Timestamp("2024-05-01")
+    left = rd.from_items([{"k": 1, "ts": base, "ev": 7}])
+    right = rd.from_items([
+        {"k": 1, "ts": base, "v": None},
+        {"k": 1, "ts": base, "v": "real"},
+    ])
+    out = asof_join(left, right, key="k", tie_cols=["v"],
+                    buckets=2).to_pandas()
+    assert out["v"].tolist() == ["real"]
+
+
+def test_dns_cache_replay_null_keys(ray_session):
+    """Null query keys form ONE chain (NaN != NaN must not reset the
+    expiry every row, and None must not collide with the loop's
+    no-previous-key sentinel)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from beats_ray.dataops.dnscache import dns_cache_replay
+
+    base = pd.Timestamp("2024-05-01")
+    rows = [{"event_id": i, "query": None,
+             "ts": base + pd.Timedelta(seconds=s)}
+            for i, s in enumerate([0, 10, 30])]
+    out = dns_cache_replay(
+        rd.from_items(rows), resolutions={}, failure_ttl_s=20, buckets=2,
+    ).to_pandas().sort_values("event_id")
+    assert out["cache"].tolist() == ["miss", "hit", "miss"]
+
+
+def test_window_dup_spans_string_ids(ray_session):
+    """id_col dtype follows the input column — string doc ids work."""
+    import ray.data as rd
+
+    from beats_ray.dataops.dedup import window_dup_spans
+
+    span = " ".join(f"s{i}" for i in range(30))
+    docs = rd.from_items([
+        {"doc_id": "u1", "text": span},
+        {"doc_id": "u2", "text": "x " + span},
+        {"doc_id": "u3", "text": " ".join(f"c{i}" for i in range(30))},
+    ])
+    out = window_dup_spans(docs, k=10, sample_mod=2, buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == ["u1", "u2"]
+
+
+def test_dns_cache_config_parsed_and_validated():
+    """success_cache/failure_cache (dns config.go:32-44) parse to
+    attributes on the processor for the event-time replay model; bad
+    TTLs fail eagerly."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"dns": {
+        "resolutions": {}, "success_cache": {"min_ttl": 60},
+        "failure_cache": {"ttl": 30},
+    }})
+    assert p.success_min_ttl_s == 60 and p.failure_ttl_s == 30
+
+    with pytest.raises(ValueError, match="failure_cache"):
+        build_processor({"dns": {"failure_cache": {"ttl": 0}}})
