@@ -221,10 +221,24 @@ def _stage_token_bucket(ds, cfg: dict, initial_state=None):
     )
 
 
-def _stage_dedup(ds, cfg: dict):
+def dedup_stage_kwargs(cfg: dict) -> dict:
+    """The dedup parameters a stage spec carries — shared by the
+    in-pipeline stage and the streaming runner's state carry.
+    ``ttl_s`` (optional) bounds the carried seen-id state the way the
+    reference's cache TTL does; without it the state is the reference's
+    ES-side create-dedup (grows with distinct ids — the ES index holds
+    it there)."""
+    return {
+        "id_col": cfg.get("field", "meta.doc_id"),
+        "ts_col": cfg.get("ts_field", "ts"),
+    }
+
+
+def _stage_dedup(ds, cfg: dict, initial_state=None):
     from .sinks import dedup_by_doc_id
 
-    return dedup_by_doc_id(ds, id_col=cfg.get("field", "meta.doc_id"))
+    return dedup_by_doc_id(ds, seen_state=initial_state,
+                           **dedup_stage_kwargs(cfg))
 
 
 STAGE_REGISTRY = {
@@ -232,6 +246,9 @@ STAGE_REGISTRY = {
     "token_bucket": _stage_token_bucket,
     "dedup": _stage_dedup,
 }
+# stages whose per-key/per-id state carries across streaming windows
+# (the others are window-local; SURVEY §2.6 / stream.py docstring)
+STATEFUL_STAGES = ("token_bucket", "dedup")
 
 
 def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):
@@ -251,9 +268,9 @@ def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):
             raise ValueError(
                 f"unknown stage {name!r}; available: {sorted(STAGE_REGISTRY)}"
             )
-        if name == "token_bucket" and i in stage_state:
-            ds = _stage_token_bucket(ds, cfg or {},
-                                     initial_state=stage_state[i])
+        if i in stage_state and name in STATEFUL_STAGES:
+            ds = STAGE_REGISTRY[name](ds, cfg or {},
+                                      initial_state=stage_state[i])
         else:
             ds = STAGE_REGISTRY[name](ds, cfg or {})
     return ds

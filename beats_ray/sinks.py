@@ -157,19 +157,50 @@ def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
     return routed_ds.map_batches(route, batch_format="pyarrow")
 
 
-def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32):
+def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32,
+                    seen_state=None, emit_state: bool = False,
+                    ts_col: str = "ts"):
     """Exact doc-id dedup before the sink write — the ES duplicate-create
     detection re-expressed (fingerprint → _id → create op counts
     ``duplicates``). Deterministic survivor: first by (conv_id,
-    turn_idx) order within the id group."""
+    turn_idx) order within the id group.
+
+    Streaming continuity: ``seen_state`` (DataFrame [id_col, last_us])
+    carries ids already written by previous event-time segments — their
+    rows drop entirely (the ES index already holds the doc, so `create`
+    rejects them). ``emit_state=True`` returns THIS segment's new state
+    rows (id, first-seen event time in µs) instead of the rows; the
+    caller merges them with the carried state and applies its TTL/GC
+    horizon (the streaming runner does both)."""
+    import numpy as np
     import pandas as pd
 
+    import ray as _ray
+
     from .dataops.agg import map_buckets
+    from .dataops.joins import _resolve_ref
+
+    seen_ref = None
+    if seen_state is not None and len(seen_state):
+        seen_ref = _ray.put(set(seen_state[id_col].tolist()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        if seen_ref is not None:
+            seen = _resolve_ref(seen_ref)
+            g = g[~g[id_col].isin(seen)]
         sort_cols = [c for c in ("conv_id", "turn_idx") if c in g.columns]
-        return g.sort_values(sort_cols or [id_col]).drop_duplicates(
+        g = g.sort_values(sort_cols or [id_col]).drop_duplicates(
             id_col, keep="first"
         )
+        if not emit_state:
+            return g
+        if ts_col in g.columns:
+            last_us = (
+                g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+        else:  # no event-time column: state carries a zero timestamp
+            last_us = np.zeros(len(g), dtype="int64")
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "last_us": last_us})
 
     return map_buckets(routed_ds, id_col, keep_first, buckets=buckets)

@@ -22,15 +22,25 @@ Restart/resume: completed windows are recorded like partitions
 (state/lineage pattern); a resumed run replays only missing windows and
 rebuilds the counters from lineage — at-least-once, effectively-once.
 
-Config ``stages:`` in this mode: the TOKEN BUCKET carries per-key
-state ACROSS windows — each window seeds from the previous window's
-persisted state (written atomically with the window's lineage, GC'd to
-in-flight keys exactly like the reference's bucket-map gc, replayed on
-the same parse+enrich row set the in-pipeline stage saw) — so
-streaming equals the single-batch replay; a backfilled out-of-order
-window conservatively replays fresh (never seeded with future state).
-The other stages (k-per-window rate limit, dedup) are window-local:
-exact whenever the window length is at least their state horizon.
+Config ``stages:`` in this mode: the STATEFUL stages carry state
+ACROSS windows — each window seeds from the previous window's
+persisted state (written atomically with the window's lineage,
+replayed on the same parse+enrich row set the in-pipeline stage saw)
+— so streaming equals the single-batch replay; a backfilled
+out-of-order window conservatively replays fresh (never seeded with
+future state). Per stage:
+
+- ``token_bucket``: per-key (tok, last_us), GC'd to in-flight keys
+  exactly like the reference's bucket-map gc (full == fresh).
+- ``dedup``: the seen-id set (id, first-seen µs) — the reference's
+  ES-side create-dedup, which is cross-batch by nature (the index
+  holds every written _id). An optional stage ``ttl_s`` bounds the
+  carried set with window-granular expiry (an id expires at the first
+  window boundary past first_seen + ttl); without it the state grows
+  with distinct ids, exactly like the ES index does.
+
+The k-per-window rate limit stays window-local: exact whenever the
+window length is at least its state horizon.
 """
 
 from __future__ import annotations
@@ -136,11 +146,12 @@ class MicroBatchRunner:
         for rec in done.values():
             state.add_window.remote(rec["window_id"], rec["sink_counts"])
 
-        # cross-window carried state for token_bucket stages: the
-        # reference's bucket map survives across batches; here each
-        # window seeds from the IMMEDIATELY PREVIOUS window's persisted
-        # per-key state so a bucket never resets at a window boundary.
-        # The state replay runs on the PRE-STAGE composition
+        # cross-window carried state for STATEFUL stages (token_bucket:
+        # per-key bucket map; dedup: seen-id set — the reference's
+        # bucket map / ES-side create-dedup survive across batches);
+        # each window seeds from the IMMEDIATELY PREVIOUS window's
+        # persisted state so the stage never resets at a window
+        # boundary. The state replay runs on the PRE-STAGE composition
         # (parse+enrich, build_pre_stage) plus any preceding stages —
         # exactly the rows the in-pipeline stage saw, including the
         # effect of row-dropping processors.
@@ -148,19 +159,35 @@ class MicroBatchRunner:
 
         from .dataops.flows import token_bucket_limit
         from .pipeline import (
+            STATEFUL_STAGES,
             apply_stages,
             build_pre_stage,
+            dedup_stage_kwargs,
             token_bucket_stage_kwargs,
         )
+        from .sinks import dedup_by_doc_id
 
         stages_cfg = (config or {}).get("stages", [])
+        stage_names = [
+            next(iter(s)) if isinstance(s, dict) and len(s) == 1 else None
+            for s in stages_cfg
+        ]
         tb_idx = [
-            i for i, s in enumerate(stages_cfg)
-            if isinstance(s, dict) and len(s) == 1
-            and next(iter(s)) == "token_bucket"
+            i for i, n in enumerate(stage_names) if n in STATEFUL_STAGES
         ]
         tb_state: dict[int, pd.DataFrame] = {}
         state_from: int | None = None  # window whose END state tb_state is
+
+        def _dedup_gc(st: pd.DataFrame, cfg_i: dict,
+                      hi_ts: int) -> pd.DataFrame:
+            # TTL horizon (window-granular: an id expires at the first
+            # window BOUNDARY past last_us + ttl); no ttl ⇒ the state is
+            # the reference's unbounded ES-side create-dedup
+            ttl_s = cfg_i.get("ttl_s")
+            if ttl_s is None or not len(st):
+                return st
+            alive = st["last_us"] + int(ttl_s) * 1_000_000 > hi_ts
+            return st[alive].reset_index(drop=True)
 
         def _load_state(prev_w: int) -> dict[int, pd.DataFrame]:
             out: dict[int, pd.DataFrame] = {}
@@ -202,23 +229,34 @@ class MicroBatchRunner:
                     rolled: dict[int, pd.DataFrame] = {}
                     for i in tb_idx:
                         (name, cfg_i), = stages_cfg[i].items()
-                        kw = token_bucket_stage_kwargs(cfg_i or {})
-                        st = tb_state.get(
-                            i,
-                            pd.DataFrame(
-                                columns=[kw["key"], "tok", "last_us"]
-                            ),
-                        )
-                        if len(st):
-                            unit = kw["per_s"] * 1_000_000
-                            cap = (kw["burst"] if kw["burst"] is not None
-                                   else kw["limit_n"]) * unit
-                            refilled = (
-                                st["tok"]
-                                + kw["limit_n"] * (hi_ts - st["last_us"])
-                            ) >= cap
-                            st = st[~refilled].reset_index(drop=True)
-                        rolled[i] = st
+                        if name == "dedup":
+                            kw = dedup_stage_kwargs(cfg_i or {})
+                            st = tb_state.get(
+                                i,
+                                pd.DataFrame(
+                                    columns=[kw["id_col"], "last_us"]
+                                ),
+                            )
+                            st = _dedup_gc(st, cfg_i or {}, hi_ts)
+                            rolled[i] = st
+                        else:
+                            kw = token_bucket_stage_kwargs(cfg_i or {})
+                            st = tb_state.get(
+                                i,
+                                pd.DataFrame(
+                                    columns=[kw["key"], "tok", "last_us"]
+                                ),
+                            )
+                            if len(st):
+                                unit = kw["per_s"] * 1_000_000
+                                cap = (kw["burst"] if kw["burst"] is not None
+                                       else kw["limit_n"]) * unit
+                                refilled = (
+                                    st["tok"]
+                                    + kw["limit_n"] * (hi_ts - st["last_us"])
+                                ) >= cap
+                                st = st[~refilled].reset_index(drop=True)
+                            rolled[i] = st
                         tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
                         pq.write_table(
                             _pa.Table.from_pandas(st, preserve_index=False),
@@ -277,7 +315,31 @@ class MicroBatchRunner:
                     if not isinstance(spec, dict) or len(spec) != 1:
                         break  # apply_stages already raised eagerly
                     (name, cfg_i), = spec.items()
-                    if name == "token_bucket":
+                    if name == "dedup":
+                        dkw = dedup_stage_kwargs(cfg_i or {})
+                        seg = dedup_by_doc_id(
+                            prev_ds, seen_state=tb_state.get(i),
+                            emit_state=True, **dkw,
+                        ).to_pandas()
+                        # carried ids persist (their rows were dropped,
+                        # so they are absent from seg); expired ids GC
+                        prev_st = tb_state.get(i)
+                        if prev_st is not None and len(prev_st):
+                            st = pd.concat([prev_st, seg], ignore_index=True)
+                        else:
+                            st = seg
+                        st = _dedup_gc(st, cfg_i or {}, hi_ts)
+                        next_state[i] = st
+                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
+                        pq.write_table(
+                            _pa.Table.from_pandas(st, preserve_index=False),
+                            tmp_f,
+                        )
+                        os.replace(
+                            tmp_f,
+                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
+                        )
+                    elif name == "token_bucket":
                         kw = token_bucket_stage_kwargs(cfg_i or {})
                         seg = token_bucket_limit(
                             prev_ds, initial_state=tb_state.get(i),
@@ -316,7 +378,7 @@ class MicroBatchRunner:
                     if i + 1 <= max(tb_idx):
                         prev_ds = apply_stages(
                             prev_ds, [spec], stage_state={0: tb_state.get(i)}
-                            if name == "token_bucket" and i in tb_state
+                            if name in STATEFUL_STAGES and i in tb_state
                             else None,
                         )
                 tb_state = next_state

@@ -639,3 +639,93 @@ def test_parse_stage_handles_fully_dropped_block(ray_session):
     out = build_dataset(rd.from_items(rows), config=cfg, num_parts=1,
                         enrich=False)
     assert out.count() == 0
+
+
+def test_stream_dedup_carries_seen_ids(ray_session, tmp_path):
+    """Cross-window dedup: the seen-id set survives window boundaries
+    (the ES index holds every written _id across batches), so a doc id
+    already written in an earlier window is dropped — streaming equals
+    the single-batch replay."""
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 10, "a"), ("c1", 20, "b")]),
+        (1, [("c0", 10, "dup"), ("c2", 20, "c")]),
+        (2, [("c1", 10, "dup"), ("c0", 20, "dup")]),
+    ])
+    cfg = {
+        "processors": [],
+        "stages": [{"dedup": {"field": "conv_id"}}],
+        "routes": [{"name": "default"}],
+    }
+    batch_kept = build_dataset(rd.read_parquet(files), config=cfg,
+                               num_parts=2).count()
+    assert batch_kept == 3  # c0, c1, c2 exactly once
+
+    totals = MicroBatchRunner(str(tmp_path / "dd"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals["rows_routed"].values()) == batch_kept
+
+    # resume: no reprocessing drift
+    totals2 = MicroBatchRunner(str(tmp_path / "dd"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals2["rows_routed"].values()) == batch_kept
+
+
+def test_stream_dedup_ttl_expiry(ray_session, tmp_path):
+    """Stage ttl_s bounds the carried seen-id set with window-granular
+    expiry: an id expires at the first window BOUNDARY past
+    first_seen + ttl and may then be written again."""
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 10, "a"), ("c1", 20, "b")]),
+        (1, [("c0", 10, "dup-alive"), ("c1", 20, "dup-alive")]),
+        (2, [("c0", 10, "expired-rewrite")]),
+    ])
+    cfg = {
+        "processors": [],
+        "stages": [{"dedup": {"field": "conv_id", "ttl_s": 3600}}],
+        "routes": [{"name": "default"}],
+    }
+    # w0: both new (2). w1: both seen and alive (0). w2: c0 expired at
+    # the 2h boundary (first_seen 00:10 + 1h < 02:00) -> rewritten (1).
+    totals = MicroBatchRunner(str(tmp_path / "ddttl"), window_s=3600).run(
+        files, config=cfg
+    )
+    assert sum(totals["rows_routed"].values()) == 3
+
+
+def test_stream_dedup_quiet_window_gc(ray_session, tmp_path):
+    """A QUIET window still advances the ttl horizon: state rolls
+    forward through it and expires on schedule."""
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _tb_corpus(tmp_path, [
+        (0, [("c0", 10, "a")]),
+        (2, [("c0", 10, "again")]),
+    ])
+    # ttl 2h: c0 (first seen 00:10) is still alive at the 2h boundary
+    # (00:10+2h > 02:00) -> the hour-2 rewrite is DROPPED
+    cfg_long = {
+        "processors": [],
+        "stages": [{"dedup": {"field": "conv_id", "ttl_s": 7200}}],
+        "routes": [{"name": "default"}],
+    }
+    totals = MicroBatchRunner(str(tmp_path / "ddq1"), window_s=3600).run(
+        files, config=cfg_long
+    )
+    assert sum(totals["rows_routed"].values()) == 1
+
+    # ttl 1h: expired during the quiet window's GC -> rewrite kept
+    cfg_short = {
+        "processors": [],
+        "stages": [{"dedup": {"field": "conv_id", "ttl_s": 3600}}],
+        "routes": [{"name": "default"}],
+    }
+    totals = MicroBatchRunner(str(tmp_path / "ddq2"), window_s=3600).run(
+        files, config=cfg_short
+    )
+    assert sum(totals["rows_routed"].values()) == 2
