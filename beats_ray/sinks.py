@@ -165,24 +165,36 @@ def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32,
     ``duplicates``). Deterministic survivor: first by (conv_id,
     turn_idx) order within the id group.
 
-    Streaming continuity: ``seen_state`` (DataFrame [id_col, last_us])
-    carries ids already written by previous event-time segments — their
-    rows drop entirely (the ES index already holds the doc, so `create`
-    rejects them). ``emit_state=True`` returns THIS segment's new state
-    rows (id, first-seen event time in µs) instead of the rows; the
-    caller merges them with the carried state and applies its TTL/GC
-    horizon (the streaming runner does both)."""
+    Streaming continuity: ``seen_state`` carries ids already written by
+    previous event-time segments — their rows drop entirely (the ES
+    index already holds the doc, so `create` rejects them). It is either
+    a pandas DataFrame [id_col, last_us] (small state: broadcast set,
+    no extra shuffle) or a ray Dataset with the same columns — the
+    SCALE path: the seen-id set is corpus-proportional (distinct ids
+    within the TTL horizon), so it anti-joins distributed
+    (``bucket_semi_join``) and never lands on the driver.
+    ``emit_state=True`` returns THIS segment's new state rows (id,
+    first-seen event time in µs) instead of the rows; the caller merges
+    them with the carried state and applies its TTL/GC horizon (the
+    streaming runner does both)."""
     import numpy as np
     import pandas as pd
 
     import ray as _ray
 
     from .dataops.agg import map_buckets
-    from .dataops.joins import _resolve_ref
+    from .dataops.joins import _resolve_ref, bucket_semi_join
 
     seen_ref = None
-    if seen_state is not None and len(seen_state):
-        seen_ref = _ray.put(set(seen_state[id_col].tolist()))
+    if seen_state is not None:
+        if isinstance(seen_state, pd.DataFrame):
+            if len(seen_state):
+                seen_ref = _ray.put(set(seen_state[id_col].tolist()))
+        else:  # Dataset state: distributed anti join, ids stay sharded
+            routed_ds = bucket_semi_join(
+                routed_ds, seen_state.select_columns([id_col]),
+                on=id_col, anti=True, buckets=buckets,
+            )
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         if seen_ref is not None:

@@ -178,23 +178,51 @@ class MicroBatchRunner:
         tb_state: dict[int, pd.DataFrame] = {}
         state_from: int | None = None  # window whose END state tb_state is
 
-        def _dedup_gc(st: pd.DataFrame, cfg_i: dict,
-                      hi_ts: int) -> pd.DataFrame:
+        def _dedup_gc(ds, cfg_i: dict, hi_ts: int):
             # TTL horizon (window-granular: an id expires at the first
             # window BOUNDARY past last_us + ttl); no ttl ⇒ the state is
-            # the reference's unbounded ES-side create-dedup
+            # the reference's unbounded ES-side create-dedup. Dataset
+            # filter — the seen-id state is corpus-proportional and
+            # never lands on the driver.
             ttl_s = cfg_i.get("ttl_s")
-            if ttl_s is None or not len(st):
-                return st
-            alive = st["last_us"] + int(ttl_s) * 1_000_000 > hi_ts
-            return st[alive].reset_index(drop=True)
+            if ttl_s is None or ds is None:
+                return ds
+            cut = int(ttl_s) * 1_000_000
+            return ds.map_batches(
+                lambda df, cut=cut, hi=hi_ts: df[df["last_us"] + cut > hi],
+                batch_format="pandas",
+            )
 
-        def _load_state(prev_w: int) -> dict[int, pd.DataFrame]:
-            out: dict[int, pd.DataFrame] = {}
+        def _persist_dedup_state(ds, w: int, i: int):
+            """Write the (id, last_us) state Dataset as the window's
+            state DIRECTORY (distributed write, many shards); rename is
+            the commit — a crash in between loses only this state dir,
+            which resume treats as replay-fresh (conservative)."""
+            tmp = self.lineage_dir / f".state-w{w}-s{i}.tmpdir"
+            final = self.lineage_dir / f"state-w{w}-s{i}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds.write_parquet(str(tmp))
+            # an all-expired (empty) state writes no files — possibly
+            # not even the directory; an empty/missing state dir reads
+            # as fresh, which for dedup is exactly right
+            tmp.mkdir(exist_ok=True)
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+            # read the PERSISTED copy back (lazy): keeping the in-memory
+            # lineage would re-execute the merge chain every next window
+            return rd.read_parquet(str(final)) if any(
+                Path(final).glob("*.parquet")
+            ) else None
+
+        def _load_state(prev_w: int):
+            out: dict[int, object] = {}
             for i in tb_idx:
+                d = self.lineage_dir / f"state-w{prev_w}-s{i}"
                 f = self.lineage_dir / f"state-w{prev_w}-s{i}.parquet"
-                if f.exists():
-                    out[i] = pq.read_table(f).to_pandas()
+                if d.is_dir() and any(d.glob("*.parquet")):
+                    out[i] = rd.read_parquet(str(d))  # dedup: Dataset
+                elif f.exists():
+                    out[i] = pq.read_table(f).to_pandas()  # tb: DataFrame
             return out
 
         for w in range(first_w, last_w + 1):
@@ -226,19 +254,20 @@ class MicroBatchRunner:
                 if tb_idx:
                     import pyarrow as _pa
 
-                    rolled: dict[int, pd.DataFrame] = {}
+                    rolled: dict[int, object] = {}
                     for i in tb_idx:
                         (name, cfg_i), = stages_cfg[i].items()
                         if name == "dedup":
-                            kw = dedup_stage_kwargs(cfg_i or {})
-                            st = tb_state.get(
-                                i,
-                                pd.DataFrame(
-                                    columns=[kw["id_col"], "last_us"]
-                                ),
-                            )
+                            st = tb_state.get(i)
+                            if st is None:
+                                # empty state == fresh: nothing to roll,
+                                # and a missing state dir reads as fresh
+                                continue
                             st = _dedup_gc(st, cfg_i or {}, hi_ts)
-                            rolled[i] = st
+                            st = _persist_dedup_state(st, w, i)
+                            if st is not None:
+                                rolled[i] = st
+                            continue
                         else:
                             kw = token_bucket_stage_kwargs(cfg_i or {})
                             st = tb_state.get(
@@ -317,28 +346,20 @@ class MicroBatchRunner:
                     (name, cfg_i), = spec.items()
                     if name == "dedup":
                         dkw = dedup_stage_kwargs(cfg_i or {})
+                        # seg = this window's NEW ids as a lazy Dataset
+                        # (carried ids' rows were anti-joined away, so
+                        # they are absent); everything stays distributed
+                        # — the seen-id state is corpus-proportional
                         seg = dedup_by_doc_id(
                             prev_ds, seen_state=tb_state.get(i),
                             emit_state=True, **dkw,
-                        ).to_pandas()
-                        # carried ids persist (their rows were dropped,
-                        # so they are absent from seg); expired ids GC
+                        )
                         prev_st = tb_state.get(i)
-                        if prev_st is not None and len(prev_st):
-                            st = pd.concat([prev_st, seg], ignore_index=True)
-                        else:
-                            st = seg
+                        st = seg if prev_st is None else prev_st.union(seg)
                         st = _dedup_gc(st, cfg_i or {}, hi_ts)
-                        next_state[i] = st
-                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
-                        pq.write_table(
-                            _pa.Table.from_pandas(st, preserve_index=False),
-                            tmp_f,
-                        )
-                        os.replace(
-                            tmp_f,
-                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
-                        )
+                        st = _persist_dedup_state(st, w, i)
+                        if st is not None:
+                            next_state[i] = st
                     elif name == "token_bucket":
                         kw = token_bucket_stage_kwargs(cfg_i or {})
                         seg = token_bucket_limit(

@@ -443,3 +443,33 @@ def test_dns_cache_config_parsed_and_validated():
 
     with pytest.raises(ValueError, match="failure_cache"):
         build_processor({"dns": {"failure_cache": {"ttl": 0}}})
+
+
+def test_dedup_seen_state_dataset_equals_dataframe(ray_session):
+    """dedup_by_doc_id accepts the carried seen-id state as a pandas
+    DataFrame (broadcast path) or a Dataset (distributed anti-join for
+    corpus-proportional state) — both produce identical survivors and
+    identical emitted state."""
+    import pandas as pd
+    import ray.data as rd
+
+    from beats_ray.sinks import dedup_by_doc_id
+
+    base = pd.Timestamp("2024-05-01")
+    ds = rd.from_items([
+        {"meta.doc_id": d, "ts": base + pd.Timedelta(seconds=s)}
+        for d, s in [("a", 1), ("b", 2), ("c", 3), ("b", 4)]
+    ])
+    seen_df = pd.DataFrame({"meta.doc_id": ["a"], "last_us": [0]})
+    seen_ds = rd.from_pandas(seen_df)
+
+    for emit in (False, True):
+        out_df = dedup_by_doc_id(ds, seen_state=seen_df, emit_state=emit,
+                                 buckets=2).to_pandas()
+        out_ds = dedup_by_doc_id(ds, seen_state=seen_ds, emit_state=emit,
+                                 buckets=2).to_pandas()
+        left = out_df.sort_values("meta.doc_id").reset_index(drop=True)
+        right = out_ds.sort_values("meta.doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(left[sorted(left.columns)],
+                                      right[sorted(right.columns)])
+        assert left["meta.doc_id"].tolist() == ["b", "c"]
