@@ -540,6 +540,10 @@ def q_tpch_q1(sf_dir: str):
 
     return (
         li.map_batches(partial, batch_format="pandas")
+        # partials are ≤4 rows per block; collapsing 64 map blocks to 4
+        # cuts the final groupby's sort shuffle from 64×64 micro-tasks
+        # to 4×4 (measured 1.8→1.2 s)
+        .repartition(4)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
