@@ -1347,9 +1347,10 @@ def _tr_sql(sf: float = 0.01) -> str:
     the Ray pipeline reads). Regex/JSON predicates mirror the engine's
     kernels 1:1 (RE2 both sides)."""
     path = transcripts_dir(sf) + "/part-*.parquet"
+    # mirror of parse._SYSLOG_PATTERN incl. the OPTIONAL tag
     syslog_rx = (
         r"(?s)^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
-        r"(\S+) ([^\[\s:]+)(\[(\d+)\])?: (.*)$"
+        r"(\S+) (([^\[\s:]+)(\[(\d+)\])?: )?(.*)$"
     )
     return f"""
 WITH t AS (SELECT * FROM read_parquet('{path}')),
@@ -1716,9 +1717,9 @@ def oracle_sql() -> dict[str, str]:
               CAST(regexp_extract(text, '^<(\d{1,3})>', 1) AS BIGINT) // 8 AS facility,
               CAST(regexp_extract(text, '^<(\d{1,3})>', 1) AS BIGINT) % 8 AS severity,
               regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} (\S+) ', 1) AS host,
-              regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} \S+ ([^\[\s:]+)', 1) AS app,
-              CAST(regexp_extract(text, '\[(\d+)\]: ', 1) AS BIGINT) AS pid,
-              regexp_extract(text, '\]: (?s)(.*)$', 1) AS msg
+              NULLIF(regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} \S+ ([^\[\s:]+)(?:\[\d+\])?: ', 1), '') AS app,
+              CAST(NULLIF(regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} \S+ [^\[\s:]+\[(\d+)\]: ', 1), '') AS BIGINT) AS pid,
+              regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2} \S+ (?:[^\[\s:]+(?:\[\d+\])?: )?(?s)(.*)$', 1) AS msg
               FROM p WHERE syslog_ok""",
         "multiline_merge": tr
         + r"""SELECT conv_id, turn_idx, event_id,

@@ -64,12 +64,15 @@ def compile_condition(spec: dict) -> Condition:
         raise ValueError(f"condition must be a single-key dict, got {spec!r}")
     op, body = next(iter(spec.items()))
 
-    if op == "and":
+    if op in ("and", "or"):
+        if not body:
+            # fail at BUILD time, not with an IndexError inside a
+            # remote task (the reference's config unpack also rejects
+            # an empty condition list)
+            raise ValueError(f"condition {op!r} requires at least one sub-condition")
         subs = [compile_condition(s) for s in body]
-        return lambda t: _combine(pc.and_, subs, t)
-    if op == "or":
-        subs = [compile_condition(s) for s in body]
-        return lambda t: _combine(pc.or_, subs, t)
+        kernel = pc.and_ if op == "and" else pc.or_
+        return lambda t: _combine(kernel, subs, t)
     if op == "not":
         sub = compile_condition(body)
         return lambda t: pc.invert(_fill(sub(t)))

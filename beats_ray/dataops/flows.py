@@ -146,38 +146,15 @@ def flow_sessions(events, key_cols=("user_id", "event_type"),
 
 
 def top_k_users(events, k: int = 10):
-    """Top-k users by event count: partial count per batch → small
-    groupby → sort with deterministic (n desc, user_id asc) tie-break →
-    limit. The sort runs over one row per user, not per event."""
-    from ray.data.aggregate import Sum
+    """Top-k users by event count: the partial-count combiner + the
+    distributed per-block top-k (agg.grouped_count / agg.top_k_by) — the
+    sort input shrinks to blocks×k rows, and the Arrow partial keeps
+    NULL user_id rows counted (a pandas groupby would silently drop
+    them). Deterministic (n desc, user_id asc) tie-break."""
+    from .agg import grouped_count, top_k_by
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = (
-            t.select(["user_id"])
-            .to_pandas()
-            .groupby("user_id", as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    counts = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def neg(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.append_column("_neg_n", pc.negate(t["n"]))
-
-    return (
-        counts.map_batches(neg, batch_format="pyarrow")
-        .sort(["_neg_n", "user_id"])
-        .limit(k)
-        .drop_columns(["_neg_n"])
-    )
+    counts = grouped_count(events.select_columns(["user_id"]), ["user_id"])
+    return top_k_by(counts, "n", "user_id", k)
 
 
 def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,

@@ -66,6 +66,10 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             }
         )
 
+    # gets and state are TWO consumptions of ``ops``: materialize once
+    # (object store, not driver) so a lazy upstream parse/enrich chain
+    # doesn't execute twice (same rule as map_buckets' skew pre-count)
+    ops = ops.materialize()
     gets = ops.map_batches(pick_gets, batch_format="pyarrow")
     state = ops.map_batches(pick_state, batch_format="pyarrow")
 
@@ -84,11 +88,17 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             put_s = pd.to_numeric(df["_state_ts_s"], errors="coerce")
             age_ok = (get_s - put_s) <= ttl_s
             hit &= age_ok.fillna(False)
-        key_out = (
-            df[key].astype("int64")
-            if pd.api.types.is_numeric_dtype(df[key])
-            else df[key]
-        )
+        k = df[key]
+        if pd.api.types.is_numeric_dtype(k):
+            # restore the exact int dtype the join's NaN padding
+            # promoted — but a NULL get key (kept alive through the
+            # shuffle by design, joins._bucket_of) must stay null, not
+            # crash the int cast; it resolves as a miss like any
+            # never-put key
+            key_out = (k.astype("int64") if k.notna().all()
+                       else k.astype("Int64"))
+        else:
+            key_out = k
         if value_kind == "int":
             cached = (
                 pd.to_numeric(df["_state_v"].where(hit), errors="coerce")

@@ -35,11 +35,18 @@ def dissect_proc(cfg: dict):
     Config: tokenizer, field (default "message" → our "text"),
     target_prefix (default "dissect"), ignore_failure, overwrite_keys,
     trim_values, trim_chars. Failure → flag ``dissect_parsing_error``
-    (processor.go:33)."""
+    (processor.go:33); the event is left untouched on failure, so a row
+    an earlier dissect already populated keeps its values.
+
+    ``overwrite_keys`` (processor.go:143-154, default false): a row
+    whose target key already holds a value is an ERROR — the old value
+    is kept and the row is flagged ``dissect_key_conflict``; with
+    ``overwrite_keys: true`` successful parses replace it."""
     tok = cfg["tokenizer"]
     field = cfg.get("field", "text")
     prefix = cfg.get("target_prefix", "dissect")
     ignore_failure = cfg.get("ignore_failure", False)
+    overwrite_keys = cfg.get("overwrite_keys", False)
     trim_values = cfg.get("trim_values", "none")
     trim_chars = cfg.get("trim_chars", " ")
     compiled = compile_tokenizer(tok)
@@ -50,9 +57,28 @@ def dissect_proc(cfg: dict):
         if col is None:
             return t
         fields, ok = dissect_batch(compiled, col, trim_values, trim_chars)
+        conflict = None
         for name, arr in fields.items():
             out_name = f"{prefix}.{name}" if prefix else name
+            old = get_col(t, out_name)
+            if old is not None:
+                old_a = old.combine_chunks()
+                try:
+                    if old_a.type != arr.type:
+                        old_a = pc.cast(old_a, arr.type)
+                    existing = pc.is_valid(old_a)
+                    use_new = ok if overwrite_keys else pc.and_(
+                        ok, pc.invert(existing)
+                    )
+                    if not overwrite_keys:
+                        c = pc.and_(ok, existing)
+                        conflict = c if conflict is None else pc.or_(conflict, c)
+                    arr = pc.if_else(use_new, arr, old_a)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass  # incompatible prior column: replace wholesale
             t = set_col(t, out_name, arr)
+        if conflict is not None:
+            t = add_flag(t, conflict, "dissect_key_conflict")
         if not ignore_failure:
             t = add_flag(t, pc.invert(ok), "dissect_parsing_error")
         return t
@@ -131,11 +157,27 @@ def decode_json_fields(cfg: dict):
                 for j, p in enumerate(parsed_sub):
                     if p is not None:
                         out[idx[j]] = p.get(key)
-                arr = pa.array(out)
                 try:
-                    arr = pc.cast(arr, typ)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    arr = pa.nulls(n, typ)
+                    arr = pc.cast(pa.array(out), typ)
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    # heterogeneous or uncastable VALUES: coerce per
+                    # value so one bad row nulls only itself — the
+                    # reference never fails the event set for one value,
+                    # and a blanket null would wipe rows a previous
+                    # source field already decoded
+                    coerced: list = []
+                    for v in out:
+                        if v is None:
+                            coerced.append(None)
+                            continue
+                        try:
+                            coerced.append(pa.scalar(v).cast(typ).as_py())
+                        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                pa.ArrowNotImplementedError, OverflowError,
+                                ValueError, TypeError):
+                            coerced.append(None)
+                    arr = pa.array(coerced, typ)
                 pref = f"{target}." if target else ""
                 t = set_col(t, f"{pref}{key}", arr)
             if document_id:
@@ -157,7 +199,10 @@ _SYSLOG_PATTERN = (
     r"(?s)^<(?P<pri>\d{1,3})>"
     r"(?P<ts3164>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
     r"(?P<host>\S+) "
-    r"(?P<app>[^\[\s:]+)(?:\[(?P<pid>\d+)\])?: "
+    # the TAG is OPTIONAL (rfc3164_test.go "ok": "<13>... test-host this
+    # is the message" parses with no process) — a tagless line keeps
+    # pri/ts/host and takes the remainder as msg
+    r"(?:(?P<app>[^\[\s:]+)(?:\[(?P<pid>\d+)\])?: )?"
     r"(?P<msg>.*)$"
 )
 
@@ -243,7 +288,11 @@ def syslog_proc(cfg: dict):
         t = set_col(t, f"{prefix}.facility", pc.shift_right(pri, 3))
         t = set_col(t, f"{prefix}.severity", pc.bit_wise_and(pri, 7))
         t = set_col(t, f"{prefix}.host", pick("host", "host"))
-        t = set_col(t, f"{prefix}.app", _null_if(pick("app", "app"), "-", n))
+        # "-" = 5424 NILVALUE; "" = the 3164 optional tag not present
+        t = set_col(
+            t, f"{prefix}.app",
+            _null_if(_null_if(pick("app", "app"), "-", n), "", n),
+        )
         pid = _null_if(pick("pid", "pid"), "-", n)
         pid = _null_if(pid, "", n)
         # RFC5424 PROCID may be any PRINTUSASCII token (e.g. "ID47") —
@@ -330,7 +379,11 @@ def multiline_stats(cfg: dict):
         n = pc.list_value_length(parts)
         t = set_col(t, f"{prefix}.n_lines", pc.cast(n, pa.int64()))
         t = set_col(t, f"{prefix}.first_line", pc.list_element(parts, 0))
-        t = add_flag(t, pc.greater(n, max_lines), "multiline")
+        # message_buffer.go:122-128: ANY joined event (numLines > 1)
+        # carries the 'multiline' flag; exceeding the line cap adds the
+        # separate 'truncated' flag
+        t = add_flag(t, pc.greater(n, 1), "multiline")
+        t = add_flag(t, pc.greater(n, max_lines), "truncated")
         return t
 
     return run

@@ -16,6 +16,7 @@ documented partitioning assumption.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -45,7 +46,10 @@ def explode_lines(ds, text_col: str = "text"):
             np.concatenate([np.arange(n) for n in lens]) if len(lens) else [],
             pa.int64(),
         )
-        out["line"] = pc.list_flatten(parts)
+        # strip the full CRLF terminator like the reference's line
+        # framing (readfile/line.go): a trailing \r left on the line
+        # breaks $-anchored continuation patterns downstream
+        out["line"] = pc.utf8_rtrim(pc.list_flatten(parts), characters="\r")
         return pa.table(out)
 
     return ds.map_batches(split, batch_format="pyarrow")
@@ -97,17 +101,33 @@ def multiline_merge(
                 [g[c] for c in key_cols]
             ).shift(1)
             is_start = ~prev_m.fillna(False).astype(bool)
+        # first line of every key always starts an event
+        first_of_key = ~g.duplicated(subset=list(key_cols), keep="first") == True  # noqa: E712
         if flush_pattern is not None:
             fm = g[line_col].astype(str).str.contains(
                 flush_pattern, regex=True, na=False
             )
-            # the flush line JOINS the current event (consumed, then
-            # flushed — pattern.go adds it to the buffer before
-            # flushing); the NEXT line opens a new event unconditionally
-            fm_prev = fm.groupby([g[c] for c in key_cols]).shift(1)
-            is_start = (is_start & ~fm) | fm_prev.fillna(False).astype(bool)
-        # first line of every key always starts an event
-        first_of_key = ~g.duplicated(subset=list(key_cols), keep="first") == True  # noqa: E712
+            # pattern.go order: the flush check runs BEFORE the
+            # continuation predicate and only while a buffer is OPEN —
+            # a buffer-opening line (readFirst: first of key, or the
+            # line after an effective flush) is loaded WITHOUT a flush
+            # check. An effective-flush line JOINS the current event
+            # (added, then finalized) even when the predicate would
+            # have broken before it; the next line opens fresh. The
+            # open/closed recurrence is sequential only across
+            # CONSECUTIVE flush-matching lines, so the loop below
+            # touches flush rows only.
+            fm_np = fm.to_numpy()
+            first_np = first_of_key.to_numpy()
+            eff = np.zeros(len(g), dtype=bool)
+            for i in np.flatnonzero(fm_np):
+                eff[i] = not (first_np[i] or (i > 0 and eff[i - 1]))
+            eff_s = pd.Series(eff, index=g.index)
+            eff_prev = (
+                eff_s.groupby([g[c] for c in key_cols]).shift(1)
+                .fillna(False).astype(bool)
+            )
+            is_start = eff_prev | (is_start & ~eff_s)
         is_start = is_start | first_of_key
         event_id = (
             is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1

@@ -473,3 +473,83 @@ def test_dedup_seen_state_dataset_equals_dataframe(ray_session):
         pd.testing.assert_frame_equal(left[sorted(left.columns)],
                                       right[sorted(right.columns)])
         assert left["meta.doc_id"].tolist() == ["b", "c"]
+
+
+def test_decode_json_heterogeneous_value_types():
+    """A JSON key whose value type varies across rows must null only the
+    bad rows, not crash the batch or wipe the column."""
+    from beats_ray.processors.base import build_processor
+
+    t = pa.table({"text": [
+        '{"duration_ms": 5}', '{"duration_ms": "fast"}',
+        '{"duration_ms": 7}', "not json",
+    ]})
+    out = build_processor({"decode_json_fields": {
+        "fields": ["text"], "expected": {"duration_ms": "int64"},
+    }})(t)
+    assert out["parsed.duration_ms"].to_pylist() == [5, None, 7, None]
+
+
+def test_cache_put_get_null_key_is_miss(ray_session):
+    """A get with a NULL key must resolve as a miss, not crash the
+    int64 restore cast after the asof join's NaN padding."""
+    import pandas as pd
+    import ray.data as rd
+
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    base = pd.Timestamp("2024-05-01")
+    ops = rd.from_items([
+        {"k": 1, "ts": base, "op": "put", "v": 42},
+        {"k": 1, "ts": base + pd.Timedelta(seconds=1), "op": "get", "v": 0},
+        {"k": None, "ts": base + pd.Timedelta(seconds=2), "op": "get", "v": 0},
+    ])
+    out = cache_put_get(ops, buckets=2).to_pandas()
+    hits = out.set_index(out["k"].astype("string"))
+    assert bool(hits.loc["1", "hit"]) is True
+    null_row = out[out["k"].isna()]
+    assert len(null_row) == 1 and not bool(null_row["hit"].iloc[0])
+
+
+def test_dissect_does_not_null_prior_values_on_failure():
+    """processor.go: a failed parse leaves the event untouched — a row
+    an earlier dissect populated keeps its values; overwrite_keys=False
+    flags conflicts and keeps the old value."""
+    from beats_ray.processors.base import build_processor
+
+    t = pa.table({"text": ["job 5 done", "completely different"]})
+    p1 = build_processor({"dissect": {"tokenizer": "job %{id} done"}})
+    t = p1(t)
+    assert t["dissect.id"].to_pylist() == ["5", None]
+    # second chained dissect: row 0 fails (keeps "5"), row 1 matches
+    p2 = build_processor({"dissect": {"tokenizer": "completely %{id}"}})
+    out = p2(t)
+    assert out["dissect.id"].to_pylist() == ["5", "different"]
+
+    # overwrite_keys=true lets a successful parse replace
+    p3 = build_processor({"dissect": {"tokenizer": "job %{id} done",
+                                      "overwrite_keys": True}})
+    out2 = p3(pa.table({"text": ["job 9 done"],
+                        "dissect.id": ["old"]}))
+    assert out2["dissect.id"].to_pylist() == ["9"]
+
+
+def test_condition_empty_combinator_fails_eagerly():
+    from beats_ray.conditions import compile_condition
+
+    with pytest.raises(ValueError, match="at least one"):
+        compile_condition({"and": []})
+    with pytest.raises(ValueError, match="at least one"):
+        compile_condition({"or": []})
+
+
+def test_explode_lines_strips_crlf(ray_session):
+    import ray.data as rd
+
+    from beats_ray.stages.multiline import explode_lines
+
+    out = explode_lines(
+        rd.from_items([{"conv_id": "c", "turn_idx": 0,
+                        "text": "cmd \\\r\ncont\r\nlast"}])
+    ).to_pandas()
+    assert out["line"].tolist() == ["cmd \\", "cont", "last"]

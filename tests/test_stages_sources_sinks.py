@@ -335,3 +335,57 @@ def test_multiline_flush_pattern(ray_session):
         "\twould-be cont",          # forced new event after flush
         "start B",
     ]
+
+
+def test_multiline_flush_pattern_first_line_of_buffer(ray_session):
+    """pattern.go fidelity: readFirst loads a buffer-opening line
+    WITHOUT a flush check, so a flush-matching line that opens a buffer
+    does not terminate it — continuations still join — and of two
+    CONSECUTIVE flush lines only the second one (read while the buffer
+    is open) flushes."""
+    from beats_ray.stages.multiline import multiline_merge
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 0, "line": "END"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 1, "line": "\tcont"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 2, "line": "END"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 3, "line": "END"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 4, "line": "END"},
+    ]
+    out = (
+        multiline_merge(
+            rd.from_items(rows), pattern=r"^\s", match="after",
+            flush_pattern=r"^END$",
+        )
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    # line 0 opens (no flush check), line 1 joins (continuation), line 2
+    # effective-flushes INCLUSIVE; line 3 re-opens (no flush check),
+    # line 4 effective-flushes inclusive.
+    assert out["text"].tolist() == ["END\n\tcont\nEND", "END\nEND"]
+
+
+def test_multiline_flush_overrides_predicate_break(ray_session):
+    """pattern.go order: the flush check runs BEFORE the continuation
+    predicate, so a flush line that is NOT a continuation still JOINS
+    the open event before terminating it."""
+    from beats_ray.stages.multiline import multiline_merge
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 0, "line": "start A"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 1, "line": "END"},
+        {"conv_id": "c1", "turn_idx": 0, "line_idx": 2, "line": "start B"},
+    ]
+    out = (
+        multiline_merge(
+            rd.from_items(rows), pattern=r"^\s", match="after",
+            flush_pattern=r"^END$",
+        )
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    # END is not a continuation (^\s fails) but flush-joins event A
+    assert out["text"].tolist() == ["start A\nEND", "start B"]
