@@ -30,6 +30,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_tiebreak(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (sim DESC, vec_id ASC) — the per-batch
+    combiner must apply the SAME deterministic tie-break as the global
+    merge and the SQL oracle, or tied sims at the batch k-boundary
+    survive by arbitrary row position. argpartition with slack keeps the
+    exact lexsort to a small candidate set."""
+    k = min(k, len(s))
+    cand = np.arange(len(s))
+    if len(s) > 4 * k + 32:
+        cand = np.argpartition(-s, 4 * k + 31)[: 4 * k + 32]
+    order = np.lexsort((ids[cand], -s[cand]))[:k]
+    return cand[order]
+
+
 class BruteCosine:
     """Search stage (cached task): query matrix resolved & normalized
     once per worker."""
@@ -45,12 +59,12 @@ class BruteCosine:
             return pd.DataFrame(out)
         m = _normalize(_batch_matrix(df))
         sims = m @ self.q.T  # (batch, n_queries)
+        vec_ids = df["vec_id"].to_numpy()
         for qi in range(self.q.shape[0]):
             s = sims[:, qi]
-            k = min(self.k, len(s))
-            idx = np.argpartition(-s, k - 1)[:k]
-            out["query_id"].extend([qi] * k)
-            out["vec_id"].extend(df["vec_id"].to_numpy()[idx])
+            idx = _topk_tiebreak(s, vec_ids, self.k)
+            out["query_id"].extend([qi] * len(idx))
+            out["vec_id"].extend(vec_ids[idx])
             out["sim"].extend(s[idx])
         return pd.DataFrame(out)
 
@@ -66,6 +80,10 @@ def brute_topk(embeddings, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         task_stage(BruteCosine, query_ref=qref, k=k),
         batch_format="pandas",
     ).to_pandas()
+    if partials.empty:  # empty to_pandas() loses column names — guard
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     # deterministic global top-k: sim desc, vec_id asc tie-break
     partials = partials.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
@@ -122,9 +140,8 @@ class IVFSearcher:
                 continue
             s = sims[allowed, qi]
             ids = vec_ids[allowed]
-            k = min(self.k, len(s))
-            idx = np.argpartition(-s, k - 1)[:k]
-            out["query_id"].extend([qi] * k)
+            idx = _topk_tiebreak(s, ids, self.k)
+            out["query_id"].extend([qi] * len(idx))
             out["vec_id"].extend(ids[idx])
             out["sim"].extend(s[idx])
         return pd.DataFrame(out)
@@ -152,6 +169,10 @@ def ivf_topk(
                    n_probe=n_probe),
         batch_format="pandas",
     ).to_pandas()
+    if partials.empty:  # empty to_pandas() loses column names — guard
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     partials = partials.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
     )

@@ -145,8 +145,13 @@ def rename(cfg: dict):
                 if fail_on_error:
                     raise KeyError(f"rename: missing field {src!r}")
                 continue
-            if dst in t.column_names and fail_on_error:
-                raise KeyError(f"rename: target {dst!r} exists")
+            if dst in t.column_names:
+                if fail_on_error:
+                    raise KeyError(f"rename: target {dst!r} exists")
+                # rename.go renameField: target-exists is an error; with
+                # fail_on_error=false the event is restored UNTOUCHED —
+                # never silently overwrite the existing target
+                continue
             col = t[src]
             t = t.drop_columns([src])
             t = set_col(t, dst, col)
@@ -357,7 +362,9 @@ def decode_base64_field(cfg: dict):
             try:
                 out.append(base64.b64decode(v, validate=True).decode("utf-8"))
             except (binascii.Error, UnicodeDecodeError, ValueError):
-                out.append(v if not fail else None)
+                # decode_base64_field.go failOnError=true RESTORES the
+                # backup event — the raw payload is kept, never nulled
+                out.append(v if target == field else None)
                 bad[i] = True
         t = set_col(t, target, pa.array(out, pa.string()))
         if fail and bad.any():
@@ -392,7 +399,9 @@ def decompress_gzip_field(cfg: dict):
                 raw = v if isinstance(v, bytes) else bytes(v, "latin-1")
                 out.append(gzip.decompress(raw).decode("utf-8"))
             except (OSError, UnicodeDecodeError, ValueError):
-                out.append(None)
+                # restore the original value in-place like the reference
+                # (only representable when the payload is a string)
+                out.append(v if target == field and isinstance(v, str) else None)
                 bad[i] = True
         t = set_col(t, target, pa.array(out, pa.string()))
         if bad.any():
@@ -488,9 +497,14 @@ def decode_duration(cfg: dict):
             if v is None:
                 out.append(None)
                 continue
-            parts = _DUR_RE.findall(str(v))
+            sv = str(v).strip()
+            # Go time.ParseDuration: one optional leading sign applies
+            # to the WHOLE duration ("-1h30m" = -5400 s)
+            sign = -1.0 if sv.startswith("-") else 1.0
+            parts = _DUR_RE.findall(sv)
             out.append(
-                sum(float(n) * _DUR_UNIT[u] for n, u in parts) if parts else None
+                sign * sum(float(n) * _DUR_UNIT[u] for n, u in parts)
+                if parts else None
             )
         return set_col(t, target, pa.array(out, pa.float64()))
 

@@ -76,7 +76,11 @@ def compile_format_string(fmt: str, ts_field: str = "ts"):
                 if ts is None:
                     arrays.append(pa.nulls(n, pa.string()).fill_null(""))
                 else:
-                    arrays.append(pc.strftime(ts.combine_chunks(), format=payload))
+                    # a NULL ts value must not null the whole rendered
+                    # string (binary_join propagates null)
+                    arrays.append(pc.fill_null(
+                        pc.strftime(ts.combine_chunks(), format=payload), ""
+                    ))
             else:
                 col = get_col(t, payload)
                 if col is None:
@@ -85,8 +89,10 @@ def compile_format_string(fmt: str, ts_field: str = "ts"):
                     )
                 else:
                     col = pc.cast(col.combine_chunks(), pa.string())
-                    if default is not None:
-                        col = pc.fill_null(col, default)
+                    # a null VALUE resolves like a missing field: the
+                    # token default, else '' — never a null that nulls
+                    # the entire rendered index/path for the row
+                    col = pc.fill_null(col, default or "")
                     arrays.append(col)
         if len(arrays) == 1:
             return arrays[0]

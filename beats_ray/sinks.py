@@ -94,10 +94,15 @@ def _console_sink(sink_dir: Path, cfg: dict) -> None:
     limit = cfg.get("limit", 5)
     shown = 0
     for p in sorted(sink_dir.rglob("*.parquet")):
-        tbl = pq.read_table(p)
-        for row in tbl.slice(0, limit - shown).to_pylist():
-            print(row)
-            shown += 1
+        # stream row-group batches: never load a whole file onto the
+        # driver to print a handful of rows
+        pf = pq.ParquetFile(p)
+        for batch in pf.iter_batches(batch_size=max(limit - shown, 1)):
+            for row in batch.slice(0, limit - shown).to_pylist():
+                print(row)
+                shown += 1
+            if shown >= limit:
+                break
         if shown >= limit:
             break
 
@@ -118,6 +123,15 @@ def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
 
     def route(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        if n == 0:
+            # empty blocks are routine (filters/anti-joins upstream);
+            # typed empties keep the schema stable — pa.array([]) is
+            # null-typed and crashes pc.invert
+            return t.append_column(
+                "dead_letter.reason", pa.nulls(0, pa.string())
+            ).append_column(
+                "dead_letter.original_sink", pa.nulls(0, pa.string())
+            )
         bad = pa.array([False] * n)
         reason = pa.nulls(n, pa.string())
         # reason precedence: missing required field, then size cap —
@@ -133,7 +147,9 @@ def dead_letter_route(routed_ds, max_text_bytes: int | None = None,
                 pa.array([f"missing_field:{col}"] * n), reason,
             )
             bad = pc.or_(bad, missing)
-        if max_text_bytes is not None:
+        if max_text_bytes is not None and text_col in t.column_names:
+            # a batch without the text column has nothing to size-check
+            # (the required-field path above handles missing columns)
             text = pc.fill_null(t[text_col].combine_chunks(), "")
             over = pc.greater(pc.binary_length(text), max_text_bytes)
             reason = pc.if_else(

@@ -121,7 +121,10 @@ def test_base64_fail_on_error_false_no_annotation():
                                  "fail_on_error": False}}
     )(t)
     assert "error.message" not in out.column_names
-    assert out["b2"][0].as_py() == "!!!"  # original kept
+    # the reference leaves the event UNTOUCHED on failure: the separate
+    # target is never populated (the source keeps the raw payload)
+    assert out["b2"][0].as_py() is None
+    assert out["b"][0].as_py() == "!!!"
 
 
 def test_minhash_uint64_exact():
@@ -553,3 +556,84 @@ def test_explode_lines_strips_crlf(ray_session):
                         "text": "cmd \\\r\ncont\r\nlast"}])
     ).to_pandas()
     assert out["line"].tolist() == ["cmd \\", "cont", "last"]
+
+
+def test_dead_letter_route_empty_batch_and_missing_text(ray_session):
+    """Empty blocks pass through schema-stable (pa.array([]) is
+    null-typed and used to crash pc.invert); a batch without the text
+    column skips the size check instead of raising KeyError."""
+    import ray.data as rd
+
+    from beats_ray.sinks import dead_letter_route
+
+    ds = rd.from_items([{"sink": "es", "text": "x" * 10}]).filter(
+        lambda r: False
+    )
+    out = dead_letter_route(ds, max_text_bytes=5).to_pandas()
+    assert len(out) == 0
+
+    ds2 = rd.from_items([{"sink": "es", "other": 1}])
+    out2 = dead_letter_route(ds2, max_text_bytes=5).to_pandas()
+    assert out2["sink"].tolist() == ["es"]
+
+
+def test_ann_batch_tiebreak_matches_oracle(ray_session):
+    """Per-batch top-k must break exact-sim ties by vec_id ASC like the
+    global merge and the SQL oracle — not by row position within the
+    block."""
+    import numpy as np
+    import ray.data as rd
+
+    from beats_ray.dataops.ann import brute_topk
+
+    v = [1.0, 0.0]
+    rows = [{"vec_id": i, "embedding": v} for i in (9, 5, 3, 7, 1)]
+    ds = rd.from_items(rows)
+    out = brute_topk(ds, np.array([v]), k=2)
+    assert out["vec_id"].tolist() == [1, 3]  # lowest ids win the tie
+
+
+def test_rename_fail_on_error_false_keeps_target():
+    """rename.go: target-exists is an error; fail_on_error=false leaves
+    BOTH fields untouched instead of silently overwriting the target."""
+    from beats_ray.processors.base import build_processor
+
+    t = pa.table({"a": ["v"], "b": ["orig"]})
+    out = build_processor({"rename": {
+        "fields": [{"from": "a", "to": "b"}], "fail_on_error": False,
+    }})(t)
+    assert out["b"].to_pylist() == ["orig"]
+    assert out["a"].to_pylist() == ["v"]
+
+
+def test_decode_base64_failure_restores_original():
+    """decode_base64_field.go failOnError=true restores the backup
+    event: the raw payload survives, annotated in-band."""
+    from beats_ray.processors.base import build_processor
+
+    t = pa.table({"payload": ["aGk=", "!!!not-base64!!!"]})
+    out = build_processor({"decode_base64_field": {"field": "payload"}})(t)
+    assert out["payload"].to_pylist() == ["hi", "!!!not-base64!!!"]
+    assert "failed to decode" in (out["error.message"][1].as_py() or "")
+
+
+def test_decode_duration_negative():
+    from beats_ray.processors.base import build_processor
+
+    t = pa.table({"d": ["-1h30m", "1.5s", "-250ms"]})
+    out = build_processor({"decode_duration": {"field": "d"}})(t)
+    assert out["d"].to_pylist() == [-5400.0, 1.5, -0.25]
+
+
+def test_format_string_null_value_renders_like_missing():
+    """A null field VALUE must not null the whole rendered string —
+    it resolves like a missing field (token default, else '')."""
+    from beats_ray.processors.metadata import compile_format_string
+
+    t = pa.table({"app": ["web", None]})
+    assert compile_format_string("logs-%{[app]}")(t).to_pylist() == [
+        "logs-web", "logs-",
+    ]
+    assert compile_format_string("logs-%{[app]:other}")(t).to_pylist() == [
+        "logs-web", "logs-other",
+    ]
