@@ -161,8 +161,9 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
                        per_s: int = 1, burst: int | None = None,
                        ts_col: str = "ts", order_col: str = "event_id",
                        buckets: int = 32, skew_aware: bool = False,
-                       initial_state: "pd.DataFrame | None" = None,
-                       emit_state: bool = False):
+                       initial_state=None,
+                       emit_state: bool = False,
+                       gc_horizon_us: int | None = None):
     """Refilling token-bucket rate limiting — the reference's refill
     model (libbeat/processors/ratelimit/rate_limit.go:28-56,103:
     per-key bucket, capacity = burst, replenish ``limit_n / per_s``
@@ -186,40 +187,107 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
     per key; keys replay in one tight loop per hash bucket (buckets run
     in parallel; per-key state is O(1)).
 
-    Continuous operation: ``initial_state`` (a DataFrame with columns
-    [key, tok, last_us] from a previous event-time segment) seeds the
-    per-key buckets, and ``emit_state=True`` returns the segment's
-    FINAL per-key state instead of the rows — the carry mechanism the
-    streaming runner uses so the bucket never resets at a window
-    boundary. Emitted state is GC'd exactly like the reference
-    (rate_limit.go gc): keys whose bucket is full again are dropped —
-    a full bucket is indistinguishable from a fresh one.
+    Continuous operation: ``initial_state`` seeds the per-key buckets,
+    and ``emit_state=True`` returns the segment's FINAL per-key state
+    instead of the rows — the carry mechanism the streaming runner uses
+    so the bucket never resets at a window boundary. The state is
+    either a pandas DataFrame with columns [key, tok, last_us] (small
+    state: broadcast dict via ``ray.put``, probed per bucket) or a ray
+    DATASET with the same columns — the SCALE path: state rows hash
+    into the SAME buckets as their keys' events (one co-locating
+    shuffle, typed-Arrow null padding), so a corpus with billions of
+    concurrently throttled keys never lands key-proportional state on
+    the driver. With Dataset state, ``emit_state`` also carries QUIET
+    seed keys (no events this segment) forward, so the caller needs no
+    separate quiet-key merge.
 
-    Returns the ALLOWED rows (same columns), or the state DataFrame
-    when ``emit_state`` is set."""
+    Emitted state is GC'd exactly like the reference (rate_limit.go
+    gc): keys whose bucket is full again are dropped — a full bucket is
+    indistinguishable from a fresh one. ``gc_horizon_us`` extends the
+    GC to an event-time horizon (the window end): a key whose bucket
+    will have refilled by the horizon is dropped too, bounding the
+    carried state to genuinely in-flight keys.
+
+    Returns the ALLOWED rows (same columns), or the state rows when
+    ``emit_state`` is set (a Dataset either way — map_buckets output)."""
+    import pyarrow.compute as pc
+
     import ray
 
     from .agg import map_buckets
-    from .joins import _resolve_ref
+    from .joins import _arrow_types, _resolve_ref
 
     unit = per_s * 1_000_000
     cap = (burst if burst is not None else limit_n) * unit
     cost = unit
-    if initial_state is not None and len(initial_state):
-        seed_ref = ray.put(
-            {
-                k: (int(t), int(l))
-                for k, t, l in zip(
-                    initial_state[key], initial_state["tok"],
-                    initial_state["last_us"],
-                )
-            }
-        )
-    else:
-        seed_ref = None
+    seed_ref = None
+    state_is_ds = False
+    if initial_state is not None and isinstance(initial_state, pd.DataFrame):
+        if len(initial_state):
+            seed_ref = ray.put(
+                {
+                    k: (int(t), int(l))
+                    for k, t, l in zip(
+                        initial_state[key], initial_state["tok"],
+                        initial_state["last_us"],
+                    )
+                }
+            )
+    elif initial_state is not None:
+        # Dataset state: pad both sides to the combined schema (typed
+        # Arrow nulls — Ray's union does not align disjoint schemas)
+        # and union, so each hash bucket receives its own keys' seeds
+        state_is_ds = True
+        ev_types = _arrow_types(events)
+        ev_cols = list(ev_types)
+        key_type = ev_types.get(key, pa.string())
+
+        def pad_events(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            n = t.num_rows
+            t = t.select(ev_cols)  # canonical order for union
+            t = t.append_column("_st_tok", pa.nulls(n, pa.int64()))
+            t = t.append_column("_st_last_us", pa.nulls(n, pa.int64()))
+            return t.append_column(
+                "_state_row", pa.array([False] * n, pa.bool_())
+            )
+
+        def pad_state(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays, names = [], []
+            for c in ev_cols:
+                if c == key:
+                    arrays.append(
+                        pc.cast(t[key].combine_chunks(), key_type, safe=False)
+                    )
+                else:
+                    arrays.append(pa.nulls(n, ev_types[c]))
+                names.append(c)
+            arrays.append(pc.cast(t["tok"].combine_chunks(), pa.int64()))
+            arrays.append(pc.cast(t["last_us"].combine_chunks(), pa.int64()))
+            arrays.append(pa.array([True] * n, pa.bool_()))
+            names += ["_st_tok", "_st_last_us", "_state_row"]
+            return pa.table(dict(zip(names, arrays)))
+
+        events = events.map_batches(
+            pad_events, batch_format="pyarrow"
+        ).union(initial_state.map_batches(pad_state, batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
+        if state_is_ds:
+            smask = g["_state_row"].fillna(False).astype(bool).to_numpy()
+            srows = g[smask]
+            seeds = {
+                k: (int(t), int(l))
+                for k, t, l in zip(
+                    srows[key], srows["_st_tok"], srows["_st_last_us"]
+                )
+            }
+            g = g[~smask].drop(
+                columns=["_st_tok", "_st_last_us", "_state_row"]
+            )
+        else:
+            seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
         g = g.sort_values([key, ts_col, order_col], kind="mergesort")
         tus = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key].to_numpy()
@@ -248,11 +316,36 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
         if emit_state and prev is not None:
             state[prev] = (tok, last)
         if emit_state:
-            # reference-style gc: a full bucket == a fresh bucket
-            rows = [
-                (k, t, l) for k, (t, l) in state.items() if t < cap
-            ]
-            return pd.DataFrame(rows, columns=[key, "tok", "last_us"])
+            if state_is_ds:
+                # QUIET seed keys (no events this segment) roll forward
+                # with their carried (tok, last_us) — each bucket only
+                # ever sees its own keys' seeds, so this stays exact
+                # and distributed
+                for k, tl in seeds.items():
+                    if k not in state:
+                        state[k] = tl
+            # reference-style gc: a full bucket == a fresh bucket; with
+            # a horizon, a bucket that will have refilled by then is
+            # equally indistinguishable from fresh
+            if gc_horizon_us is not None:
+                rows = [
+                    (k, t, l)
+                    for k, (t, l) in state.items()
+                    if t + limit_n * (gc_horizon_us - l) < cap
+                ]
+            else:
+                rows = [
+                    (k, t, l) for k, (t, l) in state.items() if t < cap
+                ]
+            out = pd.DataFrame(rows, columns=[key, "tok", "last_us"])
+            # explicit dtypes: an empty bucket would otherwise emit
+            # all-object columns, giving the state Dataset mixed block
+            # schemas (breaks the distributed parquet persist)
+            out["tok"] = out["tok"].astype("int64")
+            out["last_us"] = out["last_us"].astype("int64")
+            if not len(out):
+                out[key] = out[key].astype(g[key].dtype)
+            return out
         return g[allowed]
 
     return map_buckets(events, key, per_bucket, buckets=buckets,

@@ -193,21 +193,29 @@ class MicroBatchRunner:
                 batch_format="pandas",
             )
 
-        def _persist_dedup_state(ds, w: int, i: int):
-            """Write the (id, last_us) state Dataset as the window's
-            state DIRECTORY (distributed write, many shards); rename is
-            the commit — a crash in between loses only this state dir,
-            which resume treats as replay-fresh (conservative)."""
+        def _persist_state_ds(ds, w: int, i: int):
+            """Write a carried-state Dataset (dedup: (id, last_us);
+            token_bucket: (key, tok, last_us)) as the window's state
+            DIRECTORY — a distributed many-shard write; the rename is
+            the commit. Crash-safe swap: any previous attempt's dir is
+            renamed ASIDE (not deleted) before the new dir moves into
+            place, so a crash between the two steps leaves the aside
+            copy for ``_load_state`` to fall back on — never a silent
+            loss that would re-admit already-written duplicates."""
             tmp = self.lineage_dir / f".state-w{w}-s{i}.tmpdir"
             final = self.lineage_dir / f"state-w{w}-s{i}"
+            aside = self.lineage_dir / f"state-w{w}-s{i}-old"
             shutil.rmtree(tmp, ignore_errors=True)
             ds.write_parquet(str(tmp))
             # an all-expired (empty) state writes no files — possibly
             # not even the directory; an empty/missing state dir reads
             # as fresh, which for dedup is exactly right
             tmp.mkdir(exist_ok=True)
-            shutil.rmtree(final, ignore_errors=True)
+            shutil.rmtree(aside, ignore_errors=True)
+            if final.is_dir():
+                os.rename(final, aside)
             os.rename(tmp, final)
+            shutil.rmtree(aside, ignore_errors=True)
             # read the PERSISTED copy back (lazy): keeping the in-memory
             # lineage would re-execute the merge chain every next window
             return rd.read_parquet(str(final)) if any(
@@ -218,12 +226,27 @@ class MicroBatchRunner:
             out: dict[int, object] = {}
             for i in tb_idx:
                 d = self.lineage_dir / f"state-w{prev_w}-s{i}"
+                aside = self.lineage_dir / f"state-w{prev_w}-s{i}-old"
                 f = self.lineage_dir / f"state-w{prev_w}-s{i}.parquet"
+                if not (d.is_dir() and any(d.glob("*.parquet"))):
+                    # crash fell between the persist swap's two renames:
+                    # the aside copy is the last committed state
+                    if aside.is_dir() and any(aside.glob("*.parquet")):
+                        d = aside
                 if d.is_dir() and any(d.glob("*.parquet")):
-                    out[i] = rd.read_parquet(str(d))  # dedup: Dataset
+                    out[i] = rd.read_parquet(str(d))  # state Dataset
                 elif f.exists():
-                    out[i] = pq.read_table(f).to_pandas()  # tb: DataFrame
+                    # legacy single-file token-bucket state
+                    out[i] = pq.read_table(f).to_pandas()
             return out
+
+        def _as_state_ds(st):
+            """Normalize carried state to a Dataset (legacy single-file
+            states load as DataFrames) so every stage takes the
+            distributed seed path; empty state reads as fresh."""
+            if st is None or not isinstance(st, pd.DataFrame):
+                return st
+            return rd.from_pandas(st) if len(st) else None
 
         for w in range(first_w, last_w + 1):
             if w in done:
@@ -252,49 +275,36 @@ class MicroBatchRunner:
                 # is persisted — even when empty — so the per-window
                 # state-file chain stays unbroken for resume
                 if tb_idx:
-                    import pyarrow as _pa
-
                     rolled: dict[int, object] = {}
                     for i in tb_idx:
                         (name, cfg_i), = stages_cfg[i].items()
-                        if name == "dedup":
-                            st = tb_state.get(i)
-                            if st is None:
-                                # empty state == fresh: nothing to roll,
-                                # and a missing state dir reads as fresh
-                                continue
-                            st = _dedup_gc(st, cfg_i or {}, hi_ts)
-                            st = _persist_dedup_state(st, w, i)
-                            if st is not None:
-                                rolled[i] = st
+                        st = _as_state_ds(tb_state.get(i))
+                        if st is None:
+                            # empty state == fresh: nothing to roll,
+                            # and a missing state dir reads as fresh
                             continue
+                        if name == "dedup":
+                            st = _dedup_gc(st, cfg_i or {}, hi_ts)
                         else:
+                            # token_bucket: drop keys whose bucket will
+                            # have fully refilled by the window end
+                            # (reference gc: full == fresh) — a
+                            # vectorized Dataset filter, nothing on the
+                            # driver
                             kw = token_bucket_stage_kwargs(cfg_i or {})
-                            st = tb_state.get(
-                                i,
-                                pd.DataFrame(
-                                    columns=[kw["key"], "tok", "last_us"]
-                                ),
+                            unit = kw["per_s"] * 1_000_000
+                            cap = (kw["burst"] if kw["burst"] is not None
+                                   else kw["limit_n"]) * unit
+                            ln = kw["limit_n"]
+                            st = st.map_batches(
+                                lambda df, cap=cap, ln=ln, hi=hi_ts: df[
+                                    df["tok"] + ln * (hi - df["last_us"]) < cap
+                                ],
+                                batch_format="pandas",
                             )
-                            if len(st):
-                                unit = kw["per_s"] * 1_000_000
-                                cap = (kw["burst"] if kw["burst"] is not None
-                                       else kw["limit_n"]) * unit
-                                refilled = (
-                                    st["tok"]
-                                    + kw["limit_n"] * (hi_ts - st["last_us"])
-                                ) >= cap
-                                st = st[~refilled].reset_index(drop=True)
+                        st = _persist_state_ds(st, w, i)
+                        if st is not None:
                             rolled[i] = st
-                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
-                        pq.write_table(
-                            _pa.Table.from_pandas(st, preserve_index=False),
-                            tmp_f,
-                        )
-                        os.replace(
-                            tmp_f,
-                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
-                        )
                     tb_state = rolled
                     state_from = w
                 continue
@@ -333,13 +343,11 @@ class MicroBatchRunner:
             # window's lineage commit (resume reloads it atomically
             # with the window)
             if tb_idx:
-                import pyarrow as _pa
-
                 # replay on the SAME rows the in-pipeline stage saw —
                 # the window's already-materialized parse+enrich output
                 # (no second parse execution), then the preceding stages
                 prev_ds = pre_ds
-                next_state: dict[int, pd.DataFrame] = {}
+                next_state: dict[int, object] = {}
                 for i, spec in enumerate(stages_cfg):
                     if not isinstance(spec, dict) or len(spec) != 1:
                         break  # apply_stages already raised eagerly
@@ -357,45 +365,26 @@ class MicroBatchRunner:
                         prev_st = tb_state.get(i)
                         st = seg if prev_st is None else prev_st.union(seg)
                         st = _dedup_gc(st, cfg_i or {}, hi_ts)
-                        st = _persist_dedup_state(st, w, i)
+                        st = _persist_state_ds(st, w, i)
                         if st is not None:
                             next_state[i] = st
                     elif name == "token_bucket":
+                        # fully distributed carry (mirrors the dedup
+                        # state): seeds bucket-join onto the replay,
+                        # quiet keys roll forward inside the buckets,
+                        # GC at the window-end horizon — the emitted
+                        # state is a Dataset persisted as a sharded
+                        # directory; nothing key-proportional ever
+                        # lands on the driver
                         kw = token_bucket_stage_kwargs(cfg_i or {})
                         seg = token_bucket_limit(
-                            prev_ds, initial_state=tb_state.get(i),
-                            emit_state=True, **kw,
-                        ).to_pandas()
-                        # carry QUIET keys forward: a key with no events
-                        # this window keeps its previous (tok, last_us)
-                        # unless its bucket has fully refilled by the
-                        # window end (reference gc: full == fresh)
-                        prev_st = tb_state.get(i)
-                        if prev_st is not None and len(prev_st):
-                            key_col = kw["key"]
-                            quiet = prev_st[~prev_st[key_col].isin(seg[key_col])]
-                            unit = kw["per_s"] * 1_000_000
-                            cap = (kw["burst"] if kw["burst"] is not None
-                                   else kw["limit_n"]) * unit
-                            refilled = (
-                                quiet["tok"]
-                                + kw["limit_n"] * (hi_ts - quiet["last_us"])
-                            ) >= cap
-                            st = pd.concat(
-                                [seg, quiet[~refilled]], ignore_index=True
-                            )
-                        else:
-                            st = seg
-                        next_state[i] = st
-                        tmp_f = self.lineage_dir / f".state-w{w}-s{i}.tmp"
-                        pq.write_table(
-                            _pa.Table.from_pandas(st, preserve_index=False),
-                            tmp_f,
+                            prev_ds,
+                            initial_state=_as_state_ds(tb_state.get(i)),
+                            emit_state=True, gc_horizon_us=hi_ts, **kw,
                         )
-                        os.replace(
-                            tmp_f,
-                            self.lineage_dir / f"state-w{w}-s{i}.parquet",
-                        )
+                        st = _persist_state_ds(seg, w, i)
+                        if st is not None:
+                            next_state[i] = st
                     if i + 1 <= max(tb_idx):
                         prev_ds = apply_stages(
                             prev_ds, [spec], stage_state={0: tb_state.get(i)}

@@ -397,6 +397,51 @@ def test_token_bucket_refill_semantics(ray_session):
     assert got == [i for i, a in enumerate(want_allowed) if a]
 
 
+def test_token_bucket_dataset_state_matches_broadcast(ray_session):
+    """The distributed (Dataset) initial_state path must admit exactly
+    the same rows as the driver-broadcast (DataFrame) path — the seeds
+    bucket-join onto the replay, one co-locating shuffle, no dict on
+    the driver."""
+    from beats_ray.dataops.flows import token_bucket_limit
+
+    base = pd.Timestamp("2024-01-01 01:00:00")
+    rows = [
+        {"event_id": i, "user_id": f"u{i % 5}",
+         "ts": base + pd.Timedelta(seconds=i * 3)}
+        for i in range(40)
+    ]
+    # carried state: u0 mid-refill (empty bucket as of 00:59:58),
+    # u1 half-full, u9 quiet (no events this segment)
+    t0 = int((base - pd.Timedelta(seconds=2)).timestamp() * 1e6)
+    state = pd.DataFrame(
+        {"user_id": ["u0", "u1", "u9"],
+         "tok": [0, 100_000_000, 0],
+         "last_us": [t0, t0, t0]}
+    )
+    kw = dict(key="user_id", limit_n=1, per_s=200, burst=1,
+              order_col="event_id")
+    got_bcast = token_bucket_limit(
+        rd.from_items(rows), initial_state=state, **kw
+    ).to_pandas()
+    got_ds = token_bucket_limit(
+        rd.from_items(rows), initial_state=rd.from_pandas(state), **kw
+    ).to_pandas()
+    assert sorted(got_bcast["event_id"]) == sorted(got_ds["event_id"])
+    assert len(got_ds) < len(rows)  # the limiter actually denied rows
+
+    # emit_state with a horizon: quiet key u9 (still mid-refill at the
+    # horizon) carries forward; refilled keys are GC'd
+    horizon = int((base + pd.Timedelta(seconds=130)).timestamp() * 1e6)
+    st = token_bucket_limit(
+        rd.from_items(rows), initial_state=rd.from_pandas(state),
+        emit_state=True, gc_horizon_us=horizon, **kw,
+    ).to_pandas()
+    assert "u9" in set(st["user_id"])  # quiet key carried
+    # every emitted key is genuinely in-flight at the horizon
+    cap = 1 * 200 * 1_000_000
+    assert ((st["tok"] + 1 * (horizon - st["last_us"])) < cap).all()
+
+
 def test_cache_put_get_delete_ttl(ray_session):
     """cache processor semantics (cache/cache_test.go shape): put->get
     hit, delete->get miss, re-put->get hit, expiry->miss."""

@@ -196,10 +196,64 @@ def probe_families_10x() -> dict:
     return out
 
 
+def probe_tb_state() -> dict:
+    """Cross-window token-bucket state carry at millions of IN-FLIGHT
+    keys, fully distributed: window 1 emits a ~4M-key state Dataset
+    (every key mid-refill), persists it as a sharded parquet directory
+    (the streaming runner's path), window 2 seeds from it via the
+    bucket-join. The driver max-RSS delta vs the no-state control run
+    is the evidence that no keys-proportional dict/DataFrame ever
+    lands on the driver (the round-3 carry did exactly that)."""
+    import shutil
+    import tempfile
+
+    from beats_ray.dataops.flows import token_bucket_limit
+
+    n = 4_000_000
+    # ~4M distinct keys, one event each per window; refill horizon 1e6 s
+    # >> the corpus span, so every key stays mid-refill (in flight)
+    ev = hot_key_events(n_events=n, n_keys=n, hot_share=1e-9).materialize()
+    kw = dict(key="user_id", limit_n=1, per_s=1_000_000, burst=1,
+              order_col="event_id")
+    # horizon 7 days: past the corpus span (137 ms spacing x 4M events
+    # ~= 6.3 days of event time) but inside the ~11.6-day full-refill
+    # time, so every key is still in flight at the horizon
+    hi_us = int((_base_ts() + pd.Timedelta(days=7)).timestamp() * 1e6)
+
+    # CONTROL: same replay, no state carry — the framework RSS floor
+    rss0 = _rss_mb()
+    t0 = time.perf_counter()
+    n_ctl = token_bucket_limit(ev, **kw).count()
+    ctl_wall = time.perf_counter() - t0
+    rss_control = _rss_mb() - rss0
+
+    state_dir = tempfile.mkdtemp(prefix="tb_state_probe_")
+    rss1 = _rss_mb()
+    t0 = time.perf_counter()
+    st = token_bucket_limit(ev, emit_state=True, gc_horizon_us=hi_us, **kw)
+    st.write_parquet(state_dir)
+    st2 = ray.data.read_parquet(state_dir)
+    n_keys_carried = st2.count()
+    # window 2: seed the replay from the persisted state (bucket-join)
+    n_w2 = token_bucket_limit(ev, initial_state=st2, **kw).count()
+    wall = time.perf_counter() - t0
+    rss_delta = _rss_mb() - rss1
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return {
+        "probe": "tb_state_carry", "events": n,
+        "keys_in_flight": int(n_keys_carried),
+        "window1_allowed": int(n_ctl), "window2_allowed": int(n_w2),
+        "wall_s": round(wall, 1), "control_wall_s": round(ctl_wall, 1),
+        "driver_rss_delta_mb": round(rss_delta, 1),
+        "control_rss_delta_mb": round(rss_control, 1),
+    }
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
     "families_10x": probe_families_10x,
+    "tb_state": probe_tb_state,
 }
 
 
