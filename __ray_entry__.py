@@ -2195,7 +2195,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, h FROM (
                 SELECT doc_id,
                        ('0x'||substr(md5(array_to_string(w[i:i+9], ' ')),
-                                     1, 8))::UBIGINT AS h
+                                     1, 16))::UBIGINT AS h
                 FROM starts
               ) WHERE h % 4 = 0
             ),

@@ -40,6 +40,14 @@ def _topk_tiebreak(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     cand = np.arange(len(s))
     if len(s) > 4 * k + 32:
         cand = np.argpartition(-s, 4 * k + 31)[: 4 * k + 32]
+        # under MASS ties (e.g. many bitwise-identical vectors) more
+        # than 4k+32 rows can share the boundary sim — tied smaller
+        # vec_ids outside the slice would be dropped and the claimed
+        # (sim DESC, vec_id ASC) order would diverge from the global
+        # merge. Expand to every row at or above the boundary sim.
+        boundary = s[cand].min()
+        if (s >= boundary).sum() > len(cand):
+            cand = np.flatnonzero(s >= boundary)
     order = np.lexsort((ids[cand], -s[cand]))[:k]
     return cand[order]
 
@@ -93,6 +101,31 @@ def brute_topk(embeddings, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def _fit_sample_df(embeddings, sample_n: int) -> pd.DataFrame:
+    """Layout-UNBIASED k-means fit sample: a deterministic hash-sample
+    over ``vec_id`` drawn uniformly from every block, not
+    ``limit(sample_n)``'s first-blocks-in-layout-order slice. On a
+    corpus whose layout correlates with embedding space (time- or
+    topic-partitioned — the normal case) the limit() sample covers one
+    region, centroids collapse there, bucket radii inflate, and the
+    triangle-bound pruning degrades toward all-pairs. ``count()`` on a
+    parquet read is metadata-only; tiny corpora (or a sample that came
+    back too small) fall back to limit()."""
+    from .sampling import hash_sample
+
+    try:
+        n = embeddings.count()
+    except Exception:
+        n = None
+    if n is not None and n > sample_n:
+        df = hash_sample(
+            embeddings, sample_n / n, key="vec_id", salt="ivf-fit"
+        ).to_pandas()
+        if len(df) >= max(8, sample_n // 4):
+            return df
+    return embeddings.limit(sample_n).to_pandas()
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10) -> np.ndarray:
@@ -158,7 +191,7 @@ def ivf_topk(
     """Approximate top-k via IVF bucketing. At scale the bucket id would
     be a partition key (write-time clustering); here assignment happens
     in-stage so the same code path serves any layout."""
-    sample = embeddings.limit(sample_n).to_pandas()
+    sample = _fit_sample_df(embeddings, sample_n)
     cents = kmeans_fit(_batch_matrix(sample), n_clusters)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     cref = ray.put(cents)
@@ -217,7 +250,7 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
     float safety); high thresholds prune most of the n_clusters² grid.
     Replication factor per vector = number of admitted partner buckets.
     """
-    sample = embeddings.limit(2048).to_pandas()
+    sample = _fit_sample_df(embeddings, 2048)
     cents = _normalize(kmeans_fit(_batch_matrix(sample), n_clusters))
     cref = ray.put(cents)
 

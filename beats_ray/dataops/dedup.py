@@ -66,6 +66,14 @@ def _stable_hash(token: str) -> int:
     return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:4], "big")
 
 
+def _stable_hash64(token: str) -> int:
+    """64-bit content hash: big-endian first 8 bytes of md5 — for ops
+    whose hash universe must outlive ~10^6 sampled items (32-bit
+    birthday collisions start at ~10^5). Oracle-reproducible as
+    ``('0x'||substr(md5(t),1,16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
 def threshold_fraction(threshold: float) -> tuple[int, int]:
     """Exact (p, q) for a decimal threshold: ``jaccard >= threshold``
     becomes ``inter * q >= union * p`` — pure integer math, identical
@@ -710,8 +718,11 @@ def window_dup_spans(docs, k: int = 10, sample_mod: int = 4,
     content-defined sampled token-window hashing.
 
     Every ``k``-token window (stride 1) of the lowercased ws-token
-    stream is hashed (md5-32, the oracle-reproducible hash); a window
-    is SELECTED when ``hash % sample_mod == 0``. Selection is
+    stream is hashed (md5-64, ``_stable_hash64`` — 64-bit so birthday
+    collisions between unrelated windows stay negligible past 10^9
+    sampled windows, where a 32-bit hash would fabricate shared spans
+    from ~10^5 on); a window is SELECTED when
+    ``hash % sample_mod == 0``. Selection is
     content-defined, so two documents sharing a literal span select the
     SAME windows inside it regardless of where the span starts in
     either document — the property a fixed stride lacks (stride-aligned
@@ -741,15 +752,17 @@ def window_dup_spans(docs, k: int = 10, sample_mod: int = 4,
                 continue
             seen = set()
             for i in range(len(words) - k + 1):
-                h = _stable_hash(" ".join(words[i : i + k]))
+                h = _stable_hash64(" ".join(words[i : i + k]))
                 if h % mod == 0:
                     seen.add(h)
             out_doc.extend([doc_id] * len(seen))
             out_hash.extend(seen)
-        # id dtype follows the input column (string/int ids both valid)
+        # id dtype follows the input column (string/int ids both valid);
+        # uint64 holds the full 64-bit hash (top-bit values overflow
+        # int64)
         return pd.DataFrame(
             {id_col: pd.Series(out_doc, dtype=df[id_col].dtype),
-             "h": pd.array(out_hash, dtype="int64")}
+             "h": pd.array(out_hash, dtype="uint64")}
         )
 
     wins = docs.map_batches(emit, batch_format="pandas")

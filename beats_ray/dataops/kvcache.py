@@ -90,13 +90,15 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             hit &= age_ok.fillna(False)
         k = df[key]
         if pd.api.types.is_numeric_dtype(k):
-            # restore the exact int dtype the join's NaN padding
-            # promoted — but a NULL get key (kept alive through the
-            # shuffle by design, joins._bucket_of) must stay null, not
-            # crash the int cast; it resolves as a miss like any
-            # never-put key
-            key_out = (k.astype("int64") if k.notna().all()
-                       else k.astype("Int64"))
+            # restore the int dtype the join's NaN padding promoted.
+            # UNIFORMLY nullable Int64: a NULL get key (kept alive
+            # through the shuffle by design, joins._bucket_of) must
+            # stay null, and emitting int64 from null-free buckets but
+            # Int64 from the one with nulls would give the result
+            # Dataset mixed block schemas (trips schema-sensitive sinks
+            # and Ray's block-schema dedup). Arrow-level consumers see
+            # plain int64 either way.
+            key_out = k.astype("Int64")
         else:
             key_out = k
         if value_kind == "int":

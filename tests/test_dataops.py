@@ -122,6 +122,51 @@ def test_ivf_recall_reasonable(ray_session):
     assert np.mean(recalls) >= 0.5  # probing half the buckets
 
 
+def test_topk_tiebreak_exact_under_mass_ties():
+    """ADVICE regression: with more tied rows at the boundary sim than
+    the argpartition slack (4k+32), the tie-break must still pick the
+    globally smallest vec_ids — the candidate set expands to every row
+    at or above the boundary."""
+    from beats_ray.dataops.ann import _topk_tiebreak
+
+    rng = np.random.RandomState(3)
+    s = np.ones(500)                      # 500-way tie >> 4*5+32
+    ids = rng.permutation(500).astype(np.int64)
+    idx = _topk_tiebreak(s, ids, k=5)
+    assert sorted(ids[idx].tolist()) == [0, 1, 2, 3, 4]
+
+    # mixed: 300 tied at the boundary behind 2 strictly-better rows
+    s2 = np.full(302, 0.5)
+    s2[:2] = 0.9
+    ids2 = np.concatenate([[900, 901], rng.permutation(300) + 10]).astype(
+        np.int64
+    )
+    idx2 = _topk_tiebreak(s2, ids2, k=5)
+    assert ids2[idx2].tolist() == [900, 901, 10, 11, 12]
+
+
+def test_ivf_fit_sample_is_layout_unbiased(ray_session):
+    """A cluster-ordered corpus (layout correlates with embedding
+    space) must yield a fit sample drawn from across the whole layout,
+    not the first blocks — and the dup-pair result stays exact."""
+    from beats_ray.dataops.ann import _fit_sample_df
+
+    rng = np.random.RandomState(7)
+    n = 6000
+    vecs = rng.randn(n, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)],
+        override_num_blocks=16,
+    )
+    sample = _fit_sample_df(ds, 512)
+    assert 128 <= len(sample) <= 1024  # ~512 expected, hash-binomial
+    ids = sample["vec_id"].to_numpy()
+    # spread across layout: first and last thirds both represented
+    assert (ids < n // 3).sum() > 0 and (ids > 2 * n // 3).sum() > 0
+    # roughly uniform: mean vec_id near the corpus midpoint
+    assert abs(ids.mean() - n / 2) < n / 8
+
+
 def test_flow_agg_matches_pandas(ray_session):
     from beats_ray.dataops.flows import flow_agg
 
