@@ -50,11 +50,19 @@ def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
         # the schemas" warnings, and at scale no block-schema dedup)
         t = t.replace_schema_metadata(None)
         keys = t[key].combine_chunks()
-        uniq = pc.unique(keys)
-        vals = pa.array(
-            [fnv1a32(str(u)) % buckets for u in uniq.to_pylist()], pa.int64()
-        )
-        bucket = pc.take(vals, pc.index_in(keys, value_set=uniq))
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            # adaptive vectorized FNV (unique-dedup when keys repeat,
+            # byte-position kernel either way — no Python loop)
+            from ..fixtures import fnv1a32_bucket
+
+            bucket = fnv1a32_bucket(keys, buckets)
+        else:
+            uniq = pc.unique(keys)
+            vals = pa.array(
+                [fnv1a32(str(u)) % buckets for u in uniq.to_pylist()],
+                pa.int64(),
+            )
+            bucket = pc.take(vals, pc.index_in(keys, value_set=uniq))
         if col in t.column_names:
             return t.set_column(t.column_names.index(col), col, bucket)
         return t.append_column(col, bucket)

@@ -450,13 +450,59 @@ def verify_jaccard(pairs, docs, shingle_fn=word_shingles, k: int = 3,
         j = bucket_hash_join(pairs, toks_a, "a", "a", buckets=buckets)
         j = bucket_hash_join(j, toks_b, "b", "b", buckets=buckets)
 
+    def _explode(ser: pd.Series):
+        """Parse a comma-joined sorted-unique token column into ONE flat
+        int64 array + per-row lengths + per-token row index — Arrow
+        split_pattern + list<string>→list<int64> cast, all C++ (the
+        parse was the old per-pair set kernel's dominant cost)."""
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(ser.astype("string"))
+        arr = pc.if_else(
+            pc.equal(pc.fill_null(arr, ""), ""),
+            pa.scalar(None, pa.string()),
+            arr,
+        )
+        lst = pc.cast(pc.split_pattern(arr, ","), pa.list_(pa.int64()))
+        lens = (
+            pc.fill_null(pc.list_value_length(lst), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        toks = pc.list_flatten(lst).to_numpy()
+        return toks, lens, np.repeat(np.arange(len(ser)), lens)
+
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        inter, union = [], []
-        for ta, tb in zip(df["toks_a"], df["toks_b"]):
-            sa, sb = _tok_set(ta), _tok_set(tb)
-            i = len(sa & sb)
-            inter.append(i)
-            union.append(len(sa) + len(sb) - i)
+        n = len(df)
+        ta, la, ra = _explode(df["toks_a"])
+        tb, lb, rb = _explode(df["toks_b"])
+        # grouped merge: key = row<<32 | token. Tokens are unique AND
+        # sorted within each row (set→sorted serialization) and rows
+        # ascend, so both key arrays are globally sorted — intersection
+        # is one searchsorted probe, no sort. _stable_hash tokens are
+        # 32-bit; a custom shingle_fn exceeding uint32 falls back to
+        # per-pair set intersection.
+        if (
+            (len(ta) == 0 or (ta.min() >= 0 and ta.max() < 2**32))
+            and (len(tb) == 0 or (tb.min() >= 0 and tb.max() < 2**32))
+        ):
+            ka = (ra.astype(np.uint64) << np.uint64(32)) | ta.astype(np.uint64)
+            kb = (rb.astype(np.uint64) << np.uint64(32)) | tb.astype(np.uint64)
+            if len(kb) > 1 and not (kb[1:] >= kb[:-1]).all():
+                kb = np.sort(kb)  # defensive: unsorted serialization
+            idx = np.searchsorted(kb, ka)
+            m = idx < len(kb)
+            m[m] = kb[idx[m]] == ka[m]
+            inter = np.bincount(ra[m], minlength=n).astype(np.int64)
+        else:  # oversized token universe: per-pair set intersect
+            inter = np.array(
+                [
+                    len(_tok_set(x) & _tok_set(y))
+                    for x, y in zip(df["toks_a"], df["toks_b"])
+                ],
+                dtype=np.int64,
+            )
+        union = la + lb - inter
         out = pd.DataFrame(
             {
                 "a": df["a"].astype("int64"),

@@ -61,15 +61,14 @@ def flow_agg(events, window_s: int = 10, buckets: int = 32):
         if pa.types.is_integer(uid.type):
             keyh = pc.fill_null(pc.cast(uid, pa.int64(), safe=False), 0)
         else:
-            # non-numeric keys: FNV of the unique values (hash_bucket's
-            # type-agnostic shape) — keeps flow_agg accepting any key
-            from ..fixtures import fnv1a32
+            # non-numeric keys: vectorized FNV over the utf8 buffer
+            # (hash_bucket's type-agnostic shape) — any key type works
+            from ..fixtures import fnv1a32_arrow
 
-            uniq = pc.unique(uid)
-            vals = pa.array(
-                [fnv1a32(str(x)) for x in uniq.to_pylist()], pa.int64()
+            s = uid if pa.types.is_string(uid.type) else pc.cast(
+                uid, pa.string()
             )
-            keyh = pc.fill_null(pc.take(vals, pc.index_in(uid, value_set=uniq)), 0)
+            keyh = pa.array(fnv1a32_arrow(s), pa.int64())
         win = pc.fill_null(g["window_s"].combine_chunks(), 0)
         bucket = pc.cast(
             pc.bit_wise_and(

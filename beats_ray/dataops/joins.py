@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray
 
-from ..fixtures import fnv1a32
+from ..fixtures import fnv1a32_arrow
 
 
 # per-worker-process broadcast cache: plain TASKS (fusable, no actor
@@ -73,8 +73,13 @@ def _bucket_of(series: pd.Series, buckets: int) -> pd.Series:
     num_bucket = (as_num.fillna(-1).astype("int64") % buckets).astype("int64")
     non_num = as_num.isna() & series.notna()
     if non_num.any():
-        lut = {u: fnv1a32(str(u)) % buckets for u in series[non_num].unique()}
-        num_bucket = num_bucket.mask(non_num, series.map(lut)).astype("int64")
+        from ..fixtures import fnv1a32_arrow
+
+        sub = series[non_num].map(str)
+        hashes = fnv1a32_arrow(pa.array(sub, pa.string())) % buckets
+        num_bucket = num_bucket.mask(
+            non_num, pd.Series(hashes, index=sub.index)
+        ).astype("int64")
     return num_bucket
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .fixtures import fnv1a32
+from .fixtures import fnv1a32_bucket
 from .processors import build_chain, run_chain
 from .routing import Router
 
@@ -126,12 +126,9 @@ def add_part_id(t: pa.Table, num_parts: int) -> pa.Table:
     """Stable partition key: FNV-1a(conv_id) % P — matches the corpus
     file layout so lineage/resume can skip whole input files."""
     conv = t["conv_id"].combine_chunks()
-    # hash per unique value (conversations repeat heavily within a block)
-    uniq = pc.unique(conv)
-    lut = {u: fnv1a32(u) % num_parts for u in uniq.to_pylist()}
-    idx = pc.index_in(conv, value_set=uniq)
-    parts = pa.array([lut[u] for u in uniq.to_pylist()], pa.int32())
-    col = pc.take(parts, idx)
+    # vectorized FNV over the utf8 buffer — bit-identical to the old
+    # per-unique fnv1a32(u) loop, so lineage/resume part keys are stable
+    col = pc.cast(fnv1a32_bucket(conv, num_parts), pa.int32())
     if "part_id" in t.column_names:
         return t.set_column(t.column_names.index("part_id"), "part_id", col)
     return t.append_column("part_id", col)

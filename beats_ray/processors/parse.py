@@ -66,16 +66,21 @@ def dissect_proc(cfg: dict):
                 try:
                     if old_a.type != arr.type:
                         old_a = pc.cast(old_a, arr.type)
-                    existing = pc.is_valid(old_a)
-                    use_new = ok if overwrite_keys else pc.and_(
-                        ok, pc.invert(existing)
-                    )
-                    if not overwrite_keys:
-                        c = pc.and_(ok, existing)
-                        conflict = c if conflict is None else pc.or_(conflict, c)
-                    arr = pc.if_else(use_new, arr, old_a)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    pass  # incompatible prior column: replace wholesale
+                    # incompatible prior column: merge in string space so
+                    # failed-parse rows still KEEP their old values
+                    # ("event untouched on failure") instead of being
+                    # wiped by a wholesale replace
+                    old_a = pc.cast(old_a, pa.string())
+                    arr = pc.cast(arr, pa.string())
+                existing = pc.is_valid(old_a)
+                use_new = ok if overwrite_keys else pc.and_(
+                    ok, pc.invert(existing)
+                )
+                if not overwrite_keys:
+                    c = pc.and_(ok, existing)
+                    conflict = c if conflict is None else pc.or_(conflict, c)
+                arr = pc.if_else(use_new, arr, old_a)
             t = set_col(t, out_name, arr)
         if conflict is not None:
             t = add_flag(t, conflict, "dissect_key_conflict")

@@ -806,3 +806,34 @@ def test_window_dup_spans_alignment_independent(ray_session):
     # every shared window lies inside the 30-token span: ≤ 21 windows,
     # ~half selected at sample_mod=2
     assert out["n_shared"].iloc[0] <= 21
+
+
+def test_fnv1a32_arrow_matches_scalar():
+    """The vectorized byte-position FNV kernel must be bit-identical to
+    the scalar fnv1a32 — lineage part keys and every keyed shuffle
+    depend on it. Covers empties, unicode, nulls (== str(None)), the
+    >512-byte fallback path, and sliced arrays (non-zero offset)."""
+    import pyarrow as pa
+
+    from beats_ray.fixtures import fnv1a32, fnv1a32_arrow
+
+    vals = ["", "a", "conv-000123", "héllo wörld", "x" * 511,
+            "\t\n spaces ", "日本語テキスト", None, "None"]
+    got = fnv1a32_arrow(pa.array(vals, pa.string()))
+    want = [fnv1a32(str(v)) for v in vals]
+    assert got.tolist() == want
+
+    # long-string fallback (>512 bytes) — same values
+    longs = ["y" * 600, "z" * 1000, "short"]
+    got_l = fnv1a32_arrow(pa.array(longs))
+    assert got_l.tolist() == [fnv1a32(v) for v in longs]
+
+    # sliced array: offsets != 0
+    arr = pa.array(vals, pa.string()).slice(2, 4)
+    assert fnv1a32_arrow(arr).tolist() == [
+        fnv1a32(str(v)) for v in vals[2:6]
+    ]
+
+    # large_string input
+    got_ls = fnv1a32_arrow(pa.array(["a", "bb"], pa.large_string()))
+    assert got_ls.tolist() == [fnv1a32("a"), fnv1a32("bb")]

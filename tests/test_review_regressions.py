@@ -537,6 +537,32 @@ def test_dissect_does_not_null_prior_values_on_failure():
     assert out2["dissect.id"].to_pylist() == ["9"]
 
 
+def test_dissect_cast_failure_keeps_old_values_for_failed_rows():
+    """ADVICE regression: when the prior target column cannot cast to
+    the new array's type (string "old" vs an int-converted key), the
+    merge falls back to string space — rows whose parse FAILED must
+    still keep their previously-populated values instead of being
+    replaced wholesale."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor(
+        {"dissect": {"tokenizer": "n=%{id|integer}"}}
+    )
+    t = pa.table({"text": ["n=7", "nope"],
+                  "dissect.id": ["old0", "old1"]})
+    out = p(t)
+    # row 0 parsed but overwrite_keys=False keeps the existing value
+    # (and flags the conflict); row 1 failed and must keep "old1"
+    assert out["dissect.id"].to_pylist() == ["old0", "old1"]
+
+    p2 = build_processor(
+        {"dissect": {"tokenizer": "n=%{id|integer}",
+                     "overwrite_keys": True}}
+    )
+    out2 = p2(t)
+    assert out2["dissect.id"].to_pylist() == ["7", "old1"]
+
+
 def test_condition_empty_combinator_fails_eagerly():
     from beats_ray.conditions import compile_condition
 
