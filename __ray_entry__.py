@@ -978,17 +978,18 @@ def q_unique_tools(sf_dir: str):
     tool-role turns."""
     import pyarrow.compute as pc
 
+    from beats_ray.dataops.agg import grouped_count
+
     def distinct(t: pa.Table) -> pa.Table:
         return pa.table({"tool": pc.unique(t["tool"].combine_chunks())})
 
-    # per-batch distinct (combiner) -> global distinct: the shuffle moves
-    # unique values only
+    # per-batch distinct (combiner) -> global distinct via the Arrow
+    # grouped-count reduce (one vectorized aggregate, no per-distinct-key
+    # map_groups python call) -> project the key back out
     ds = _transcripts(sf_dir).select_columns(["tool"]).map_batches(
         distinct, batch_format="pyarrow"
     )
-    return ds.groupby("tool").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return grouped_count(ds, ["tool"]).select_columns(["tool"])
 
 
 def q_text_len_histogram(sf_dir: str):

@@ -219,6 +219,12 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
     unit = per_s * 1_000_000
     cap = (burst if burst is not None else limit_n) * unit
     cost = unit
+    # emit_state="both": ONE pass returns allowed rows AND final state
+    # in the same output (state rows flagged ``_tb_state``, with typed
+    # null padding) — the streaming runner's shape, halving the
+    # per-window stage executions vs running the stage twice
+    emit_both = emit_state == "both"
+    both_types = _arrow_types(events) if emit_both else None
     seed_ref = None
     state_is_ds = False
     if initial_state is not None and isinstance(initial_state, pd.DataFrame):
@@ -344,11 +350,64 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
             out["last_us"] = out["last_us"].astype("int64")
             if not len(out):
                 out[key] = out[key].astype(g[key].dtype)
-            return out
+            if not emit_both:
+                return out
+            # "both": allowed rows + state rows in one TYPED Arrow
+            # table (pandas concat would float-promote int columns of
+            # the null-padded side)
+            ev_cols = list(both_types)
+            kept = g[allowed]
+            arrays = [
+                pa.Array.from_pandas(kept[c], type=both_types[c])
+                for c in ev_cols
+            ]
+            arrays += [
+                pa.nulls(len(kept), pa.int64()),
+                pa.nulls(len(kept), pa.int64()),
+                pa.array([False] * len(kept), pa.bool_()),
+            ]
+            names = ev_cols + ["tok", "last_us", "_tb_state"]
+            rows_t = pa.table(dict(zip(names, arrays)))
+            sarrays = []
+            for c in ev_cols:
+                if c == key:
+                    sarrays.append(
+                        pa.Array.from_pandas(out[key], type=both_types[key])
+                    )
+                else:
+                    sarrays.append(pa.nulls(len(out), both_types[c]))
+            sarrays += [
+                pa.array(out["tok"], pa.int64()),
+                pa.array(out["last_us"], pa.int64()),
+                pa.array([True] * len(out), pa.bool_()),
+            ]
+            state_t = pa.table(dict(zip(names, sarrays)))
+            return pa.concat_tables([rows_t, state_t])
         return g[allowed]
 
     return map_buckets(events, key, per_bucket, buckets=buckets,
                        skew_aware=skew_aware)
+
+
+def tb_split(both, key: str):
+    """Split a ``token_bucket_limit(..., emit_state="both")`` output
+    into (allowed-rows Dataset, state Dataset). Cheap map_batches
+    filters — run them on a MATERIALIZED ``both`` so the stage executes
+    once for the pair."""
+    import pyarrow.compute as pc
+
+    def rows_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.fill_null(t["_tb_state"], False)))
+        return t.drop_columns(["tok", "last_us", "_tb_state"])
+
+    def state_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(t["_tb_state"], False))
+        return t.select([key, "tok", "last_us"])
+
+    return (
+        both.map_batches(rows_part, batch_format="pyarrow"),
+        both.map_batches(state_part, batch_format="pyarrow"),
+    )
 
 
 def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,

@@ -207,6 +207,10 @@ def token_bucket_stage_kwargs(cfg: dict) -> dict:
         "burst": int(cfg["burst"]) if "burst" in cfg else None,
         "ts_col": cfg.get("ts_field", "ts"),
         "order_col": cfg.get("order", "turn_idx"),
+        # shuffle-partition knob: the sort shuffle behind map_buckets
+        # costs ∝ blocks × buckets, so window-sized micro-batches want
+        # far fewer than the batch default
+        "buckets": int(cfg.get("buckets", 32)),
     }
 
 
@@ -228,6 +232,7 @@ def dedup_stage_kwargs(cfg: dict) -> dict:
     return {
         "id_col": cfg.get("field", "meta.doc_id"),
         "ts_col": cfg.get("ts_field", "ts"),
+        "buckets": int(cfg.get("buckets", 32)),
     }
 
 
@@ -276,7 +281,7 @@ def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):
 def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
                   enrich: bool = True, enrich_concurrency=(1, 8),
                   enrich_mode: str = "task", stage_state: dict | None = None,
-                  pre_staged: bool = False):
+                  pre_staged: bool = False, skip_stages: bool = False):
     """Compose the lazy flagship pipeline over a ``ray.data.Dataset``.
 
     ``enrich_mode="task"`` (default): lookup enrich as a plain fused
@@ -298,7 +303,10 @@ def build_dataset(ds, config: dict | None = None, num_parts: int = 8,
                              enrich_concurrency=enrich_concurrency,
                              enrich_mode=enrich_mode)
     RouteStage(config, num_parts)._ensure()  # eager route validation
-    stages = (config or {}).get("stages", [])
+    # skip_stages: the caller (streaming runner) already applied the
+    # stage chain — in its single rows+state pass — and ds is the
+    # post-stage row set; only routing + partitioning remain
+    stages = [] if skip_stages else (config or {}).get("stages", [])
     if stages:
         ds = apply_stages(ds, stages, stage_state=stage_state)
     ds = ds.map_batches(

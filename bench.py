@@ -67,6 +67,7 @@ def _consume(res) -> int:
 def run_bench() -> dict:
     import ray
 
+    load_start = _loadavg()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -142,7 +143,19 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        # external-load context: this VM has noisy neighbors; a record
+        # whose STARTING loadavg is already >> num_cpus is not
+        # comparable across rounds (BENCH_r03 adjudication)
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        return []
 
 
 def run_scaling() -> dict:
@@ -178,6 +191,7 @@ def run_scaling() -> dict:
         "scaling_efficiency_4_to_16": round((tps[16] / tps[4]) / 4, 3),
         "scaling_efficiency_8_to_32": round((tps[32] / tps[8]) / 4, 3),
         "sf": r[8]["sf"],
+        "loadavg_end": _loadavg(),
     }
 
 

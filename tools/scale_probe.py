@@ -18,6 +18,7 @@ import os
 import resource
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -249,11 +250,120 @@ def probe_tb_state() -> dict:
     }
 
 
+def _chain_corpus(in_dir: str, n_win: int, rows_per: int) -> list[str]:
+    """One parquet file per hourly window: transcript-schema rows whose
+    conv_ids repeat across windows (so dedup + token_bucket state stays
+    hot) plus per-window fresh ids (so each window writes something)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _base_ts()
+    files = []
+    for w in range(n_win):
+        idx = np.arange(rows_per)
+        # half the keys recur every window (in-flight state), half are new
+        conv = np.where(
+            idx % 2 == 0,
+            np.char.add("hot-", (idx % 400).astype(str)),
+            np.char.add(f"w{w}-", idx.astype(str)),
+        )
+        ts = (
+            base
+            + pd.Timedelta(hours=w)
+            + pd.to_timedelta(idx * (3_600_000_000 // rows_per), unit="us")
+        )
+        t = pa.table({
+            "conv_id": pa.array(conv.tolist(), pa.string()),
+            "turn_idx": pa.array(idx.astype("int32")),
+            "role": pa.array(["user"] * rows_per),
+            "text": pa.array(
+                [f"level=info ts=x tool=bash status=ok msg=\"m{i}\""
+                 for i in idx]
+            ),
+            "tool": pa.array(["bash"] * rows_per),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        })
+        f = os.path.join(in_dir, f"hour-{w:03d}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+    return files
+
+
+def probe_stream_long_chain() -> dict:
+    """~100-window streaming chain with token_bucket + dedup stages:
+    per-window overhead must stay FLAT (no state-chain slowdown — the
+    per-window cost of window 80-100 matches window 0-20) and the state
+    directory must stay GC-BOUNDED (only the last two windows' state
+    dirs exist at the end, never one per processed window)."""
+    import glob as _glob
+    import tempfile
+
+    from beats_ray.stream import MicroBatchRunner
+
+    n_win = int(os.environ.get("PROBE_WINDOWS", "100"))
+    rows_per = 2000
+    in_dir = tempfile.mkdtemp(prefix="stream_chain_in_")
+    files = _chain_corpus(in_dir, n_win, rows_per)
+    cfg = {
+        "processors": [],
+        "stages": [
+            {"token_bucket": {"key": "conv_id", "limit_n": 5,
+                              "per_s": 3600, "burst": 5, "buckets": 8}},
+            {"dedup": {"field": "conv_id", "ttl_s": 3 * 3600,
+                       "buckets": 8}},
+        ],
+        "routes": [{"name": "default"}],
+    }
+    out = tempfile.mkdtemp(prefix="stream_chain_")
+    t0 = time.perf_counter()
+    totals = MicroBatchRunner(out, window_s=3600).run(files, config=cfg)
+    wall = time.perf_counter() - t0
+
+    lineage = Path(out) / "_stream_lineage"
+    # per-window walls from the lineage records the runner now writes
+    walls = [
+        json.loads(f.read_text()).get("wall_s", 0.0)
+        for f in sorted(lineage.glob("window-*.json"))
+    ]
+    k = max(5, len(walls) // 10)
+    head = sum(walls[1 : 1 + k]) / k  # skip window 0 (session warmup)
+    tail = sum(walls[-k:]) / k
+    state_dirs = sorted(
+        p.name for p in lineage.iterdir() if p.name.startswith("state-w")
+    )
+    state_mb = sum(
+        os.path.getsize(f)
+        for d in state_dirs
+        for f in _glob.glob(str(lineage / d / "*.parquet"))
+    ) / 1e6
+    import shutil as _sh
+
+    for d in (in_dir, out):
+        _sh.rmtree(d, ignore_errors=True)
+    return {
+        "probe": "stream_long_chain", "windows": n_win,
+        "rows_per_window": rows_per,
+        "rows_routed": int(sum(totals["rows_routed"].values())),
+        "wall_s": round(wall, 1),
+        "per_window_s_head": round(head, 2),
+        "per_window_s_tail": round(tail, 2),
+        # flat = the last windows cost what the first ones did: no
+        # state-chain or fragmentation growth across the run
+        "overhead_flat": bool(tail <= head * 1.3 + 0.5),
+        "state_dirs_at_end": state_dirs,
+        "state_dirs_gc_bounded": bool(
+            len(state_dirs) <= 2 * len(cfg["stages"]) + 2
+        ),
+        "state_mb_at_end": round(state_mb, 2),
+    }
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
     "families_10x": probe_families_10x,
     "tb_state": probe_tb_state,
+    "stream_long_chain": probe_stream_long_chain,
 }
 
 
