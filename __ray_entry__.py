@@ -821,6 +821,23 @@ def q_audio_real_decode(sf_dir: str):
     return audio_features(media)
 
 
+def q_video_real_decode(sf_dir: str):
+    """REAL video decode: actual uncompressed-AVI payloads parsed by
+    the pure-Python RIFF/DIB codec; frame pixels are closed-form
+    ``(i*11 + f*29 + x*7 + y*3) % 256``, so the oracle recomputes each
+    sampled frame's pixel sum without any container parser — byte-level
+    container decode correctness, end to end."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        synthesize_real_video_table,
+        video_frame_features,
+    )
+
+    media = rd.from_arrow(synthesize_real_video_table(12))
+    return video_frame_features(media, every_ms=300)
+
+
 def q_frame_samples(sf_dir: str):
     import ray.data as rd
 
@@ -1337,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": q_frame_samples,
         "media_real_decode": q_media_real_decode,
         "audio_real_decode": q_audio_real_decode,
+        "video_real_decode": q_video_real_decode,
     }
 
 
@@ -2228,6 +2246,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(768 AS BIGINT) AS n_px,
                    CAST(SUM(v) AS BIGINT) AS px_sum
             FROM px GROUP BY media_id""",
+        "video_real_decode": """
+            WITH px AS (
+              SELECT m.i AS media_id, t.t AS frame_ms,
+                     ((m.i*11 + LEAST(7, (t.t*10)//1000)*29
+                       + x.x*7 + y.y*3) % 256) AS v
+              FROM (SELECT unnest(generate_series(0, 11)) AS i) m,
+                   (SELECT unnest(generate_series(0, 799, 300)) AS t) t,
+                   (SELECT unnest(generate_series(0, 31)) AS x) x,
+                   (SELECT unnest(generate_series(0, 23)) AS y) y
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(frame_ms AS BIGINT) AS frame_ms,
+                   CAST(768 AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id, frame_ms""",
         "audio_real_decode": """
             WITH s AS (
               SELECT m.i AS media_id, abs((m.i*17 + t.t*5) % 2048 - 1024) AS a

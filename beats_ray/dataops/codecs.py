@@ -189,3 +189,127 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch)
     return samples, rate
+
+
+# ------------------------------------------------------------------ AVI
+# Uncompressed AVI (RIFF container, '00db' DIB frames, 24-bit BGR,
+# bottom-up rows padded to 4 bytes) — the one mainstream video container
+# that needs no codec library, so the video decode seam can be REAL
+# offline just like PNG/WAV. Reference layout: msdn AVI RIFF form
+# ('avih' MainAVIHeader / 'strh' AVISTREAMHEADER / 'strf'
+# BITMAPINFOHEADER / LIST 'movi').
+
+
+def _stride(width: int) -> int:
+    return (3 * width + 3) // 4 * 4
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 frames (n, h, w) gray or (n, h, w, 3) RGB → uncompressed
+    AVI bytes. Gray replicates into BGR. Any stock player opens the
+    result — this is a real container, not a bespoke format."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[..., None], 3, axis=3)
+    n, h, w, _ = frames.shape
+    stride = _stride(w)
+    frame_bytes = stride * h
+
+    def le_chunk(tag: bytes, payload: bytes) -> bytes:
+        out = struct.pack("<4sI", tag, len(payload)) + payload
+        if len(payload) % 2:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return out
+
+    def le_list(kind: bytes, payload: bytes) -> bytes:
+        return le_chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX off, use 0x10 (WASCAPTUREFILE ok)
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,  # dwScale / dwRate → fps
+        0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = le_list(
+        b"hdrl",
+        le_chunk(b"avih", avih)
+        + le_list(b"strl", le_chunk(b"strh", strh) + le_chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    pad = stride - 3 * w
+    for f in range(n):
+        # bottom-up BGR rows, each padded to a 4-byte boundary
+        bgr = frames[f, ::-1, :, ::-1]
+        if pad:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+            data = rows.tobytes()
+        else:
+            data = bgr.tobytes()
+        movi_payload += le_chunk(b"00db", data)
+    movi = le_list(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → (frames (n, h, w, 3) RGB uint8, fps). Supports the
+    uncompressed 24-bit DIB form ('00db'/'00dc' with biCompression=0);
+    anything compressed raises (that genuinely needs a codec library)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    fps = 0
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            tag, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"strh":
+                fcc, _, _, _, _, _, scale, rate = struct.unpack_from(
+                    "<4s4sIHHIII", buf, body_start
+                )[:8]
+                if fcc == b"vids" and scale:
+                    fps = rate // scale
+            elif tag == b"strf":
+                (_, bw, bh, _, bits, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body_start
+                )
+                if comp != 0 or bits != 24:
+                    raise NotImplementedError(
+                        "compressed AVI needs a codec library"
+                    )
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(data, 12, len(data))
+    if w is None or not frames_raw:
+        raise ValueError("no video stream found")
+    stride = _stride(w)
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        rows = np.frombuffer(raw, dtype=np.uint8)[: stride * h].reshape(
+            h, stride
+        )
+        bgr = rows[:, : 3 * w].reshape(h, w, 3)
+        out[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    return out, fps

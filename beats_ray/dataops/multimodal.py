@@ -3,11 +3,12 @@ columns with typed metadata.
 
 Decode paths, in preference order: PIL when installed → the REAL
 pure-Python codecs in ``dataops.codecs`` (PNG via stdlib zlib,
-RIFF/WAVE PCM16) → ``fake=True`` deterministic test decoder. Only
-video frame extraction remains a stub (no feasible pure-Python
-container parser offline). Large binary payloads need SMALL batch
-sizes (batch bytes × concurrency must fit worker heap — guide:
-memory-aware batching), hence the explicit ``batch_size`` defaults.
+RIFF/WAVE PCM16, uncompressed-AVI video) → ``fake=True`` deterministic
+test decoder. Compressed video (h264 etc.) genuinely needs a codec
+library and raises; the uncompressed-DIB AVI form decodes for real.
+Large binary payloads need SMALL batch sizes (batch bytes ×
+concurrency must fit worker heap — guide: memory-aware batching),
+hence the explicit ``batch_size`` defaults.
 """
 
 from __future__ import annotations
@@ -166,6 +167,85 @@ def synthesize_real_media_table(n: int = 24, width: int = 32,
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synthesize_real_video_table(n: int = 12, width: int = 32,
+                                height: int = 24, n_frames: int = 8,
+                                fps: int = 10) -> pa.Table:
+    """Media corpus with REAL uncompressed-AVI payloads: pixel (x, y)
+    of frame f of item i is ``(i*11 + f*29 + x*7 + y*3) % 256`` (gray,
+    replicated to BGR) — closed-form contents, so an independent oracle
+    recomputes decoded frame features without running the container
+    parser."""
+    from .codecs import encode_avi
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        f, y, x = np.mgrid[0:n_frames, 0:height, 0:width]
+        frames = ((i * 11 + f * 29 + x * 7 + y * 3) % 256).astype(np.uint8)
+        payload = encode_avi(frames, fps=fps)
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(payload)
+        rows["mime"].append("video/x-msvideo")
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(int(n_frames * 1000 // fps))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class VideoFrameFeatures:
+    """REAL video decode → per-sampled-frame integer features
+    (frame_ms, n_px, px_sum over the R channel): the AVI container
+    parses via the pure-Python codec (dataops/codecs.py) — the video
+    analogue of Image/AudioFeatures, flat_map-shaped (one output row
+    per sampled frame)."""
+
+    def __init__(self, every_ms: int = 500):
+        self.every_ms = every_ms
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .codecs import decode_avi
+
+        out = {"media_id": [], "frame_ms": [], "n_px": [], "px_sum": []}
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            frames, fps = decode_avi(payload)
+            n, h, w, _ = frames.shape
+            dur_ms = n * 1000 // fps
+            for t in range(0, int(dur_ms), self.every_ms):
+                f = min(n - 1, t * fps // 1000)
+                ch = frames[f, :, :, 0].astype(np.int64)
+                out["media_id"].append(mid)
+                out["frame_ms"].append(t)
+                out["n_px"].append(h * w)
+                out["px_sum"].append(int(ch.sum()))
+        return pd.DataFrame(
+            {
+                "media_id": pd.array(out["media_id"], dtype="int64"),
+                "frame_ms": pd.array(out["frame_ms"], dtype="int64"),
+                "n_px": pd.array(out["n_px"], dtype="int64"),
+                "px_sum": pd.array(out["px_sum"], dtype="int64"),
+            }
+        )
+
+
+def video_frame_features(media_ds, every_ms: int = 500, batch_size: int = 8):
+    """Actor-shaped frame-feature stage over the ``video`` rows; small
+    batch_size — video payloads are the fattest binaries in the
+    corpus (batch bytes × concurrency must fit the worker heap)."""
+    import pyarrow.compute as pc
+
+    from .stagecache import task_stage
+
+    vids = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow",
+    )
+    return vids.map_batches(
+        task_stage(VideoFrameFeatures, every_ms=every_ms),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+
+
 class AudioFeatures:
     """WAV decode → integer amplitude features
     (n_samples, sample_rate, amp_sum = Σ|sample|) — the audio analogue
@@ -207,26 +287,42 @@ def audio_features(media_ds, batch_size: int = 32):
 
 
 class FrameSampler:
-    """Video frame-sample stub: emits every Nth pseudo-frame's metadata
-    (one output row per sampled frame — flat_map-shaped)."""
+    """Video frame sampling (one output row per sampled frame —
+    flat_map-shaped). ``fake=False`` is a REAL decode path now: the
+    payload parses as an uncompressed AVI (dataops/codecs.decode_avi)
+    and the frame id is the md5 of the decoded frame's RGB bytes.
+    ``fake=True`` keeps the deterministic pseudo-frame path whose hash
+    the SQL oracle replays without a container parser."""
 
     def __init__(self, every_ms: int = 500, fake: bool = True):
         self.every_ms = every_ms
         self.fake = fake
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not self.fake:
+            from .codecs import decode_avi
+
         out = {"media_id": [], "frame_ms": [], "frame_hash": []}
         for mid, dur, payload in zip(
             df["media_id"], df["duration_ms"], df["payload"]
         ):
-            if not self.fake:
-                raise NotImplementedError("video decode not available offline")
-            for t in range(0, int(dur), self.every_ms):
-                # md5 over "payloadhex-t": a stand-in frame id the SQL
-                # oracle reproduces exactly (substr(md5(hex||'-'||t),1,16))
-                h = hashlib.md5(
-                    f"{payload.hex()}-{t}".encode("ascii")
-                ).hexdigest()[:16]
+            if self.fake:
+                for t in range(0, int(dur), self.every_ms):
+                    # md5 over "payloadhex-t": a stand-in frame id the
+                    # SQL oracle reproduces exactly
+                    # (substr(md5(hex||'-'||t),1,16))
+                    h = hashlib.md5(
+                        f"{payload.hex()}-{t}".encode("ascii")
+                    ).hexdigest()[:16]
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(t)
+                    out["frame_hash"].append(h)
+                continue
+            frames, fps = decode_avi(payload)
+            n = frames.shape[0]
+            for t in range(0, int(n * 1000 // fps), self.every_ms):
+                f = min(n - 1, t * fps // 1000)
+                h = hashlib.md5(frames[f].tobytes()).hexdigest()[:16]
                 out["media_id"].append(mid)
                 out["frame_ms"].append(t)
                 out["frame_hash"].append(h)

@@ -101,3 +101,54 @@ def test_wav_roundtrip(stereo):
 def test_wav_rejects_garbage():
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_avi_roundtrip_rgb_and_gray():
+    from beats_ray.dataops.codecs import decode_avi, encode_avi
+
+    rng = np.random.RandomState(3)
+    # width 9 → stride padding exercised; gray replicates to 3 channels
+    for shape in [(5, 24, 32, 3), (3, 7, 9), (2, 1, 1, 3)]:
+        fr = rng.randint(0, 256, shape).astype(np.uint8)
+        dec, fps = decode_avi(encode_avi(fr, fps=25))
+        want = np.repeat(fr[..., None], 3, axis=3) if fr.ndim == 3 else fr
+        assert fps == 25
+        assert np.array_equal(dec, want)
+
+
+def test_avi_rejects_garbage_and_compressed():
+    import struct
+
+    from beats_ray.dataops.codecs import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxNOPE")
+    # biCompression != 0 → honest NotImplementedError (needs a codec)
+    strf = struct.pack("<IiiHHI", 40, 4, 4, 1, 24, 1)
+    body = (b"AVI " + struct.pack("<4sI", b"strf", len(strf)) + strf)
+    data = struct.pack("<4sI", b"RIFF", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_avi(data)
+
+
+def test_frame_sampler_real_path_decodes_avi():
+    import pandas as pd
+
+    from beats_ray.dataops.codecs import encode_avi
+    from beats_ray.dataops.multimodal import FrameSampler
+
+    fr = (np.arange(4 * 6 * 8) % 256).astype(np.uint8).reshape(4, 6, 8)
+    payload = encode_avi(fr, fps=10)  # 400 ms
+    df = pd.DataFrame(
+        {"media_id": [7], "duration_ms": [400], "payload": [payload]}
+    )
+    out = FrameSampler(every_ms=200, fake=False)(df)
+    assert out["frame_ms"].tolist() == [0, 200]
+    # hashes come from the DECODED frames 0 and 2
+    import hashlib
+
+    rgb = np.repeat(fr[..., None], 3, axis=3)
+    assert out["frame_hash"].tolist() == [
+        hashlib.md5(rgb[0].tobytes()).hexdigest()[:16],
+        hashlib.md5(rgb[2].tobytes()).hexdigest()[:16],
+    ]
