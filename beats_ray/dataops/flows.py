@@ -412,7 +412,9 @@ def tb_split(both, key: str):
 
 def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
                key_col: str = "conv_id", order_col: str = "turn_idx",
-               ts_col: str = "ts", skew_aware: bool = False):
+               ts_col: str = "ts", skew_aware: bool = False,
+               initial_state=None, emit_state=False,
+               gc_horizon_us: int | None = None):
     """Deterministic token-bucket analogue (ratelimit/rate_limit.go:103
     with per-``fields`` key bucketing): keep the first ``k`` turns per
     (key, window) in ``order_col`` order.
@@ -420,14 +422,193 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
     Keyed stateful op via explicit hash-partition (dataops.agg
     map_buckets): one vectorized pandas pass per bucket — B python
     calls total instead of one per conversation (21k at sf0.01, millions
-    at 100 TB)."""
+    at 100 TB).
+
+    Continuous operation (mirrors ``token_bucket_limit``): a rate
+    window that spans a micro-batch boundary must remember how many
+    events it already admitted. ``initial_state`` seeds per-(key, win)
+    admitted counts — a pandas DataFrame [key_col, win, cnt] (broadcast)
+    or a Dataset with the same columns (state rows hash into their
+    keys' buckets, one co-locating shuffle, nothing key-proportional on
+    the driver). ``emit_state=True`` returns the final counts instead
+    of rows; ``"both"`` returns rows + flagged state in one pass.
+    ``gc_horizon_us`` drops windows that END before the horizon — only
+    the boundary-spanning windows carry. Cross-batch exactness assumes
+    ``order_col`` order is consistent with micro-batch order within a
+    key (true for event-ordered streams — the same assumption the
+    token-bucket replay makes)."""
+    import pyarrow.compute as pc
+
+    import ray
+
     from .agg import map_buckets
+    from .joins import _arrow_types, _resolve_ref
+
+    emit_both = emit_state == "both"
+    both_types = _arrow_types(transcripts) if emit_both else None
+    seed_ref = None
+    state_is_ds = False
+    if initial_state is not None and isinstance(initial_state, pd.DataFrame):
+        if len(initial_state):
+            seed_ref = ray.put(
+                {
+                    (kk, int(wn)): int(c)
+                    for kk, wn, c in zip(
+                        initial_state[key_col], initial_state["win"],
+                        initial_state["cnt"],
+                    )
+                }
+            )
+    elif initial_state is not None:
+        state_is_ds = True
+        ev_types = _arrow_types(transcripts)
+        ev_cols = list(ev_types)
+        key_type = ev_types.get(key_col, pa.string())
+
+        def pad_events(t: pa.Table) -> pa.Table:
+            t = t.replace_schema_metadata(None)
+            n = t.num_rows
+            t = t.select(ev_cols)
+            t = t.append_column("_st_win", pa.nulls(n, pa.int64()))
+            t = t.append_column("_st_cnt", pa.nulls(n, pa.int64()))
+            return t.append_column(
+                "_state_row", pa.array([False] * n, pa.bool_())
+            )
+
+        def pad_state(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrays, names = [], []
+            for c in ev_cols:
+                if c == key_col:
+                    arrays.append(
+                        pc.cast(t[key_col].combine_chunks(), key_type,
+                                safe=False)
+                    )
+                else:
+                    arrays.append(pa.nulls(n, ev_types[c]))
+                names.append(c)
+            arrays.append(pc.cast(t["win"].combine_chunks(), pa.int64()))
+            arrays.append(pc.cast(t["cnt"].combine_chunks(), pa.int64()))
+            arrays.append(pa.array([True] * n, pa.bool_()))
+            names += ["_st_win", "_st_cnt", "_state_row"]
+            return pa.table(dict(zip(names, arrays)))
+
+        transcripts = transcripts.map_batches(
+            pad_events, batch_format="pyarrow"
+        ).union(initial_state.map_batches(pad_state, batch_format="pyarrow"))
+
+    horizon_win = (
+        None if gc_horizon_us is None
+        else gc_horizon_us // (window_s * 1_000_000)
+    )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if state_is_ds:
+            smask = g["_state_row"].fillna(False).astype(bool).to_numpy()
+            srows = g[smask]
+            seeds = {
+                (kk, int(wn)): int(c)
+                for kk, wn, c in zip(
+                    srows[key_col], srows["_st_win"], srows["_st_cnt"]
+                )
+            }
+            g = g[~smask].drop(
+                columns=["_st_win", "_st_cnt", "_state_row"]
+            )
+        else:
+            seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
         g = g.sort_values([key_col, order_col])
-        win = g[ts_col].astype("datetime64[s]").astype("int64") // window_s
-        rank = g.groupby([g[key_col], win]).cumcount()
-        return g[rank.to_numpy() < k]
+        win = (
+            g[ts_col].astype("datetime64[s]").astype("int64") // window_s
+        ).to_numpy()
+        rank = g.groupby([g[key_col], win]).cumcount().to_numpy()
+        if seeds:
+            carry = np.array(
+                [seeds.get((kk, int(wn)), 0)
+                 for kk, wn in zip(g[key_col], win)],
+                dtype=np.int64,
+            )
+            rank = rank + carry
+        allowed = rank < k
+        if not emit_state:
+            return g[allowed]
+        # final counts per (key, win): admitted this segment + carried
+        kept = pd.DataFrame({"_k": g[key_col].to_numpy(), "_w": win,
+                             "_a": allowed.astype(np.int64)})
+        cnt = kept.groupby(["_k", "_w"], sort=False)["_a"].sum()
+        # final count = admitted this segment + carried count; carried
+        # windows without events this segment roll forward unchanged
+        state = {
+            (kk, int(wn)): int(c) + seeds.get((kk, int(wn)), 0)
+            for (kk, wn), c in cnt.items()
+        }
+        for key_w, c in seeds.items():
+            if key_w not in state:
+                state[key_w] = c
+        if horizon_win is not None:
+            state = {
+                (kk, wn): c for (kk, wn), c in state.items()
+                if wn >= horizon_win
+            }
+        srows_out = pd.DataFrame(
+            [(kk, wn, c) for (kk, wn), c in state.items()],
+            columns=[key_col, "win", "cnt"],
+        )
+        srows_out["win"] = srows_out["win"].astype("int64")
+        srows_out["cnt"] = srows_out["cnt"].astype("int64")
+        if not len(srows_out):
+            srows_out[key_col] = srows_out[key_col].astype(g[key_col].dtype)
+        if not emit_both:
+            return srows_out
+        ev_cols = list(both_types)
+        kept_rows = g[allowed]
+        arrays = [
+            pa.Array.from_pandas(kept_rows[c], type=both_types[c])
+            for c in ev_cols
+        ]
+        arrays += [
+            pa.nulls(len(kept_rows), pa.int64()),
+            pa.nulls(len(kept_rows), pa.int64()),
+            pa.array([False] * len(kept_rows), pa.bool_()),
+        ]
+        names = ev_cols + ["win", "cnt", "_rl_state"]
+        rows_t = pa.table(dict(zip(names, arrays)))
+        sarrays = []
+        for c in ev_cols:
+            if c == key_col:
+                sarrays.append(
+                    pa.Array.from_pandas(
+                        srows_out[key_col], type=both_types[key_col]
+                    )
+                )
+            else:
+                sarrays.append(pa.nulls(len(srows_out), both_types[c]))
+        sarrays += [
+            pa.array(srows_out["win"], pa.int64()),
+            pa.array(srows_out["cnt"], pa.int64()),
+            pa.array([True] * len(srows_out), pa.bool_()),
+        ]
+        state_t = pa.table(dict(zip(names, sarrays)))
+        return pa.concat_tables([rows_t, state_t])
 
     return map_buckets(transcripts, key_col, per_bucket, buckets=buckets,
                        skew_aware=skew_aware)
+
+
+def rl_split(both, key: str):
+    """Split a ``rate_limit(..., emit_state="both")`` output into
+    (kept-rows Dataset, state Dataset [key, win, cnt])."""
+    import pyarrow.compute as pc
+
+    def rows_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.fill_null(t["_rl_state"], False)))
+        return t.drop_columns(["win", "cnt", "_rl_state"])
+
+    def state_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(t["_rl_state"], False))
+        return t.select([key, "win", "cnt"])
+
+    return (
+        both.map_batches(rows_part, batch_format="pyarrow"),
+        both.map_batches(state_part, batch_format="pyarrow"),
+    )

@@ -184,16 +184,25 @@ class RouteStage:
 # co-locating shuffle). Beats configures these as processors in the
 # chain (rate_limit, dedup-by-id); the batch engine applies them after
 # parse+enrich, before routing. Each entry: cfg dict → (ds → ds).
-def _stage_rate_limit(ds, cfg: dict):
+def rate_limit_stage_kwargs(cfg: dict) -> dict:
+    """The k-per-window rate-limit parameters a stage spec carries —
+    shared by the in-pipeline stage and the streaming runner's state
+    carry (boundary-window admitted counts)."""
+    return {
+        "k": int(cfg.get("k", 3)),
+        "window_s": int(cfg.get("window_s", 60)),
+        "key_col": cfg.get("key", "conv_id"),
+        "order_col": cfg.get("order", "turn_idx"),
+        "ts_col": cfg.get("ts_field", "ts"),
+        "buckets": int(cfg.get("buckets", 32)),
+    }
+
+
+def _stage_rate_limit(ds, cfg: dict, initial_state=None):
     from .dataops.flows import rate_limit
 
     return rate_limit(
-        ds,
-        k=int(cfg.get("k", 3)),
-        window_s=int(cfg.get("window_s", 60)),
-        key_col=cfg.get("key", "conv_id"),
-        order_col=cfg.get("order", "turn_idx"),
-        ts_col=cfg.get("ts_field", "ts"),
+        ds, initial_state=initial_state, **rate_limit_stage_kwargs(cfg)
     )
 
 
@@ -250,7 +259,7 @@ STAGE_REGISTRY = {
 }
 # stages whose per-key/per-id state carries across streaming windows
 # (the others are window-local; SURVEY §2.6 / stream.py docstring)
-STATEFUL_STAGES = ("token_bucket", "dedup")
+STATEFUL_STAGES = ("token_bucket", "dedup", "rate_limit")
 
 
 def apply_stages(ds, stages: list[dict], stage_state: dict | None = None):

@@ -39,8 +39,10 @@ future state). Per stage:
   window boundary past first_seen + ttl); without it the state grows
   with distinct ids, exactly like the ES index does.
 
-The k-per-window rate limit stays window-local: exact whenever the
-window length is at least its state horizon.
+- ``rate_limit``: admitted counts for rate windows that SPAN the
+  micro-batch boundary (key, win, cnt); fully-ended windows GC. Exact
+  across boundaries when ``order_col`` order is consistent with
+  micro-batch order within a key (event-ordered streams).
 """
 
 from __future__ import annotations
@@ -157,12 +159,13 @@ class MicroBatchRunner:
         # effect of row-dropping processors.
         import pandas as pd
 
-        from .dataops.flows import token_bucket_limit
+        from .dataops.flows import rate_limit, token_bucket_limit
         from .pipeline import (
             STATEFUL_STAGES,
             apply_stages,
             build_pre_stage,
             dedup_stage_kwargs,
+            rate_limit_stage_kwargs,
             token_bucket_stage_kwargs,
         )
         from .sinks import dedup_by_doc_id
@@ -320,6 +323,18 @@ class MicroBatchRunner:
                             continue
                         if name == "dedup":
                             st = _dedup_gc(st, cfg_i or {}, hi_ts)
+                        elif name == "rate_limit":
+                            # drop rate windows that END before the
+                            # quiet window's end — they can never
+                            # receive another event
+                            rkw = rate_limit_stage_kwargs(cfg_i or {})
+                            wu = rkw["window_s"] * 1_000_000
+                            st = st.map_batches(
+                                lambda df, wu=wu, hi=hi_ts: df[
+                                    (df["win"] + 1) * wu > hi
+                                ],
+                                batch_format="pandas",
+                            )
                         else:
                             # token_bucket: drop keys whose bucket will
                             # have fully refilled by the window end
@@ -410,6 +425,21 @@ class MicroBatchRunner:
                             emit_state="both", gc_horizon_us=hi_ts, **kw,
                         ).materialize()
                         cur, seg = tb_split(both, kw["key"])
+                        st = _persist_state_ds(seg, w, i)
+                        if st is not None:
+                            next_state[i] = st
+                    elif name == "rate_limit":
+                        # boundary-spanning (key, rate-window) admitted
+                        # counts carry forward; fully-ended windows GC
+                        from .dataops.flows import rl_split
+
+                        rkw = rate_limit_stage_kwargs(cfg_i or {})
+                        both = rate_limit(
+                            cur,
+                            initial_state=_as_state_ds(tb_state.get(i)),
+                            emit_state="both", gc_horizon_us=hi_ts, **rkw,
+                        ).materialize()
+                        cur, seg = rl_split(both, rkw["key_col"])
                         st = _persist_state_ds(seg, w, i)
                         if st is not None:
                             next_state[i] = st

@@ -729,3 +729,117 @@ def test_stream_dedup_quiet_window_gc(ray_session, tmp_path):
         files, config=cfg_short
     )
     assert sum(totals["rows_routed"].values()) == 2
+
+
+def _rl_corpus(tmp_path, spec):
+    """files: list of (hour, [(conv, minute, global_turn_idx)]) — like
+    _tb_corpus but with EXPLICIT turn_idx so order is globally
+    consistent across micro-batches (the rate-limit carry contract)."""
+    import pyarrow as pa
+
+    from beats_ray.schema import TRANSCRIPT_SCHEMA
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    files = []
+    for k, rows_spec in spec:
+        rows = {
+            "conv_id": [c for c, _, _ in rows_spec],
+            "turn_idx": pa.array([i for _, _, i in rows_spec], pa.int32()),
+            "role": ["user"] * len(rows_spec),
+            "text": [f"t{i}" for _, _, i in rows_spec],
+            "tool": ["none"] * len(rows_spec),
+            "ts": pa.array(
+                [base + pd.Timedelta(hours=k, minutes=m)
+                 for _, m, _ in rows_spec],
+                pa.timestamp("us"),
+            ),
+        }
+        f = str(tmp_path / f"part-{k:05d}.parquet")
+        pq.write_table(pa.table(rows, schema=TRANSCRIPT_SCHEMA), f)
+        files.append(f)
+    return files
+
+
+def test_rate_limit_state_carry_matches_batch(ray_session):
+    """flows-level: splitting a stream at a micro-batch boundary and
+    seeding segment 2 with segment 1's emitted counts must admit
+    exactly the rows a single batch run admits — for both DataFrame
+    and Dataset state."""
+    import ray.data as rd
+
+    from beats_ray.dataops.flows import rate_limit, rl_split
+
+    base = pd.Timestamp("2024-05-01 00:00:00")
+    rows = []
+    # 2h rate window [00:00, 02:00): conv a has 2+2 events across the
+    # hourly boundary, conv b has 3+0, conv c has 0+2
+    for conv, minute, idx in [
+        ("a", 10, 0), ("a", 50, 1), ("b", 5, 2), ("b", 6, 3), ("b", 7, 4),
+        ("a", 70, 5), ("a", 80, 6), ("c", 61, 7), ("c", 62, 8),
+    ]:
+        rows.append({"conv_id": conv, "turn_idx": idx,
+                     "ts": base + pd.Timedelta(minutes=minute)})
+    df = pd.DataFrame(rows)
+    seg1 = df[df["ts"] < base + pd.Timedelta(hours=1)]
+    seg2 = df[df["ts"] >= base + pd.Timedelta(hours=1)]
+    kw = dict(k=3, window_s=7200, key_col="conv_id", order_col="turn_idx",
+              buckets=4)
+
+    batch = rate_limit(rd.from_pandas(df), **kw).to_pandas()
+    hi1 = int((base.tz_localize("UTC")
+               + pd.Timedelta(hours=1)).timestamp() * 1e6)
+
+    # Dataset-state path via "both"
+    both1 = rate_limit(rd.from_pandas(seg1), emit_state="both",
+                       gc_horizon_us=hi1, **kw).materialize()
+    rows1, st1 = rl_split(both1, "conv_id")
+    out2 = rate_limit(rd.from_pandas(seg2), initial_state=st1, **kw)
+    got = pd.concat([rows1.to_pandas()[["conv_id", "turn_idx"]],
+                     out2.to_pandas()[["conv_id", "turn_idx"]]])
+    want = batch[["conv_id", "turn_idx"]]
+    assert (
+        sorted(map(tuple, got.to_numpy().tolist()))
+        == sorted(map(tuple, want.to_numpy().tolist()))
+    )
+
+    # DataFrame-state path
+    st_df = rate_limit(rd.from_pandas(seg1), emit_state=True,
+                       gc_horizon_us=hi1, **kw).to_pandas()
+    out2b = rate_limit(rd.from_pandas(seg2), initial_state=st_df,
+                       **kw).to_pandas()
+    assert (
+        sorted(out2b["turn_idx"].tolist())
+        == sorted(out2.to_pandas()["turn_idx"].tolist())
+    )
+
+
+def test_stream_rate_limit_carries_across_windows(ray_session, tmp_path):
+    """Runner-level: a 2h rate window spanning hourly micro-batches
+    admits k rows TOTAL across both, equal to the batch replay (the
+    round-3 gap: the k-per-window rate limit was window-local)."""
+    import ray.data as rd
+
+    from beats_ray.pipeline import build_dataset
+    from beats_ray.stream import MicroBatchRunner
+
+    files = _rl_corpus(tmp_path, [
+        (0, [("c0", 10, 0), ("c0", 20, 1), ("c1", 30, 2)]),
+        (1, [("c0", 10, 3), ("c0", 20, 4), ("c1", 30, 5)]),
+        # hour 2 = a NEW 2h rate window: c0 admits again
+        (2, [("c0", 10, 6)]),
+    ])
+    cfg = {
+        "processors": [],
+        "stages": [{"rate_limit": {"key": "conv_id", "k": 2,
+                                   "window_s": 7200, "buckets": 4}}],
+        "routes": [{"name": "default"}],
+    }
+    batch_kept = build_dataset(rd.read_parquet(files), config=cfg,
+                               num_parts=2).count()
+    totals = MicroBatchRunner(str(tmp_path / "rlq"), window_s=3600).run(
+        files, config=cfg
+    )
+    stream_kept = sum(totals["rows_routed"].values())
+    # batch: c0 keeps 2 of 4 in window 0 + 1 in window 1; c1 keeps 2
+    assert batch_kept == 5
+    assert stream_kept == batch_kept
