@@ -759,6 +759,27 @@ def q_ann_ivf_topk(sf_dir: str):
     return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Multi-probe hyperplane-LSH machinery driven at FULL probe
+    (n_probe = 2^n_planes): signature hashing, probe-bucket filtering
+    and the partial top-k merge all execute, and the result is provably
+    identical to exact brute force — what the SQL oracle checks. The
+    approximate regime (few probes) is covered by the recall test in
+    tests/test_dataops.py."""
+    from beats_ray.dataops.ann import lsh_topk
+
+    res = lsh_topk(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16),
+        _query_vectors(sf_dir),
+        k=10,
+        n_planes=6,
+        n_probe=64,
+    )
+    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """EXACT cosine similarity join (centroid-bound bucket-pair
     pruning, no false negatives) — oracle = the all-pairs SQL."""
@@ -1348,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         # multimodal plumbing
         "media_features": q_media_features,
@@ -2169,6 +2191,17 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
             QUALIFY rank <= 10""",
         # IVF at full probe is provably exact → same oracle as brute
+        "ann_lsh_topk": """
+            SELECT q.vec_id AS query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+            QUALIFY rank <= 10""",
         "ann_ivf_topk": """
             SELECT q.vec_id AS query_id,
                    CAST(row_number() OVER (

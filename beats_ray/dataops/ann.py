@@ -214,6 +214,113 @@ def ivf_topk(
     )
 
 
+def _lsh_planes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic random hyperplanes (dim × n_planes) — the
+    signature projection matrix, identical on every worker."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign(m @ planes) into integer bucket codes."""
+    bits = (m @ planes) >= 0
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+class LSHSearcher:
+    """Random-hyperplane LSH top-k (the multi-probe scale path beside
+    IVF): each vector hashes to a 2^n_planes bucket code; a query
+    probes its own bucket plus the buckets reached by flipping the
+    lowest-|margin| bits (multi-probe LSH — flips ordered by how close
+    the query sat to each hyperplane). ``n_probe`` = probed buckets per
+    query; ``n_probe >= 2**n_planes`` probes everything and is provably
+    exact (the oracle regime). At scale the bucket code is a write-time
+    partition key; here assignment happens in-stage."""
+
+    def __init__(self, query_ref, planes_ref, k: int, n_probe: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.planes = np.asarray(p, dtype=np.float64)
+        self.k = k
+        n_planes = self.planes.shape[1]
+        n_buckets = 1 << n_planes
+        n_probe = min(n_probe, n_buckets)
+        margins = self.q @ self.planes  # signed distance per plane
+        base = _lsh_codes(self.q, self.planes)
+        # multi-probe order: enumerate flip masks by total |margin| of
+        # the flipped planes (small n_planes ⇒ the full 2^n mask grid
+        # ranks in one vectorized pass per query)
+        masks = np.arange(n_buckets, dtype=np.int64)
+        flip_bits = ((masks[:, None] >> np.arange(n_planes)) & 1).astype(
+            np.float64
+        )
+        self.probe = np.empty((self.q.shape[0], n_probe), dtype=np.int64)
+        for qi in range(self.q.shape[0]):
+            costs = flip_bits @ np.abs(margins[qi])
+            order = np.argsort(costs, kind="stable")[:n_probe]
+            self.probe[qi] = base[qi] ^ masks[order]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        m = _normalize(_batch_matrix(df))
+        codes = _lsh_codes(m, self.planes)
+        sims = m @ self.q.T
+        vec_ids = df["vec_id"].to_numpy()
+        for qi in range(self.q.shape[0]):
+            allowed = np.isin(codes, self.probe[qi])
+            if not allowed.any():
+                continue
+            s = sims[allowed, qi]
+            ids = vec_ids[allowed]
+            idx = _topk_tiebreak(s, ids, self.k)
+            out["query_id"].extend([qi] * len(idx))
+            out["vec_id"].extend(ids[idx])
+            out["sim"].extend(s[idx])
+        return pd.DataFrame(out)
+
+
+def lsh_topk(
+    embeddings,
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 6,
+    n_probe: int = 8,
+    seed: int = 1234,
+) -> pd.DataFrame:
+    """Approximate top-k via multi-probe hyperplane LSH. Same partial
+    top-k combiner shape as brute/IVF: per-batch candidates → per-batch
+    top-k → driver merge of batches × k rows (never the corpus)."""
+    queries = np.asarray(queries, dtype=np.float64)
+    planes = _lsh_planes(queries.shape[1], n_planes, seed)
+    qref = ray.put(queries)
+    pref = ray.put(planes)
+    from .stagecache import task_stage
+
+    partials = embeddings.map_batches(
+        task_stage(LSHSearcher, query_ref=qref, planes_ref=pref, k=k,
+                   n_probe=n_probe),
+        batch_format="pandas",
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    partials = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    return (
+        partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    )
+
+
 class _AssignWithAngle:
     """Tag each vector with its nearest centroid bucket and its angle
     to that centroid (radians) — the radius input for bucket-pair

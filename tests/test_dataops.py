@@ -837,3 +837,42 @@ def test_fnv1a32_arrow_matches_scalar():
     # large_string input
     got_ls = fnv1a32_arrow(pa.array(["a", "bb"], pa.large_string()))
     assert got_ls.tolist() == [fnv1a32("a"), fnv1a32("bb")]
+
+
+def test_lsh_full_probe_equals_brute(ray_session):
+    """n_probe = 2^n_planes probes every bucket — provably exact; the
+    oracle-paired regime of ann_lsh_topk."""
+    from beats_ray.dataops.ann import brute_topk, lsh_topk
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[:4].astype(np.float64)
+    exact = brute_topk(ds, q, k=10)
+    full = lsh_topk(ds, q, k=10, n_planes=5, n_probe=32)
+    e = exact.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert e["vec_id"].tolist() == f["vec_id"].tolist()
+
+
+def test_lsh_multiprobe_recall_reasonable(ray_session):
+    """Partial multi-probe (margin-ordered bit flips) keeps useful
+    recall at a fraction of the candidate scans."""
+    from beats_ray.dataops.ann import brute_topk, lsh_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(400, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(400)]
+    )
+    q = vecs[:4].astype(np.float64)
+    exact = brute_topk(ds, q, k=10)
+    approx = lsh_topk(ds, q, k=10, n_planes=6, n_probe=16)  # 1/4 of buckets
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
