@@ -122,6 +122,57 @@ def main(n_rows: int = 200_000):
 
     dt = bench(replay, tus)
     out["rows_per_sec"]["token_bucket_replay"] = round(len(tus) / dt)
+
+    # keyed-shuffle bucket hash (round-4 vectorized FNV): repeat-heavy
+    # conv_id batch, the hash every keyed shuffle pays per block
+    import pyarrow as pa
+
+    from beats_ray.fixtures import fnv1a32_bucket
+
+    uniq = [f"conv-{i:07d}" for i in range(6000)]
+    rng = np.random.RandomState(0)
+    keys = pa.array([uniq[i] for i in rng.randint(0, 6000, 100_000)])
+    dt = bench(lambda k: fnv1a32_bucket(k, 32), keys)
+    out["rows_per_sec"]["hash_bucket_fnv"] = round(len(keys) / dt)
+
+    # jaccard verify kernel (round-4: Arrow parse + searchsorted merge)
+    from beats_ray.dataops.dedup import word_shingles
+
+    toks = [
+        ",".join(map(str, sorted(word_shingles(
+            " ".join(f"g{i % 50}w{j}" for j in range(60)), 3))))
+        for i in range(2000)
+    ]
+    import pandas as pd
+
+    pairs = pd.DataFrame({
+        "a": np.arange(2000), "b": np.arange(2000) + 10_000,
+        "toks_a": toks, "toks_b": toks[1:] + toks[:1],
+    })
+
+    def jac(df):
+        import pyarrow.compute as pc
+
+        def explode(ser):
+            arr = pa.Array.from_pandas(ser.astype("string"))
+            lst = pc.cast(pc.split_pattern(arr, ","), pa.list_(pa.int64()))
+            lens = pc.list_value_length(lst).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return (pc.list_flatten(lst).to_numpy(), lens,
+                    np.repeat(np.arange(len(ser)), lens))
+
+        ta, la, ra = explode(df["toks_a"])
+        tb, lb, rb = explode(df["toks_b"])
+        ka = (ra.astype(np.uint64) << np.uint64(32)) | ta.astype(np.uint64)
+        kb = (rb.astype(np.uint64) << np.uint64(32)) | tb.astype(np.uint64)
+        idx = np.searchsorted(kb, ka)
+        m = idx < len(kb)
+        m[m] = kb[idx[m]] == ka[m]
+        return np.bincount(ra[m], minlength=len(df))
+
+    dt = bench(jac, pairs)
+    out["rows_per_sec"]["jaccard_verify_pairs"] = round(len(pairs) / dt)
     print(json.dumps(out))
 
 
