@@ -103,18 +103,30 @@ def brute_topk(embeddings, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     )
 
 
-def _fit_sample_df(embeddings, sample_n: int) -> pd.DataFrame:
+def _fit_sample_df(embeddings, sample_n: int):
     """Layout-UNBIASED k-means fit sample: a deterministic hash-sample
     over ``vec_id`` drawn uniformly from every block, not
     ``limit(sample_n)``'s first-blocks-in-layout-order slice. On a
     corpus whose layout correlates with embedding space (time- or
     topic-partitioned — the normal case) the limit() sample covers one
     region, centroids collapse there, bucket radii inflate, and the
-    triangle-bound pruning degrades toward all-pairs. ``count()`` on a
-    parquet read is metadata-only; tiny corpora (or a sample that came
-    back too small) fall back to limit()."""
+    triangle-bound pruning degrades toward all-pairs.
+
+    Returns ``(sample_df, embeddings)`` — the second element may be a
+    MATERIALIZED handle of the input: for a file-backed Dataset,
+    ``count()`` is parquet-metadata-only and nothing is pinned; for a
+    lazy in-memory chain (from_items / map_batches), count + sample +
+    the caller's search would otherwise re-execute the upstream chain
+    three times, so it materializes once and every consumer reuses the
+    blocks. Callers must run their search over the RETURNED handle."""
     from .sampling import hash_sample
 
+    try:
+        file_backed = bool(embeddings.input_files())
+    except Exception:
+        file_backed = False
+    if not file_backed:
+        embeddings = embeddings.materialize()
     try:
         n = embeddings.count()
     except Exception:
@@ -124,8 +136,8 @@ def _fit_sample_df(embeddings, sample_n: int) -> pd.DataFrame:
             embeddings, sample_n / n, key="vec_id", salt="ivf-fit"
         ).to_pandas()
         if len(df) >= max(8, sample_n // 4):
-            return df
-    return embeddings.limit(sample_n).to_pandas()
+            return df, embeddings
+    return embeddings.limit(sample_n).to_pandas(), embeddings
 
 
 def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10) -> np.ndarray:
@@ -191,7 +203,7 @@ def ivf_topk(
     """Approximate top-k via IVF bucketing. At scale the bucket id would
     be a partition key (write-time clustering); here assignment happens
     in-stage so the same code path serves any layout."""
-    sample = _fit_sample_df(embeddings, sample_n)
+    sample, embeddings = _fit_sample_df(embeddings, sample_n)
     cents = kmeans_fit(_batch_matrix(sample), n_clusters)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     cref = ray.put(cents)
@@ -264,27 +276,30 @@ class LSHSearcher:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "vec_id": [], "sim": []}
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        m = _normalize(_batch_matrix(df))
-        codes = _lsh_codes(m, self.planes)
-        sims = m @ self.q.T
-        vec_ids = df["vec_id"].to_numpy()
-        for qi in range(self.q.shape[0]):
-            allowed = np.isin(codes, self.probe[qi])
-            if not allowed.any():
-                continue
-            s = sims[allowed, qi]
-            ids = vec_ids[allowed]
-            idx = _topk_tiebreak(s, ids, self.k)
-            out["query_id"].extend([qi] * len(idx))
-            out["vec_id"].extend(ids[idx])
-            out["sim"].extend(s[idx])
-        return pd.DataFrame(out)
+        if len(df):
+            m = _normalize(_batch_matrix(df))
+            codes = _lsh_codes(m, self.planes)
+            sims = m @ self.q.T
+            vec_ids = df["vec_id"].to_numpy()
+            for qi in range(self.q.shape[0]):
+                allowed = np.isin(codes, self.probe[qi])
+                if not allowed.any():
+                    continue
+                s = sims[allowed, qi]
+                ids = vec_ids[allowed]
+                idx = _topk_tiebreak(s, ids, self.k)
+                out["query_id"].extend([qi] * len(idx))
+                out["vec_id"].extend(ids[idx])
+                out["sim"].extend(s[idx])
+        # explicit dtypes even when NO batch row fell in any probed
+        # bucket: empty python lists would build float64 columns and
+        # the result Dataset would mix block schemas with the int64
+        # blocks from matching batches
+        return pd.DataFrame(
+            {"query_id": pd.array(out["query_id"], dtype="int64"),
+             "vec_id": pd.array(out["vec_id"], dtype="int64"),
+             "sim": pd.array(out["sim"], dtype="float64")}
+        )
 
 
 def lsh_topk(
@@ -357,7 +372,7 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
     float safety); high thresholds prune most of the n_clusters² grid.
     Replication factor per vector = number of admitted partner buckets.
     """
-    sample = _fit_sample_df(embeddings, 2048)
+    sample, embeddings = _fit_sample_df(embeddings, 2048)
     cents = _normalize(kmeans_fit(_batch_matrix(sample), n_clusters))
     cref = ray.put(cents)
 

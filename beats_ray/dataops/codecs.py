@@ -273,10 +273,11 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
 
     w = h = None
     fps = 0
+    top_down = False
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, top_down
         while pos + 8 <= end:
             tag, size = struct.unpack_from("<4sI", buf, pos)
             body_start = pos + 8
@@ -296,13 +297,17 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                     raise NotImplementedError(
                         "compressed AVI needs a codec library"
                     )
-                w, h = bw, abs(bh)
+                # negative biHeight = rows already top-down (legal DIB)
+                w, h, top_down = bw, abs(bh), bh < 0
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(buf[body_start : body_start + size])
             pos = body_start + size + (size % 2)
 
     walk(data, 12, len(data))
-    if w is None or not frames_raw:
+    if w is None or not frames_raw or fps <= 0:
+        # fps==0: no vids strh, or dwRate < dwScale (sub-1fps — out of
+        # scope); a clean error here beats a ZeroDivisionError in the
+        # frame-sampling stages
         raise ValueError("no video stream found")
     stride = _stride(w)
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
@@ -311,5 +316,6 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
             h, stride
         )
         bgr = rows[:, : 3 * w].reshape(h, w, 3)
-        out[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+        # bottom-up BGR → top-down RGB (top-down DIBs skip the flip)
+        out[i] = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
     return out, fps

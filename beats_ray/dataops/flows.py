@@ -209,12 +209,12 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
 
     Returns the ALLOWED rows (same columns), or the state rows when
     ``emit_state`` is set (a Dataset either way — map_buckets output)."""
-    import pyarrow.compute as pc
 
     import ray
 
     from .agg import map_buckets
-    from .joins import _arrow_types, _resolve_ref
+    from .joins import (_arrow_types, _resolve_ref, pack_rows_state,
+                        take_state_rows, union_state_rows)
 
     unit = per_s * 1_000_000
     cap = (burst if burst is not None else limit_n) * unit
@@ -243,54 +243,20 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
         # Arrow nulls — Ray's union does not align disjoint schemas)
         # and union, so each hash bucket receives its own keys' seeds
         state_is_ds = True
-        ev_types = _arrow_types(events)
-        ev_cols = list(ev_types)
-        key_type = ev_types.get(key, pa.string())
-
-        def pad_events(t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            n = t.num_rows
-            t = t.select(ev_cols)  # canonical order for union
-            t = t.append_column("_st_tok", pa.nulls(n, pa.int64()))
-            t = t.append_column("_st_last_us", pa.nulls(n, pa.int64()))
-            return t.append_column(
-                "_state_row", pa.array([False] * n, pa.bool_())
-            )
-
-        def pad_state(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            arrays, names = [], []
-            for c in ev_cols:
-                if c == key:
-                    arrays.append(
-                        pc.cast(t[key].combine_chunks(), key_type, safe=False)
-                    )
-                else:
-                    arrays.append(pa.nulls(n, ev_types[c]))
-                names.append(c)
-            arrays.append(pc.cast(t["tok"].combine_chunks(), pa.int64()))
-            arrays.append(pc.cast(t["last_us"].combine_chunks(), pa.int64()))
-            arrays.append(pa.array([True] * n, pa.bool_()))
-            names += ["_st_tok", "_st_last_us", "_state_row"]
-            return pa.table(dict(zip(names, arrays)))
-
-        events = events.map_batches(
-            pad_events, batch_format="pyarrow"
-        ).union(initial_state.map_batches(pad_state, batch_format="pyarrow"))
+        events = union_state_rows(
+            events, initial_state, key, ["tok", "last_us"],
+            _arrow_types(events),
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if state_is_ds:
-            smask = g["_state_row"].fillna(False).astype(bool).to_numpy()
-            srows = g[smask]
+            srows, g = take_state_rows(g, ["tok", "last_us"])
             seeds = {
                 k: (int(t), int(l))
                 for k, t, l in zip(
                     srows[key], srows["_st_tok"], srows["_st_last_us"]
                 )
             }
-            g = g[~smask].drop(
-                columns=["_st_tok", "_st_last_us", "_state_row"]
-            )
         else:
             seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
         g = g.sort_values([key, ts_col, order_col], kind="mergesort")
@@ -352,37 +318,10 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
                 out[key] = out[key].astype(g[key].dtype)
             if not emit_both:
                 return out
-            # "both": allowed rows + state rows in one TYPED Arrow
-            # table (pandas concat would float-promote int columns of
-            # the null-padded side)
-            ev_cols = list(both_types)
-            kept = g[allowed]
-            arrays = [
-                pa.Array.from_pandas(kept[c], type=both_types[c])
-                for c in ev_cols
-            ]
-            arrays += [
-                pa.nulls(len(kept), pa.int64()),
-                pa.nulls(len(kept), pa.int64()),
-                pa.array([False] * len(kept), pa.bool_()),
-            ]
-            names = ev_cols + ["tok", "last_us", "_tb_state"]
-            rows_t = pa.table(dict(zip(names, arrays)))
-            sarrays = []
-            for c in ev_cols:
-                if c == key:
-                    sarrays.append(
-                        pa.Array.from_pandas(out[key], type=both_types[key])
-                    )
-                else:
-                    sarrays.append(pa.nulls(len(out), both_types[c]))
-            sarrays += [
-                pa.array(out["tok"], pa.int64()),
-                pa.array(out["last_us"], pa.int64()),
-                pa.array([True] * len(out), pa.bool_()),
-            ]
-            state_t = pa.table(dict(zip(names, sarrays)))
-            return pa.concat_tables([rows_t, state_t])
+            return pack_rows_state(
+                g[allowed], out, both_types, key,
+                ["tok", "last_us"], "_tb_state",
+            )
         return g[allowed]
 
     return map_buckets(events, key, per_bucket, buckets=buckets,
@@ -391,23 +330,10 @@ def token_bucket_limit(events, key: str = "user_id", limit_n: int = 1,
 
 def tb_split(both, key: str):
     """Split a ``token_bucket_limit(..., emit_state="both")`` output
-    into (allowed-rows Dataset, state Dataset). Cheap map_batches
-    filters — run them on a MATERIALIZED ``both`` so the stage executes
-    once for the pair."""
-    import pyarrow.compute as pc
+    into (allowed-rows Dataset, state Dataset)."""
+    from .joins import split_rows_state
 
-    def rows_part(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.fill_null(t["_tb_state"], False)))
-        return t.drop_columns(["tok", "last_us", "_tb_state"])
-
-    def state_part(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.fill_null(t["_tb_state"], False))
-        return t.select([key, "tok", "last_us"])
-
-    return (
-        both.map_batches(rows_part, batch_format="pyarrow"),
-        both.map_batches(state_part, batch_format="pyarrow"),
-    )
+    return split_rows_state(both, key, ["tok", "last_us"], "_tb_state")
 
 
 def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
@@ -437,12 +363,12 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
     ``order_col`` order is consistent with micro-batch order within a
     key (true for event-ordered streams — the same assumption the
     token-bucket replay makes)."""
-    import pyarrow.compute as pc
 
     import ray
 
     from .agg import map_buckets
-    from .joins import _arrow_types, _resolve_ref
+    from .joins import (_arrow_types, _resolve_ref, pack_rows_state,
+                        take_state_rows, union_state_rows)
 
     emit_both = emit_state == "both"
     both_types = _arrow_types(transcripts) if emit_both else None
@@ -461,41 +387,10 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
             )
     elif initial_state is not None:
         state_is_ds = True
-        ev_types = _arrow_types(transcripts)
-        ev_cols = list(ev_types)
-        key_type = ev_types.get(key_col, pa.string())
-
-        def pad_events(t: pa.Table) -> pa.Table:
-            t = t.replace_schema_metadata(None)
-            n = t.num_rows
-            t = t.select(ev_cols)
-            t = t.append_column("_st_win", pa.nulls(n, pa.int64()))
-            t = t.append_column("_st_cnt", pa.nulls(n, pa.int64()))
-            return t.append_column(
-                "_state_row", pa.array([False] * n, pa.bool_())
-            )
-
-        def pad_state(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            arrays, names = [], []
-            for c in ev_cols:
-                if c == key_col:
-                    arrays.append(
-                        pc.cast(t[key_col].combine_chunks(), key_type,
-                                safe=False)
-                    )
-                else:
-                    arrays.append(pa.nulls(n, ev_types[c]))
-                names.append(c)
-            arrays.append(pc.cast(t["win"].combine_chunks(), pa.int64()))
-            arrays.append(pc.cast(t["cnt"].combine_chunks(), pa.int64()))
-            arrays.append(pa.array([True] * n, pa.bool_()))
-            names += ["_st_win", "_st_cnt", "_state_row"]
-            return pa.table(dict(zip(names, arrays)))
-
-        transcripts = transcripts.map_batches(
-            pad_events, batch_format="pyarrow"
-        ).union(initial_state.map_batches(pad_state, batch_format="pyarrow"))
+        transcripts = union_state_rows(
+            transcripts, initial_state, key_col, ["win", "cnt"],
+            _arrow_types(transcripts),
+        )
 
     horizon_win = (
         None if gc_horizon_us is None
@@ -504,17 +399,13 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if state_is_ds:
-            smask = g["_state_row"].fillna(False).astype(bool).to_numpy()
-            srows = g[smask]
+            srows, g = take_state_rows(g, ["win", "cnt"])
             seeds = {
                 (kk, int(wn)): int(c)
                 for kk, wn, c in zip(
                     srows[key_col], srows["_st_win"], srows["_st_cnt"]
                 )
             }
-            g = g[~smask].drop(
-                columns=["_st_win", "_st_cnt", "_state_row"]
-            )
         else:
             seeds = _resolve_ref(seed_ref) if seed_ref is not None else {}
         g = g.sort_values([key_col, order_col])
@@ -560,36 +451,10 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
             srows_out[key_col] = srows_out[key_col].astype(g[key_col].dtype)
         if not emit_both:
             return srows_out
-        ev_cols = list(both_types)
-        kept_rows = g[allowed]
-        arrays = [
-            pa.Array.from_pandas(kept_rows[c], type=both_types[c])
-            for c in ev_cols
-        ]
-        arrays += [
-            pa.nulls(len(kept_rows), pa.int64()),
-            pa.nulls(len(kept_rows), pa.int64()),
-            pa.array([False] * len(kept_rows), pa.bool_()),
-        ]
-        names = ev_cols + ["win", "cnt", "_rl_state"]
-        rows_t = pa.table(dict(zip(names, arrays)))
-        sarrays = []
-        for c in ev_cols:
-            if c == key_col:
-                sarrays.append(
-                    pa.Array.from_pandas(
-                        srows_out[key_col], type=both_types[key_col]
-                    )
-                )
-            else:
-                sarrays.append(pa.nulls(len(srows_out), both_types[c]))
-        sarrays += [
-            pa.array(srows_out["win"], pa.int64()),
-            pa.array(srows_out["cnt"], pa.int64()),
-            pa.array([True] * len(srows_out), pa.bool_()),
-        ]
-        state_t = pa.table(dict(zip(names, sarrays)))
-        return pa.concat_tables([rows_t, state_t])
+        return pack_rows_state(
+            g[allowed], srows_out, both_types, key_col,
+            ["win", "cnt"], "_rl_state",
+        )
 
     return map_buckets(transcripts, key_col, per_bucket, buckets=buckets,
                        skew_aware=skew_aware)
@@ -598,17 +463,6 @@ def rate_limit(transcripts, k: int = 3, window_s: int = 60, buckets: int = 32,
 def rl_split(both, key: str):
     """Split a ``rate_limit(..., emit_state="both")`` output into
     (kept-rows Dataset, state Dataset [key, win, cnt])."""
-    import pyarrow.compute as pc
+    from .joins import split_rows_state
 
-    def rows_part(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.fill_null(t["_rl_state"], False)))
-        return t.drop_columns(["win", "cnt", "_rl_state"])
-
-    def state_part(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.fill_null(t["_rl_state"], False))
-        return t.select([key, "win", "cnt"])
-
-    return (
-        both.map_batches(rows_part, batch_format="pyarrow"),
-        both.map_batches(state_part, batch_format="pyarrow"),
-    )
+    return split_rows_state(both, key, ["win", "cnt"], "_rl_state")

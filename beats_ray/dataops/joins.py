@@ -99,6 +99,122 @@ def _arrow_types(ds) -> dict[str, "pa.DataType"]:
     return out
 
 
+# ----- shared rows+state in-band machinery (stateful-stage contract) --
+# The three stateful ops (token_bucket_limit, rate_limit,
+# dedup_by_doc_id) share one continuity shape: seed state rows ride the
+# SAME co-locating shuffle as their keys' events (typed-null padding +
+# union), and emit_state="both" returns rows + flagged state from one
+# pass. These helpers are the single implementation of that padding /
+# packing / splitting logic.
+
+
+def union_state_rows(events, state_ds, key: str, state_cols: list[str],
+                     ev_types: dict):
+    """Union ``state_ds`` (columns [key, *state_cols]) into ``events``
+    with typed-Arrow null padding: each hash bucket then receives its
+    own keys' seeds. Adds ``_st_<col>`` columns + a ``_state_row``
+    flag."""
+    import pyarrow.compute as pc
+
+    ev_cols = list(ev_types)
+    key_type = ev_types.get(key, pa.string())
+
+    def pad_events(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        n = t.num_rows
+        t = t.select(ev_cols)  # canonical order for union
+        for c in state_cols:
+            t = t.append_column(f"_st_{c}", pa.nulls(n, pa.int64()))
+        return t.append_column(
+            "_state_row", pa.array([False] * n, pa.bool_())
+        )
+
+    def pad_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrays, names = [], []
+        for c in ev_cols:
+            if c == key:
+                arrays.append(
+                    pc.cast(t[key].combine_chunks(), key_type, safe=False)
+                )
+            else:
+                arrays.append(pa.nulls(n, ev_types[c]))
+            names.append(c)
+        for c in state_cols:
+            arrays.append(pc.cast(t[c].combine_chunks(), pa.int64()))
+            names.append(f"_st_{c}")
+        arrays.append(pa.array([True] * n, pa.bool_()))
+        names.append("_state_row")
+        return pa.table(dict(zip(names, arrays)))
+
+    return events.map_batches(
+        pad_events, batch_format="pyarrow"
+    ).union(state_ds.map_batches(pad_state, batch_format="pyarrow"))
+
+
+def take_state_rows(g: pd.DataFrame,
+                    state_cols: list[str]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Inside a per-bucket fn: split a ``union_state_rows`` frame into
+    (state rows [key + _st_*], data-only frame) — each op builds its
+    own seed mapping from the state rows (their key shapes differ)."""
+    smask = g["_state_row"].fillna(False).astype(bool).to_numpy()
+    srows = g[smask]
+    g = g[~smask].drop(
+        columns=[f"_st_{c}" for c in state_cols] + ["_state_row"]
+    )
+    return srows, g
+
+
+def pack_rows_state(rows_df: pd.DataFrame, state_df: pd.DataFrame,
+                    ev_types: dict, key: str, state_cols: list[str],
+                    flag: str) -> pa.Table:
+    """Build the emit_state="both" output: kept rows (typed, state
+    columns null) + state rows (key + state columns, other event
+    columns typed-null), flagged by ``flag``. Typed Arrow throughout —
+    a pandas concat would float-promote int columns on the null-padded
+    side."""
+    ev_cols = list(ev_types)
+    arrays = [
+        pa.Array.from_pandas(rows_df[c], type=ev_types[c]) for c in ev_cols
+    ]
+    arrays += [pa.nulls(len(rows_df), pa.int64()) for _ in state_cols]
+    arrays.append(pa.array([False] * len(rows_df), pa.bool_()))
+    names = ev_cols + list(state_cols) + [flag]
+    rows_t = pa.table(dict(zip(names, arrays)))
+    sarrays = []
+    for c in ev_cols:
+        if c == key:
+            sarrays.append(
+                pa.Array.from_pandas(state_df[key], type=ev_types[key])
+            )
+        else:
+            sarrays.append(pa.nulls(len(state_df), ev_types[c]))
+    sarrays += [pa.array(state_df[c], pa.int64()) for c in state_cols]
+    sarrays.append(pa.array([True] * len(state_df), pa.bool_()))
+    state_t = pa.table(dict(zip(names, sarrays)))
+    return pa.concat_tables([rows_t, state_t])
+
+
+def split_rows_state(both, key: str, state_cols: list[str], flag: str):
+    """Split an emit_state="both" Dataset into (rows, state). Cheap
+    map_batches filters — run on a MATERIALIZED ``both`` so the stage
+    executes once for the pair."""
+    import pyarrow.compute as pc
+
+    def rows_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.fill_null(t[flag], False)))
+        return t.drop_columns(list(state_cols) + [flag])
+
+    def state_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(t[flag], False))
+        return t.select([key, *state_cols])
+
+    return (
+        both.map_batches(rows_part, batch_format="pyarrow"),
+        both.map_batches(state_part, batch_format="pyarrow"),
+    )
+
+
 def _with_bucket(ds, key: str, buckets: int, side: str,
                  all_types: dict | None = None):
     """Tag side + bucket and emit a TYPED ARROW block carrying the full

@@ -63,14 +63,14 @@ def dissect_proc(cfg: dict):
             old = get_col(t, out_name)
             if old is not None:
                 old_a = old.combine_chunks()
-                try:
-                    if old_a.type != arr.type:
-                        old_a = pc.cast(old_a, arr.type)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    # incompatible prior column: merge in string space so
-                    # failed-parse rows still KEEP their old values
-                    # ("event untouched on failure") instead of being
-                    # wiped by a wholesale replace
+                if old_a.type != arr.type:
+                    # mismatched prior column type: merge in STRING
+                    # space unconditionally — deciding by whether the
+                    # values happen to cast would make the output dtype
+                    # value-dependent per batch (mixed block schemas in
+                    # one Dataset); string keeps failed-parse rows'
+                    # old values ("event untouched on failure") with a
+                    # type that depends only on the input schema
                     old_a = pc.cast(old_a, pa.string())
                     arr = pc.cast(arr, pa.string())
                 existing = pc.is_valid(old_a)

@@ -240,47 +240,21 @@ def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32,
         # "both": survivors + state rows in one typed Arrow table.
         # Survivors ARE the new-id rows (one per id, first occurrence),
         # so the state part mirrors them with only (id, last_us) set.
-        ev_cols = list(both_types)
-        arrays = [
-            pa.Array.from_pandas(g[c], type=both_types[c]) for c in ev_cols
-        ]
-        arrays += [
-            pa.nulls(len(g), pa.int64()),
-            pa.array([False] * len(g), pa.bool_()),
-        ]
-        names = ev_cols + ["last_us", "_dd_state"]
-        rows_t = pa.table(dict(zip(names, arrays)))
-        sarrays = [
-            pa.Array.from_pandas(g[id_col], type=both_types[id_col])
-            if c == id_col else pa.nulls(len(g), both_types[c])
-            for c in ev_cols
-        ]
-        sarrays += [
-            pa.array(last_us, pa.int64()),
-            pa.array([True] * len(g), pa.bool_()),
-        ]
-        state_t = pa.table(dict(zip(names, sarrays)))
-        return pa.concat_tables([rows_t, state_t])
+        from .dataops.joins import pack_rows_state
+
+        state_df = pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "last_us": last_us}
+        )
+        return pack_rows_state(
+            g, state_df, both_types, id_col, ["last_us"], "_dd_state"
+        )
 
     return map_buckets(routed_ds, id_col, keep_first, buckets=buckets)
 
 
 def dd_split(both, id_col: str):
     """Split a ``dedup_by_doc_id(..., emit_state="both")`` output into
-    (survivor-rows Dataset, state Dataset). Run on a MATERIALIZED
-    ``both`` so the stage executes once for the pair."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    (survivor-rows Dataset, state Dataset)."""
+    from .dataops.joins import split_rows_state
 
-    def rows_part(t: "pa.Table") -> "pa.Table":
-        t = t.filter(pc.invert(pc.fill_null(t["_dd_state"], False)))
-        return t.drop_columns(["last_us", "_dd_state"])
-
-    def state_part(t: "pa.Table") -> "pa.Table":
-        t = t.filter(pc.fill_null(t["_dd_state"], False))
-        return t.select([id_col, "last_us"])
-
-    return (
-        both.map_batches(rows_part, batch_format="pyarrow"),
-        both.map_batches(state_part, batch_format="pyarrow"),
-    )
+    return split_rows_state(both, id_col, ["last_us"], "_dd_state")

@@ -171,10 +171,26 @@ class MicroBatchRunner:
         from .sinks import dedup_by_doc_id
 
         stages_cfg = (config or {}).get("stages", [])
-        stage_names = [
-            next(iter(s)) if isinstance(s, dict) and len(s) == 1 else None
-            for s in stages_cfg
-        ]
+        # validate the FULL stage list eagerly (checks.go behaviour):
+        # the stateful window path applies stages itself with
+        # skip_stages=True, so apply_stages' own validation never runs
+        # — without this a malformed entry would silently drop every
+        # stage after it instead of raising
+        from .pipeline import STAGE_REGISTRY
+
+        for s in stages_cfg:
+            if not isinstance(s, dict) or len(s) != 1:
+                raise ValueError(
+                    f"stage spec must be a single-key mapping like "
+                    f"'- rate_limit: {{k: 3}}', got: {s!r}"
+                )
+            sname = next(iter(s))
+            if sname not in STAGE_REGISTRY:
+                raise ValueError(
+                    f"unknown stage {sname!r}; available: "
+                    f"{sorted(STAGE_REGISTRY)}"
+                )
+        stage_names = [next(iter(s)) for s in stages_cfg]
         tb_idx = [
             i for i, n in enumerate(stage_names) if n in STATEFUL_STAGES
         ]
@@ -393,9 +409,7 @@ class MicroBatchRunner:
                 cur = pre_ds.materialize()
                 next_state: dict[int, object] = {}
                 for i, spec in enumerate(stages_cfg):
-                    if not isinstance(spec, dict) or len(spec) != 1:
-                        break  # apply_stages already raised eagerly
-                    (name, cfg_i), = spec.items()
+                    (name, cfg_i), = spec.items()  # validated at run start
                     if name == "dedup":
                         dkw = dedup_stage_kwargs(cfg_i or {})
                         prev_st = _as_state_ds(tb_state.get(i))

@@ -158,7 +158,7 @@ def test_ivf_fit_sample_is_layout_unbiased(ray_session):
         [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)],
         override_num_blocks=16,
     )
-    sample = _fit_sample_df(ds, 512)
+    sample, _ = _fit_sample_df(ds, 512)
     assert 128 <= len(sample) <= 1024  # ~512 expected, hash-binomial
     ids = sample["vec_id"].to_numpy()
     # spread across layout: first and last thirds both represented

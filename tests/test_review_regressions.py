@@ -1,6 +1,8 @@
 """Regression tests for the round-1 code-review findings — each case
 previously crashed a whole batch or silently produced wrong results."""
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -663,3 +665,105 @@ def test_format_string_null_value_renders_like_missing():
     assert compile_format_string("logs-%{[app]:other}")(t).to_pylist() == [
         "logs-web", "logs-other",
     ]
+
+
+def test_stream_runner_validates_stage_specs_eagerly(ray_session, tmp_path):
+    """Review regression: the stateful window path applies stages with
+    skip_stages=True, so apply_stages' validation never runs — the
+    runner must validate the FULL stage list itself instead of silently
+    dropping everything after a malformed entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beats_ray.schema import TRANSCRIPT_SCHEMA
+    from beats_ray.stream import MicroBatchRunner
+
+    f = str(tmp_path / "part-0.parquet")
+    pq.write_table(pa.table({
+        "conv_id": ["c0"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": ["x"], "tool": ["none"],
+        "ts": pa.array([pd.Timestamp("2024-05-01")], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA), f)
+    bad = {"processors": [],
+           "stages": [{"dedup": {"field": "conv_id"}}, "typo-entry"],
+           "routes": [{"name": "default"}]}
+    with pytest.raises(ValueError, match="single-key mapping"):
+        MicroBatchRunner(str(tmp_path / "o"), window_s=3600).run([f], bad)
+    bad2 = {"processors": [],
+            "stages": [{"nope": {}}], "routes": [{"name": "default"}]}
+    with pytest.raises(ValueError, match="unknown stage"):
+        MicroBatchRunner(str(tmp_path / "o2"), window_s=3600).run([f], bad2)
+
+
+def test_lsh_all_miss_batches_keep_schema(ray_session):
+    """Review regression: blocks whose vectors hash outside every
+    probed bucket must still emit int64/float64-typed (empty) frames,
+    not float64 object-built ones — mixed block schemas otherwise."""
+    import ray.data as rd
+
+    from beats_ray.dataops.ann import lsh_topk
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(256, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(256)],
+        override_num_blocks=16,
+    )
+    out = lsh_topk(ds, vecs[:2], k=3, n_planes=10, n_probe=1)
+    assert str(out["vec_id"].dtype) in ("int64", "Int64")
+    assert len(out) <= 6
+
+
+def test_avi_top_down_dib_and_zero_fps():
+    """Review regressions: negative biHeight (top-down DIB) must not be
+    vertically mirrored; fps==0 raises cleanly instead of dividing."""
+    import struct
+
+    from beats_ray.dataops.codecs import decode_avi, encode_avi
+
+    fr = (np.arange(2 * 4 * 4) % 256).astype(np.uint8).reshape(2, 4, 4)
+    enc = bytearray(encode_avi(fr, fps=5))
+    # flip biHeight negative + reverse each frame's rows in place: the
+    # decoded result must equal the original frames
+    strf_at = enc.find(b"strf") + 8
+    w, h = struct.unpack_from("<ii", enc, strf_at + 4)
+    struct.pack_into("<i", enc, strf_at + 8, -h)
+    stride = (3 * w + 3) // 4 * 4
+    pos = enc.find(b"00db")
+    while pos != -1:
+        size = struct.unpack_from("<I", enc, pos + 4)[0]
+        body = pos + 8
+        rows = np.frombuffer(bytes(enc[body:body + size]),
+                             dtype=np.uint8).reshape(h, stride)
+        enc[body:body + size] = rows[::-1].tobytes()
+        pos = enc.find(b"00db", body + size)
+    dec, fps = decode_avi(bytes(enc))
+    want = np.repeat(fr[..., None], 3, axis=3)
+    assert fps == 5 and (dec == want).all()
+
+    # fps == 0 (dwRate < dwScale): clean ValueError
+    enc2 = bytearray(encode_avi(fr, fps=5))
+    strh_at = enc2.find(b"strh") + 8
+    struct.pack_into("<II", enc2, strh_at + 20, 10, 5)  # scale>rate
+    with pytest.raises(ValueError, match="no video stream"):
+        decode_avi(bytes(enc2))
+
+
+def test_dissect_mismatched_prior_type_is_schema_stable():
+    """Review regression: with a prior column of a DIFFERENT type, the
+    merge must land in string space for every batch — whether or not
+    the values happen to cast — so one Dataset never mixes int64 and
+    string blocks for the same column."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"dissect": {"tokenizer": "n=%{id|integer}",
+                                     "overwrite_keys": True}})
+    # castable prior values ("9") and uncastable ("old") must yield the
+    # SAME column type (string)
+    t1 = p(pa.table({"text": ["n=7"], "dissect.id": ["9"]}))
+    t2 = p(pa.table({"text": ["n=7"], "dissect.id": ["old"]}))
+    assert t1["dissect.id"].type == t2["dissect.id"].type == pa.string()
+    # equal prior type stays typed
+    t3 = p(pa.table({"text": ["n=7"],
+                     "dissect.id": pa.array([9], pa.int64())}))
+    assert t3["dissect.id"].type == pa.int64()
