@@ -38,7 +38,6 @@ future state). Per stage:
   carried set with window-granular expiry (an id expires at the first
   window boundary past first_seen + ttl); without it the state grows
   with distinct ids, exactly like the ES index does.
-
 - ``rate_limit``: admitted counts for rate windows that SPAN the
   micro-batch boundary (key, win, cnt); fully-ended windows GC. Exact
   across boundaries when ``order_col`` order is consistent with
