@@ -794,6 +794,22 @@ def q_embed_dup_pairs(sf_dir: str):
     return out[["a", "b"]].astype("int64")
 
 
+def q_embed_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERING (iterative graph op): connected components
+    over the exact cosine dup-pair graph — min-label propagation via
+    bucket joins, one label per node, nothing adjacency-shaped on the
+    driver. Oracle: recursive-CTE transitive closure over the same
+    all-pairs similarity join."""
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+    from beats_ray.dataops.graph import connected_components
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
+    nodes = _table(sf_dir, "embeddings", ["vec_id"])
+    out = connected_components(edges, nodes, node_col="vec_id")
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str):
     """Image decode → feature extraction over the deterministic media
     corpus. Output = integer pixel evidence (count + sum); the oracle
@@ -1371,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_dup_clusters": q_embed_dup_clusters,
         # multimodal plumbing
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
@@ -2213,6 +2230,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
             QUALIFY rank <= 10""",
+        # iterative clustering → recursive-CTE transitive closure
+        "embed_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+              WHERE list_cosine_similarity(
+                      CAST(l.embedding AS DOUBLE[]),
+                      CAST(r.embedding AS DOUBLE[])) >= 0.35
+            ), sym AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ), reach(node, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS vec_id,
+                   CAST(MIN(lab) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node""",
         # exact similarity join → all-pairs ground truth
         "embed_dup_pairs": """
             SELECT l.vec_id AS a, r.vec_id AS b

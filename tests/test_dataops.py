@@ -876,3 +876,47 @@ def test_lsh_multiprobe_recall_reasonable(ray_session):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5
+
+
+def test_connected_components_chain_and_isolates(ray_session):
+    """Label chasing converges in O(log diameter): a 64-chain (the
+    plain-propagation worst case) resolves to one cluster; isolated
+    nodes keep their own id; per-round block count stays bounded."""
+    from beats_ray.dataops.graph import (
+        connected_components,
+        dup_cluster_survivors,
+    )
+
+    edges = rd.from_pandas(
+        pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
+    )
+    nodes = rd.from_pandas(pd.DataFrame({"id": list(range(64)) + [99]}))
+    out = (
+        connected_components(edges, nodes, buckets=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out[out["id"] < 64]["cluster_id"].eq(0).all()
+    assert out[out["id"] == 99]["cluster_id"].eq(99).all()
+
+    surv = sorted(
+        dup_cluster_survivors(edges, nodes, buckets=4)
+        .to_pandas()["id"]
+        .tolist()
+    )
+    assert surv == [0, 99]
+
+
+def test_connected_components_triangle_plus_pair(ray_session):
+    from beats_ray.dataops.graph import connected_components
+
+    edges = rd.from_pandas(pd.DataFrame({"a": [1, 2, 5], "b": [0, 1, 6]}))
+    nodes = rd.from_pandas(pd.DataFrame({"id": [0, 1, 2, 5, 6, 9]}))
+    out = (
+        connected_components(edges, nodes, buckets=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["cluster_id"].tolist() == [0, 0, 0, 5, 5, 9]
