@@ -1733,7 +1733,10 @@ def oracle_sql() -> dict[str, str]:
     path = transcripts_dir(0.01) + "/part-*.parquet"
     punct = "[!\\\"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
     stop_rx = r"\b(the|and|of|a|to|in|is|for|on|it)\b"
-    bpe_rx = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    # explicit ASCII class == RE2 \s (Python's unicode \s diverges);
+    # identical values in RE2 before/after, but keeps both sides synced
+    # to beats_ray.dataops.textstats.BPE_TOKEN
+    bpe_rx = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
     return {
         "route_counts": tr + "SELECT sink, COUNT(*) AS n FROM r GROUP BY sink",
         "routed_rows": tr + "SELECT conv_id, turn_idx, sink, text FROM r",

@@ -80,10 +80,16 @@ def dns_cache_replay(events, key: str = "query", ts_col: str = "ts",
         table = _resolve_ref(res_ref)
         g = g.sort_values([key, ts_col, order_col], kind="mergesort")
         tus = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        # normalize missing keys to one canonical value: NaN != NaN
-        # would reset the chain every row, and None == the loop sentinel
-        # would skip the first key's initialization
-        keys = g[key].where(pd.notna(g[key]), None).to_numpy()
+        # normalize keys to one canonical form: (a) missing → None —
+        # via object dtype, since .where on a FLOAT column keeps NaN
+        # and NaN != NaN would reset the chain every row; (b) non-str →
+        # str, because the zone dict's keys were str()-coerced in
+        # _normalize_resolutions (an int64 query column would otherwise
+        # never match its own zone entry)
+        canon = g[key].astype(object).where(pd.notna(g[key]), None).map(
+            lambda v: v if v is None or isinstance(v, str) else str(v)
+        )
+        keys = canon.to_numpy()
         hit = np.zeros(len(g), dtype=bool)
         prev: object = _NO_KEY
         expiry = np.iinfo(np.int64).min
@@ -100,10 +106,11 @@ def dns_cache_replay(events, key: str = "query", ts_col: str = "ts",
             else:
                 expiry = tus[i] + ttl  # fresh lookup installs an entry
         out = g.copy()
-        out["answer"] = out[key].map(
+        out["answer"] = canon.map(
             lambda q: table[q][0] if q in table else None
-        )
-        out["status"] = np.where(out[key].isin(table), "OK", "NXDOMAIN")
+        ).to_numpy()
+        out["status"] = np.where(canon.isin(table).to_numpy(),
+                                 "OK", "NXDOMAIN")
         out["cache"] = np.where(hit, "hit", "miss")
         return out
 

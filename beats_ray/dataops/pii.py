@@ -29,7 +29,9 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def mask_pii(ds, field: str = "text", patterns=None, target: str | None = None):
-    pats = patterns or PII_PATTERNS
+    # explicit [] means "no masking" (e.g. materialize the target
+    # column unchanged) — only None selects the default chain
+    pats = PII_PATTERNS if patterns is None else patterns
     out_col = target or field
 
     def mask(t: pa.Table) -> pa.Table:
@@ -52,7 +54,12 @@ def top_words(docs, field: str = "text", k: int = 20, min_len: int = 1):
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[field].combine_chunks(), ""))
         words = pc.list_flatten(pc.split_pattern_regex(text, pattern=r"\s+"))
-        words = words.filter(pc.greater_equal(pc.utf8_length(words), min_len))
+        # max(min_len, 1): ''-tokens from leading whitespace / empty
+        # texts are split artifacts, never vocabulary — min_len=0 must
+        # not promote '' into the top-k list
+        words = words.filter(
+            pc.greater_equal(pc.utf8_length(words), max(min_len, 1))
+        )
         flat = pa.table({"word": words})
         g = flat.group_by(["word"]).aggregate([([], "count_all")])
         return g.rename_columns(["word", "n"])

@@ -97,7 +97,14 @@ def fit_bigram_model(docs, text_col: str = "text", model_k: int = 10_000):
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
     )
-    return top_k_by(counts, "n", "bigram", model_k).to_pandas()
+    model = top_k_by(counts, "n", "bigram", model_k).to_pandas()
+    if "bigram" not in model.columns:
+        # no doc had >= 2 tokens: an empty Dataset's to_pandas() loses
+        # column names — return a typed empty model so scoring reads an
+        # empty vocabulary instead of raising KeyError
+        model = pd.DataFrame({"bigram": pd.Series(dtype="string"),
+                              "n": pd.Series(dtype="int64")})
+    return model
 
 
 def bigram_coverage(docs, text_col: str = "text", model_k: int = 10_000):

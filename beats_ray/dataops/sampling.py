@@ -121,30 +121,39 @@ def pack_sequences(docs, budget: int, buckets: int = 16,
     token bucket) — one tight loop per bucket, buckets in parallel."""
     from .agg import map_buckets
 
-    def tokens_of(df: pd.DataFrame) -> pd.Series:
-        from .dedup import ws_tokens
-
-        # ASCII \s tokenizer — identical to the recursive-CTE oracle
-        return (
-            df[text_col].fillna("").map(lambda t: len(ws_tokens(t)))
-            .astype("int64")
-        )
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key: df[key].astype("int64"),
-                "bucket": (df[key].astype("int64") % buckets),
-                "n_tokens": tokens_of(df),
-            }
-        )
-
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = _assign_bins(g, budget, key)
         return g[[key, "bucket", "bin_id", "n_tokens"]]
 
-    tagged = docs.map_batches(add_bucket, batch_format="pandas")
+    tagged = docs.map_batches(
+        lambda df: _tag_pack_input(df, key, text_col, buckets),
+        batch_format="pandas",
+    )
     return map_buckets(tagged, "bucket", pack, buckets=buckets)
+
+
+def _tag_pack_input(df: pd.DataFrame, key: str, text_col: str,
+                    buckets: int, keep_text: bool = False) -> pd.DataFrame:
+    """Shared pack-stage input tagging (pack_sequences AND
+    pack_and_concat — one place to keep the tokenizer oracle-synced):
+    (key, bucket = key % buckets, n_tokens via the ASCII ws_tokens
+    splitter the recursive-CTE oracle replays; text kept only for the
+    concat variant)."""
+    from .dedup import ws_tokens
+
+    out = pd.DataFrame(
+        {
+            key: df[key].astype("int64"),
+            "bucket": (df[key].astype("int64") % buckets),
+            "n_tokens": (
+                df[text_col].fillna("").map(lambda t: len(ws_tokens(t)))
+                .astype("int64")
+            ),
+        }
+    )
+    if keep_text:
+        out[text_col] = df[text_col].fillna("").to_numpy()
+    return out
 
 
 def _assign_bins(g: pd.DataFrame, budget: int, key: str) -> pd.DataFrame:
@@ -186,22 +195,6 @@ def pack_and_concat(docs, budget: int, buckets: int = 16,
     n_docs, n_tokens, text)."""
     from .agg import map_buckets
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        from .dedup import ws_tokens
-
-        toks = (
-            df[text_col].fillna("").map(lambda t: len(ws_tokens(t)))
-            .astype("int64")
-        )
-        return pd.DataFrame(
-            {
-                key: df[key].astype("int64"),
-                "bucket": (df[key].astype("int64") % buckets),
-                "n_tokens": toks,
-                text_col: df[text_col].fillna(""),
-            }
-        )
-
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = _assign_bins(g, budget, key)
         out = (
@@ -216,5 +209,9 @@ def pack_and_concat(docs, budget: int, buckets: int = 16,
         out["n_tokens"] = out["n_tokens"].astype("int64")
         return out
 
-    tagged = docs.map_batches(add_bucket, batch_format="pandas")
+    tagged = docs.map_batches(
+        lambda df: _tag_pack_input(df, key, text_col, buckets,
+                                   keep_text=True),
+        batch_format="pandas",
+    )
     return map_buckets(tagged, "bucket", pack, buckets=buckets)

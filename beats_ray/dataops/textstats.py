@@ -16,11 +16,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# Shared regex definitions — the DuckDB oracle uses the same patterns
-# (RE2 & Python `re` agree on these constructs).
+# Shared regex definitions — the DuckDB oracle inlines the same pattern
+# strings, so their SEMANTICS must match across RE2 and Python `re`:
+# RE2's \s is the ASCII [ \t\n\f\r] while Python's is unicode (adds
+# \x0b, \xa0, …), so the token pattern spells the class out explicitly;
+# RE2's \b is ASCII, so the Python side compiles with re.ASCII.
 PUNCT_CLASS = "[" + re.escape(string.punctuation) + "]"
-WS_SPLIT = r"[ \t\n\f\r]+"  # RE2 \s class — oracle parity (see dedup.ws_tokens)
-BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "for", "on", "it")
 STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
@@ -32,7 +34,10 @@ class TokenStats:
     def __init__(self):
         self.punct = re.compile(PUNCT_CLASS)
         self.bpe = re.compile(BPE_TOKEN)
-        self.stop = re.compile(STOPWORD_RE)
+        # re.ASCII: \b must mean RE2's ASCII word boundary, or accented
+        # text diverges from the oracle ("theé": RE2 matches, a
+        # unicode \b does not)
+        self.stop = re.compile(STOPWORD_RE, re.ASCII)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")

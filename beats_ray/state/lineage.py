@@ -139,12 +139,17 @@ class CheckpointRunner:
             num_parts = len(input_files)
         pending = self.pending(input_files)
         self.clean_incomplete(pending)
+        # clamp ONCE: commit_every=0 with a clamped step but an
+        # unclamped slice produced all-empty groups (read_parquet([])
+        # crash after the attempts bump)
+        commit_every = max(1, commit_every)
         groups = [
             pending[i : i + commit_every]
-            for i in range(0, len(pending), max(1, commit_every))
+            for i in range(0, len(pending), commit_every)
         ]
         if fail_after_write and fail_group is None:
             fail_group = 0
+        total_rows_in = 0
         for gi, group in enumerate(groups):
             # attempts bump per GROUP at group start: files in groups
             # never reached before a crash keep attempt 0
@@ -157,6 +162,7 @@ class CheckpointRunner:
             for f in group:
                 pid = _pid_of(f)
                 rows_in = pq.ParquetFile(f).metadata.num_rows
+                total_rows_in += rows_in
                 part_dir = self.out_dir / f"part_id={_pid_num(pid)}"
                 rec = {
                     "partition_id": pid,
@@ -173,10 +179,10 @@ class CheckpointRunner:
         wall = time.time() - t_start
         metrics["wall_s"] = round(wall, 3)
         if wall > 0 and pending:
-            processed = sum(
-                pq.ParquetFile(f).metadata.num_rows for f in pending
-            )
-            metrics["rows_per_sec"] = round(processed / wall, 1)
+            # accumulated in the commit loop — at 100k-partition scale a
+            # second footer pass over every input would double the
+            # metadata IO for a single scalar
+            metrics["rows_per_sec"] = round(total_rows_in / wall, 1)
         return metrics
 
 

@@ -920,3 +920,85 @@ def test_connected_components_triangle_plus_pair(ray_session):
         .reset_index(drop=True)
     )
     assert out["cluster_id"].tolist() == [0, 0, 0, 5, 5, 9]
+
+
+def test_token_stats_regexes_match_re2_on_unicode_edges():
+    """Review regression: Python-unicode \\s and \\b diverge from the
+    RE2 oracle on \\x0b / \\xa0 / accented text — the shared pattern
+    constants must produce IDENTICAL counts in both engines."""
+    import re
+
+    import duckdb
+
+    from beats_ray.dataops.textstats import BPE_TOKEN, STOPWORD_RE
+
+    texts = ["a\x0bb", "a\xa0b", "theé cat", "the cat", "", "x  y"]
+    con = duckdb.connect()
+    bpe = re.compile(BPE_TOKEN)
+    stop = re.compile(STOPWORD_RE, re.ASCII)
+    for t in texts:
+        n_py = len(bpe.findall(t))
+        n_sql = con.execute(
+            "SELECT length(regexp_extract_all(?, ?))", [t, BPE_TOKEN]
+        ).fetchone()[0]
+        assert n_py == n_sql, (t, n_py, n_sql)
+        s_py = len(stop.findall(t.lower()))
+        s_sql = con.execute(
+            "SELECT length(regexp_extract_all(lower(?), ?))",
+            [t, STOPWORD_RE],
+        ).fetchone()[0]
+        assert s_py == s_sql, (t, s_py, s_sql)
+
+
+def test_dns_cache_numeric_and_null_keys(ray_session):
+    """Review regressions: (a) an int64 query column must match its
+    str()-coerced zone entry; (b) null keys on a FLOAT column must
+    normalize (NaN != NaN would reset the replay chain every row, so
+    repeated null-key events within the failure TTL must be hits)."""
+    from beats_ray.dataops.dnscache import dns_cache_replay
+
+    base = pd.Timestamp("2024-05-01")
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "query": pd.array([123, 123, None, None], dtype="float64"),
+        "ts": [base + pd.Timedelta(seconds=s) for s in (0, 10, 20, 30)],
+    }))
+    out = dns_cache_replay(
+        ev, resolutions={123.0: "10.0.0.1"},
+        success_ttl_s=300, failure_ttl_s=300, buckets=2,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["status"].tolist() == ["OK", "OK", "NXDOMAIN", "NXDOMAIN"]
+    assert out["answer"].tolist()[:2] == ["10.0.0.1", "10.0.0.1"]
+    # 2nd occurrence of each key within TTL = cache hit
+    assert out["cache"].tolist() == ["miss", "hit", "miss", "hit"]
+
+
+def test_bigram_model_empty_corpus_is_empty_not_keyerror(ray_session):
+    from beats_ray.dataops.quality import bigram_coverage
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["single", ""],  # no doc has 2 tokens
+    }))
+    out = bigram_coverage(docs).to_pandas().sort_values("doc_id")
+    assert out["n_bigrams"].tolist() == [0, 0]
+    assert out["n_in_model"].tolist() == [0, 0]
+
+
+def test_mask_pii_explicit_empty_patterns_is_noop(ray_session):
+    from beats_ray.dataops.pii import mask_pii
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"text": ["mail me: a@b.com"]}
+    ))
+    out = mask_pii(docs, patterns=[]).to_pandas()
+    assert out["text"].tolist() == ["mail me: a@b.com"]
+
+
+def test_top_words_min_len_zero_drops_empty_tokens(ray_session):
+    from beats_ray.dataops.pii import top_words
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"text": ["  leading space", "", "  x"]}
+    ))
+    words = top_words(docs, k=10, min_len=0)["word"].tolist()
+    assert "" not in words and "x" in words
