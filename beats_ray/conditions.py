@@ -206,17 +206,31 @@ def compile_condition(spec: dict) -> Condition:
                     vals = col.to_pylist()
                     memo: dict[str | None, bool] = {}
                     bits = np.zeros(len(vals), dtype=bool)
+
+                    def one(v) -> bool:
+                        try:
+                            if v in memo:
+                                return memo[v]
+                        except TypeError:  # unhashable (non-list) value
+                            return False
+                        try:
+                            addr = ipaddress.ip_address(v)
+                            hit = any(addr in n for n in include)
+                            if not hit and has_public:
+                                hit = not any(addr in n for n in exclude)
+                        except (ValueError, TypeError):
+                            hit = False
+                        memo[v] = hit
+                        return hit
+
                     for idx, v in enumerate(vals):
-                        if v not in memo:
-                            try:
-                                addr = ipaddress.ip_address(v)
-                                hit = any(addr in n for n in include)
-                                if not hit and has_public:
-                                    hit = not any(addr in n for n in exclude)
-                                memo[v] = hit
-                            except (ValueError, TypeError):
-                                memo[v] = False
-                        bits[idx] = memo[v]
+                        if isinstance(v, (list, tuple)):
+                            # ECS array field (e.g. related.ip): match
+                            # if ANY member matches — and never crash
+                            # the batch on the unhashable list value
+                            bits[idx] = any(one(x) for x in v)
+                        else:
+                            bits[idx] = one(v)
                     m = pa.array(bits)
                 mask = m if mask is None else pc.and_(mask, m)
             return mask if mask is not None else _false(t.num_rows)

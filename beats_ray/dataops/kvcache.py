@@ -56,12 +56,20 @@ def cache_put_get(ops, key: str = "k", value_col: str = "v",
             pc.cast(t[ts_col].combine_chunks(), pa.timestamp("s"), safe=False),
             pa.int64(),
         )
+        val = t[value_col].combine_chunks()
+        if value_kind == "str" and not pa.types.is_string(val.type):
+            # cast BEFORE the join: typed-null padding would promote an
+            # int64 value column to float64 in the per-bucket pandas
+            # frames and a cached 7 would resolve as "7.0" (Arrow's
+            # int->string cast renders "7"). String-kind equal-ts ties
+            # then break lexicographically — documented behaviour.
+            val = pc.cast(val, pa.string())
         return pa.table(
             {
                 key: t[key],
                 ts_col: t[ts_col],
                 "_state_op": t[op_col],
-                "_state_v": t[value_col],
+                "_state_v": val,
                 "_state_ts_s": sec,
             }
         )

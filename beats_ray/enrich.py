@@ -84,7 +84,14 @@ class LookupEnricher:
 # read→parse→enrich→route→write fuses into ONE operator. Use the actor
 # pool when setup is genuinely heavy (models, remote indexes, caches
 # with TTL — the dns/cache/translate_* class of processors).
-_WORKER_CACHE: dict = {}
+# CAPPED LRU (shared with joins._resolve_ref's cache discipline): the
+# worker process outlives the stage, so an uncapped dict keyed by ref
+# identity would accumulate one resolved lookup pair per pipeline run
+# for the worker's lifetime.
+from collections import OrderedDict
+
+_WORKER_CACHE: "OrderedDict" = OrderedDict()
+_WORKER_CACHE_MAX = 8
 
 
 def enrich_batch(t: pa.Table, tool_ref=None, role_ref=None) -> pa.Table:
@@ -92,7 +99,11 @@ def enrich_batch(t: pa.Table, tool_ref=None, role_ref=None) -> pa.Table:
     # worker processes with DIFFERENT broadcast tables must not see
     # each other's lookups
     key = ("lookups", str(tool_ref), str(role_ref))
-    if key not in _WORKER_CACHE:
+    if key in _WORKER_CACHE:
+        _WORKER_CACHE.move_to_end(key)
+    else:
+        while len(_WORKER_CACHE) >= _WORKER_CACHE_MAX:
+            _WORKER_CACHE.popitem(last=False)
         _WORKER_CACHE[key] = (
             _resolve(tool_ref) if tool_ref is not None else tool_lookup_table(),
             _resolve(role_ref) if role_ref is not None else role_lookup_table(),

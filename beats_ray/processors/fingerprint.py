@@ -35,17 +35,38 @@ def _named(name: str):
 
 def concat_fields(t: pa.Table, fields: list[str], sep: str = "|") -> pa.Array:
     """Deterministic ordered concatenation of field values
-    (fingerprint hashes fields in config order, fingerprint.go:72)."""
-    pieces = []
+    (fingerprint hashes fields in config order, fingerprint.go:72).
+
+    Each value is encoded as a LENGTH-PREFIXED unit ``<bytelen>:<value>``
+    (null → ``-:``, distinct from empty ``0:``) before joining — the
+    encoding is prefix-free, so two DIFFERENT field tuples can never
+    concatenate to the same string (a raw '|' join let
+    ('x|y', 'z') and ('x', 'y|z') collide — and fingerprint/add_id
+    outputs are the engine's exact-dedup keys)."""
+    if not fields:
+        raise ValueError("fingerprint/add_id/timeseries need >= 1 field")
+    cols = []
     for f in fields:
         col = get_col(t, f)
         if col is None:
-            pieces.append(pa.nulls(t.num_rows, pa.string()).fill_null(""))
-            continue
-        col = col.combine_chunks()
-        if not pa.types.is_string(col.type):
-            col = pc.cast(col, pa.string())
-        pieces.append(pc.fill_null(col, ""))
+            col = pa.nulls(t.num_rows, pa.string())
+        else:
+            col = col.combine_chunks()
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+        cols.append(col)
+    if len(cols) == 1:
+        # a single field has no concatenation ambiguity: hash the raw
+        # value (oracle parity: md5(text))
+        return pc.fill_null(cols[0], "")
+    pieces = [
+        pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(pc.binary_length(col), pa.string()), "-"),
+            pc.fill_null(col, ""),
+            ":",
+        )
+        for col in cols
+    ]
     return pc.binary_join_element_wise(*pieces, sep)
 
 
@@ -77,6 +98,9 @@ def fingerprint(cfg: dict):
     methods md5/sha1/sha256/sha384/sha512 (fingerprint/hash.go), encodings
     hex/base32/base64 (config.go:23-36)."""
     fields = cfg.get("fields", [])
+    if not fields:
+        # fail at BUILD time (checks.go behaviour), not inside a worker
+        raise ValueError("fingerprint: 'fields' must list >= 1 field")
     method = cfg.get("method", "sha256")
     encoding = cfg.get("encoding", "hex")
     target = cfg.get("target_field", "fingerprint")
@@ -110,6 +134,8 @@ def timeseries(cfg: dict):
     """timeseries.instance hash from dimension fields
     (timeseries/timeseries.go:68)."""
     fields = cfg.get("fields", [])
+    if not fields:
+        raise ValueError("timeseries: 'fields' must list >= 1 field")
 
     @_named("timeseries")
     def run(t: pa.Table) -> pa.Table:

@@ -31,8 +31,14 @@ def line_reader_chain(ds, max_bytes: int = 10 * 1024 * 1024):
 
     def chain(t: pa.Table) -> pa.Table:
         text = pc.fill_null(t["text"].combine_chunks(), "")
-        # strip trailing newline/CR (read_text usually pre-strips \n)
-        text = pc.utf8_rtrim(text, characters="\r\n")
+        # strip exactly ONE line terminator (readfile/line.go frames a
+        # single \n / \r\n per line) — utf8_rtrim("\r\n") would also
+        # eat CR/LF characters that are genuinely part of the content:
+        # "data\r\r\n" must become "data\r", not "data"
+        text = pc.replace_substring_regex(
+            text, pattern=r"(?:\r\n|\n|\r)$", replacement="",
+            max_replacements=1,
+        )
         too_long = pc.greater(pc.binary_length(text), max_bytes)
         text = pc.if_else(too_long, bytes_truncate(text, max_bytes), text)
         idx = t.column_names.index("text")

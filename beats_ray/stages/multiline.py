@@ -34,25 +34,61 @@ def explode_lines(ds, text_col: str = "text"):
         text = pc.fill_null(t[text_col].combine_chunks(), "")
         parts = pc.split_pattern(text, pattern="\n")
         lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-        import numpy as np
-
         idx = np.repeat(np.arange(len(t)), lens)
         out = {}
         for name in t.column_names:
             if name == text_col:
                 continue
             out[name] = pc.take(t[name].combine_chunks(), pa.array(idx))
+        lens_np = np.asarray(lens, dtype=np.int64)
+        total = int(lens_np.sum()) if len(lens_np) else 0
+        starts = np.cumsum(lens_np) - lens_np
         out["line_idx"] = pa.array(
-            np.concatenate([np.arange(n) for n in lens]) if len(lens) else [],
-            pa.int64(),
+            np.arange(total) - np.repeat(starts, lens_np), pa.int64()
         )
-        # strip the full CRLF terminator like the reference's line
-        # framing (readfile/line.go): a trailing \r left on the line
-        # breaks $-anchored continuation patterns downstream
-        out["line"] = pc.utf8_rtrim(pc.list_flatten(parts), characters="\r")
+        # strip ONE trailing \r (the CRLF terminator's leftover half
+        # after the \n split — readfile/line.go strips a single
+        # terminator; a bare rtrim would also eat content CRs in
+        # "data\r\r\n")
+        out["line"] = pc.replace_substring_regex(
+            pc.list_flatten(parts), pattern=r"\r$", replacement="",
+            max_replacements=1,
+        )
         return pa.table(out)
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+def _merge_events(g: "pd.DataFrame", key_cols, event_id,
+                  line_col: str) -> "pd.DataFrame":
+    """Shared event-merge for all three multiline modes: ``g`` is
+    sorted by (key_cols, order), so (key, event_id) groups are
+    CONTIGUOUS runs — boundaries come from factorize-code diffs (nulls
+    compare EQUAL, like SQL GROUP BY; a NaN != NaN diff would split
+    every null-key line into its own event) and the line join is ONE
+    Arrow C++ kernel (``binary_join`` over a ListArray) instead of a
+    Python lambda per event (millions of calls at scale)."""
+    n = len(g)
+    eid = np.asarray(event_id, dtype=np.int64)
+    new_grp = np.zeros(n, dtype=bool)
+    if n:
+        new_grp[0] = True
+        for c in key_cols:
+            codes = pd.factorize(g[c], use_na_sentinel=True)[0]
+            new_grp[1:] |= codes[1:] != codes[:-1]
+        new_grp[1:] |= eid[1:] != eid[:-1]
+    starts = np.flatnonzero(new_grp)
+    offsets = np.append(starts, n).astype(np.int32)
+    lines = pa.array(g[line_col].astype(str), pa.string())
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines),
+        "\n",
+    )
+    out = pd.DataFrame({c: g[c].to_numpy()[starts] for c in key_cols})
+    out["event_id"] = eid[starts]
+    out["text"] = joined.to_pandas().to_numpy()
+    out["n_lines"] = np.diff(offsets).astype("int64")
+    return out
 
 
 def multiline_merge(
@@ -132,18 +168,7 @@ def multiline_merge(
         event_id = (
             is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1
         )
-        merged = (
-            pd.DataFrame(
-                {
-                    **{c: g[c] for c in key_cols},
-                    "event_id": event_id,
-                    line_col: g[line_col],
-                }
-            )
-            .groupby([*key_cols, "event_id"], as_index=False)
-            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
-        )
-        merged["n_lines"] = merged["n_lines"].astype("int64")
+        merged = _merge_events(g, key_cols, event_id, line_col)
         merged["truncated"] = merged["n_lines"] > max_lines
         return merged
 
@@ -177,19 +202,7 @@ def multiline_while(
         event_id = (
             is_start.astype("int64").groupby([g[c] for c in key_cols]).cumsum() - 1
         )
-        merged = (
-            pd.DataFrame(
-                {
-                    **{c: g[c] for c in key_cols},
-                    "event_id": event_id,
-                    line_col: g[line_col],
-                }
-            )
-            .groupby([*key_cols, "event_id"], as_index=False)
-            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
-        )
-        merged["n_lines"] = merged["n_lines"].astype("int64")
-        return merged
+        return _merge_events(g, key_cols, event_id, line_col)
 
     return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)
 
@@ -207,18 +220,6 @@ def multiline_count(lines_ds, count: int, key_cols=("conv_id", "turn_idx"),
         g = g.sort_values([*key_cols, order_col], kind="mergesort")
         ord_in_key = g.groupby([g[c] for c in key_cols]).cumcount()
         event_id = (ord_in_key // count).astype("int64")
-        merged = (
-            pd.DataFrame(
-                {
-                    **{c: g[c] for c in key_cols},
-                    "event_id": event_id,
-                    line_col: g[line_col],
-                }
-            )
-            .groupby([*key_cols, "event_id"], as_index=False)
-            .agg(text=(line_col, lambda s: "\n".join(s)), n_lines=(line_col, "size"))
-        )
-        merged["n_lines"] = merged["n_lines"].astype("int64")
-        return merged
+        return _merge_events(g, key_cols, event_id, line_col)
 
     return map_buckets(lines_ds, key_cols[0], per_bucket, buckets=buckets)

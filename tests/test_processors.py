@@ -127,7 +127,7 @@ def test_fingerprint_and_add_id(table):
     out = run({"fingerprint": {"fields": ["conv_id", "turn_idx"], "method": "md5"}}, table)
     import hashlib
 
-    assert out["fingerprint"][0].as_py() == hashlib.md5(b"c1|0").hexdigest()
+    assert out["fingerprint"][0].as_py() == hashlib.md5(b"2:c1|1:0").hexdigest()
     out = run({"add_id": {}}, table)
     assert len(set(out["meta.doc_id"].to_pylist())) == 3
 

@@ -767,3 +767,67 @@ def test_dissect_mismatched_prior_type_is_schema_stable():
     t3 = p(pa.table({"text": ["n=7"],
                      "dissect.id": pa.array([9], pa.int64())}))
     assert t3["dissect.id"].type == pa.int64()
+
+
+def test_fingerprint_no_delimiter_injection():
+    """Review regression: ('x|y','z') and ('x','y|z') joined with a raw
+    '|' produced identical fingerprints — and fingerprint/add_id are
+    the exact-dedup keys. The length-prefixed encoding is prefix-free;
+    null and empty also hash differently."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"fingerprint": {"fields": ["a", "b"]}})
+    t = pa.table({"a": ["x|y", "x", None, ""],
+                  "b": ["z", "y|z", "q", "q"]})
+    fps = p(t)["fingerprint"].to_pylist()
+    assert len(set(fps)) == 4  # all four rows distinct
+
+    # empty fields list fails at BUILD time, not inside a worker
+    with pytest.raises(ValueError, match="fields"):
+        build_processor({"fingerprint": {}})
+
+
+def test_network_condition_list_field_matches_any():
+    """Review regression: a list-typed field (ECS related.ip) crashed
+    the batch with TypeError: unhashable; must mask per-element ANY."""
+    from beats_ray.conditions import compile_condition
+
+    t = pa.table({"ips": [["8.8.8.8", "10.0.0.1"], ["10.0.0.2"], None]})
+    m = compile_condition({"network": {"ips": "public"}})(t).to_pylist()
+    assert m == [True, False, False]
+
+
+def test_cache_put_get_str_kind_int_values(ray_session):
+    """Review regression: value_kind='str' with int64 put values read
+    back '7.0' (float64 promotion through the typed-null padding)."""
+    import ray.data as rd
+
+    from beats_ray.dataops.kvcache import cache_put_get
+
+    base = pd.Timestamp("2024-05-01")
+    ops = rd.from_items([
+        {"k": 1, "ts": base, "op": "put", "v": 7},
+        {"k": 1, "ts": base + pd.Timedelta(seconds=1), "op": "get", "v": 0},
+    ])
+    out = cache_put_get(ops, buckets=2, value_kind="str").to_pandas()
+    assert out["cached"].tolist() == ["7"]
+
+
+def test_line_strip_exactly_one_terminator(ray_session):
+    """Review regression: rtrim('\\r\\n') ate content CR/LFs —
+    'data\\r\\r\\n' must frame to 'data\\r' (one terminator stripped),
+    both in the reader chain and in explode_lines."""
+    import ray.data as rd
+
+    from beats_ray.sources import line_reader_chain
+    from beats_ray.stages.multiline import explode_lines
+
+    out = line_reader_chain(
+        rd.from_items([{"text": "data\r\r\n"}, {"text": "x\n"}])
+    ).to_pandas()
+    assert out["text"].tolist() == ["data\r", "x"]
+
+    lines = explode_lines(
+        rd.from_items([{"conv_id": "c", "text": "a\r\r\nb"}])
+    ).to_pandas().sort_values("line_idx")
+    assert lines["line"].tolist() == ["a\r", "b"]
