@@ -33,7 +33,11 @@ def normalize_text(ds, field: str = "text", target: str = "norm_text"):
         col = pc.utf8_normalize(col, form="NFC")
         col = pc.utf8_lower(col)
         col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
-        col = pc.utf8_trim_whitespace(col)
+        # trim ONLY the ASCII space the \s+ collapse can leave at the
+        # edges — utf8_trim_whitespace also strips NBSP/\x0b etc. that
+        # the oracle chain (RE2 \s+ collapse, then DuckDB trim() =
+        # spaces only) keeps, silently diverging the dedup keys
+        col = pc.utf8_trim(col, characters=" ")
         if target in t.column_names:
             return t.set_column(t.column_names.index(target), target, col)
         return t.append_column(target, col)
@@ -47,26 +51,36 @@ def repetition_score(docs, field: str = "text"):
     batch via pandas explode + double groupby — no python per row."""
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         words = (
             df[field]
             .fillna("")
             .str.lower()
             .map(ws_tokens)  # ASCII \s class — oracle parity
         )
+        # group by ROW POSITION, not doc_id: duplicate-id rows (normal
+        # PRE-dedup) must score independently — pooling by doc_id made
+        # the output batch-boundary-dependent and broke the row-wise
+        # oracle comparison
+        ridx = np.arange(len(df))
+        lens = words.str.len().to_numpy()
         exploded = pd.DataFrame(
-            {"doc_id": df["doc_id"].repeat(words.str.len()), "w": words.explode().dropna()}
+            {"_r": np.repeat(ridx, lens),
+             "w": words.explode().dropna().to_numpy()}
         )
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
         if exploded.empty:
-            return pd.DataFrame(
-                {"doc_id": df["doc_id"], "n_words": 0, "top_word_n": 0}
-            ).astype({"n_words": "int64", "top_word_n": "int64"})
-        per_word = exploded.groupby(["doc_id", "w"]).size()
-        agg = per_word.groupby("doc_id").agg(["sum", "max"]).rename(
+            out["n_words"] = pd.array([0] * len(df), dtype="int64")
+            out["top_word_n"] = pd.array([0] * len(df), dtype="int64")
+            return out
+        per_word = exploded.groupby(["_r", "w"]).size()
+        agg = per_word.groupby("_r").agg(["sum", "max"]).rename(
             columns={"sum": "n_words", "max": "top_word_n"}
         )
-        out = agg.reindex(df["doc_id"]).fillna(0).reset_index()
-        out["n_words"] = out["n_words"].astype("int64")
-        out["top_word_n"] = out["top_word_n"].astype("int64")
+        agg = agg.reindex(ridx).fillna(0)
+        out["n_words"] = agg["n_words"].astype("int64").to_numpy()
+        out["top_word_n"] = agg["top_word_n"].astype("int64").to_numpy()
         return out
 
     return docs.map_batches(score, batch_format="pandas")

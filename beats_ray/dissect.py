@@ -119,7 +119,8 @@ class CompiledDissect:
         return self._resolve(m.groups())
 
     def _resolve(self, groups: tuple[str | None, ...],
-                 convert: bool = True) -> dict[str, object]:
+                 convert: bool = True,
+                 typed_out: dict | None = None) -> dict[str, object]:
         out: dict[str, object] = {}
         append_names = {k.name for k in self.keys if k.append}
         appends: dict[str, list[tuple[int, int, str, str]]] = {}
@@ -136,7 +137,7 @@ class CompiledDissect:
                 pointers[k.name] = v
                 continue
             if k.indirect:
-                indirects.append((k.name, v))
+                indirects.append((k, v))
                 continue
             if k.name in append_names:
                 appends.setdefault(k.name, []).append(
@@ -154,14 +155,29 @@ class CompiledDissect:
             for _, _, val, prev_delim in parts[1:]:
                 buf += (prev_delim if prev_delim else " ") + val
             out[name] = buf
-        for name, v in indirects:
-            target = pointers.get(name)
+        for ik, v in indirects:
+            target = pointers.get(ik.name)
             if target is None:
-                target = str(out.get(name, name))
+                target = str(out.get(ik.name, ik.name))
             out[target] = v
+            # typed indirect key (%{&k|integer}): the conversion
+            # applies at the DYNAMIC target name — the generic loop
+            # below only sees static names and silently skipped it
+            if ik.dtype:
+                if convert:
+                    try:
+                        out[target] = CONVERTERS[ik.dtype](v)
+                    except (ValueError, AttributeError):
+                        pass
+                elif typed_out is not None:
+                    prev = typed_out.get(target)
+                    typed_out[target] = (
+                        ik.dtype if prev in (None, ik.dtype) else "__mixed__"
+                    )
         if convert:
             for k in self.keys:
-                if k.dtype and not k.skip and k.name in out:
+                if (k.dtype and not k.skip and not k.indirect
+                        and k.name in out):
                     try:
                         out[k.name] = CONVERTERS[k.dtype](out[k.name])  # type: ignore[arg-type]
                     except (ValueError, AttributeError):
@@ -237,6 +253,14 @@ def compile_tokenizer(tok: str) -> CompiledDissect:
             cap = f"(?P<{gname}>.{{{key.length}}})"
         elif delim == "" and last:
             cap = f"(?P<{gname}>.*)"  # final key: consume to end
+        elif delim == "":
+            # two adjacent variable-width keys (%{a}%{b}): the first
+            # lazy capture would ALWAYS match empty — the reference
+            # rejects zero-width delimiters between keys (fixed-length
+            # keys excepted: their width disambiguates)
+            raise DissectError(
+                f"zero-width delimiter between keys in {tok!r}"
+            )
         else:
             cap = f"(?P<{gname}>.*?)"
         parts.append(cap)
@@ -301,8 +325,10 @@ def dissect_batch(
     # (some rows unconvertible) would break pa.array; conversion happens
     # column-wise below with the same null-on-garbage masking as the
     # simple path
+    typed_dynamic: dict[str, str] = {}
     rows: list[dict[str, object] | None] = [
-        compiled._resolve(tuple(c[ri] for c in group_cols), convert=False)
+        compiled._resolve(tuple(c[ri] for c in group_cols), convert=False,
+                          typed_out=typed_dynamic)
         if ok_np[ri]
         else None
         for ri in range(n)
@@ -314,6 +340,10 @@ def dissect_batch(
                 if name not in names:
                     names.append(name)
     dtypes = {k.name: k.dtype for k in compiled.keys if k.dtype and not k.skip}
+    # typed INDIRECT keys convert at their dynamic target column; a
+    # column fed by conflicting dtypes across rows stays string
+    dtypes.update({name: dt for name, dt in typed_dynamic.items()
+                   if dt != "__mixed__"})
     for name in names:
         col = pa.array([None if r is None else r.get(name) for r in rows])
         if col.type == pa.null():

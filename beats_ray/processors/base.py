@@ -26,6 +26,17 @@ Transform = Callable[[pa.Table], pa.Table]
 _REGISTRY: dict[str, Callable[[dict], Transform]] = {}
 
 
+def _named(name: str):
+    """Attach a .name to a processor transform (shared by every
+    processor module — display/debug identity)."""
+
+    def deco(fn):
+        fn.name = name
+        return fn
+
+    return deco
+
+
 def register(name: str):
     def deco(factory: Callable[[dict], Transform]):
         _REGISTRY[name] = factory

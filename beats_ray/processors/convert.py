@@ -8,15 +8,7 @@ import ipaddress
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import get_col, register, set_col, set_error
-
-
-def _named(name: str):
-    def deco(fn):
-        fn.name = name
-        return fn
-
-    return deco
+from .base import _named, get_col, register, set_col, set_error
 
 
 _TYPES = {
@@ -47,6 +39,13 @@ def convert(cfg: dict):
     def run(t: pa.Table) -> pa.Table:
         n = t.num_rows
         failed = pa.array([False] * n)
+        # the failed row's original datum, preserved as
+        # "field=value" (reference rollback keeps the whole event; a
+        # typed column can't hold both the converted and the original
+        # type, so the original rides in this string sidecar — column
+        # present whenever fail_on_error, so the schema is config-
+        # deterministic, never value-dependent)
+        original = pa.nulls(n, pa.string())
         converted: list[tuple[str, str, pa.Array, pa.ChunkedArray]] = []
         for f in fields:
             src, dst = f["from"], f.get("to", f["from"])
@@ -94,7 +93,18 @@ def convert(cfg: dict):
                             fail_list.append(True)
                     new = pa.array(new_list, target_type)
                     row_fail = pa.array(fail_list)
-            failed = pc.or_(failed, pc.fill_null(row_fail, False))
+            row_fail = pc.fill_null(row_fail, False)
+            failed = pc.or_(failed, row_fail)
+            if fail_on_error:
+                as_str = pc.fill_null(pc.cast(col, pa.string(), safe=False), "")
+                labelled = pc.binary_join_element_wise(
+                    pa.array([src] * n), as_str, "="
+                )
+                # first failing field wins (rows rarely fail twice)
+                original = pc.if_else(
+                    pc.and_(row_fail, pc.is_null(original)),
+                    labelled, original,
+                )
             converted.append((src, dst, new, col))
         for src, dst, new, orig in converted:
             if fail_on_error:
@@ -113,6 +123,11 @@ def convert(cfg: dict):
                 t = t.drop_columns([src])
         if fail_on_error:
             t = set_error(t, failed, "unable to convert value")
+            # rollback preservation: the failed rows' original values
+            # (null elsewhere) — without this, an in-place string→long
+            # convert (or rename mode) silently destroyed the datum the
+            # error-tagged row would need for requeue/inspection
+            t = set_col(t, "error.convert.original", original)
         return t
 
     return run

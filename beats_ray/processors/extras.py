@@ -17,15 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import get_col, register, set_col, set_error
-
-
-def _named(name: str):
-    def deco(fn):
-        fn.name = name
-        return fn
-
-    return deco
+from .base import _named, get_col, register, set_col, set_error
 
 
 def _xml_to_dict(elem) -> dict:

@@ -14,7 +14,7 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import get_col, register, set_col
+from .base import _named, get_col, register, set_col
 
 _HASHES = {
     "md5": hashlib.md5,
@@ -23,14 +23,6 @@ _HASHES = {
     "sha384": hashlib.sha384,
     "sha512": hashlib.sha512,
 }
-
-
-def _named(name: str):
-    def deco(fn):
-        fn.name = name
-        return fn
-
-    return deco
 
 
 def concat_fields(t: pa.Table, fields: list[str], sep: str = "|") -> pa.Array:

@@ -16,7 +16,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import get_col, register, set_col
+from .base import _named, get_col, register, set_col
 
 _FMT_TOKEN = re.compile(r"%\{([^}]+)\}")
 
@@ -29,14 +29,6 @@ _DATE_MAP = [
     ("mm", "%M"),
     ("ss", "%S"),
 ]
-
-
-def _named(name: str):
-    def deco(fn):
-        fn.name = name
-        return fn
-
-    return deco
 
 
 def compile_format_string(fmt: str, ts_field: str = "ts"):
@@ -242,7 +234,20 @@ def _keyed_lookup_processor(reg_name: str, default_key_field: str,
                 pc.cast(col.combine_chunks(), pa.string()), value_set=keys
             )
             for vf, vals in columns.items():
-                t = set_col(t, f"{prefix}.{vf}", pc.take(vals, idx))
+                name = f"{prefix}.{vf}"
+                looked = pc.take(vals, idx)
+                existing = get_col(t, name)
+                if existing is not None:
+                    # reference watchers only ADD fields on a lookup
+                    # match — rows whose key misses the table keep any
+                    # value they already carried instead of being
+                    # nulled by the wholesale column replace
+                    looked = pc.if_else(
+                        pc.is_valid(looked), looked,
+                        pc.cast(existing.combine_chunks(), looked.type,
+                                safe=False),
+                    )
+                t = set_col(t, name, looked)
             return t
 
         return run

@@ -17,15 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..dissect import compile_tokenizer, dissect_batch
-from .base import add_flag, get_col, register, set_col, set_error
-
-
-def _named(name: str):
-    def deco(fn):
-        fn.name = name
-        return fn
-
-    return deco
+from .base import _named, add_flag, get_col, register, set_col, set_error
 
 
 @register("dissect")

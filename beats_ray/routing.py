@@ -96,6 +96,14 @@ class Router:
         # rows with no matching rule land in an explicit `_unrouted`
         # sink, so nothing is lost and the drop count is a sink count.
         sink = pc.fill_null(sink, "_unrouted")
+        # the sink value becomes a FILESYSTEM path segment
+        # (`sink=<name>/` hive partition): data-derived names (format
+        # strings render event fields) must not smuggle separators or
+        # hive metacharacters — 'logs-a/b' would nest a directory and
+        # mis-attribute the rows to sink 'logs-a'
+        sink = pc.replace_substring_regex(
+            sink, pattern=r"[/\\=\x00-\x1f%]", replacement="_"
+        )
         if self.target in t.column_names:
             idx = t.column_names.index(self.target)
             return t.set_column(idx, self.target, sink)

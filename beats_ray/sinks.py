@@ -48,12 +48,14 @@ def write_routed(
         name = sink_dir.name.split("=", 1)[1]
         cfg = sinks.get(name, {})
         fmt = cfg.get("format", "parquet")
-        rows = sum(
-            pq.ParquetFile(p).metadata.num_rows for p in sink_dir.rglob("*.parquet")
-        )
-        n_files = len(list(sink_dir.rglob("*.parquet")))
+        # one directory walk serves rows AND file count (footer
+        # metadata was previously read twice and the tree walked three
+        # times per sink)
+        files = sorted(sink_dir.rglob("*.parquet"))
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+        n_files = len(files)
         if fmt in ("ndjson", "csv"):
-            n_files = _convert_sink(sink_dir, fmt, cfg)
+            n_files = _convert_sink(sink_dir, fmt, cfg, rows=rows)
         elif fmt == "console":
             _console_sink(sink_dir, cfg)
         elif fmt == "discard":
@@ -63,9 +65,12 @@ def write_routed(
     return metrics
 
 
-def _convert_sink(sink_dir: Path, fmt: str, cfg: dict) -> int:
+def _convert_sink(sink_dir: Path, fmt: str, cfg: dict,
+                  rows: int | None = None) -> int:
     """Stream one sink's parquet partition into ndjson/csv files —
-    reads only this sink's data (no upstream re-execution)."""
+    reads only this sink's data (no upstream re-execution).
+    ``rows``: precomputed row count (write_routed already read the
+    footers — don't read them again)."""
     import ray.data as rd
 
     files = sorted(str(p) for p in sink_dir.rglob("*.parquet"))
@@ -78,7 +83,8 @@ def _convert_sink(sink_dir: Path, fmt: str, cfg: dict) -> int:
         # rotation cap (fileout rotate_every_kb analogue): Ray's json/csv
         # writers have no max-rows knob, so split into enough blocks that
         # each output file stays under the cap (one file per block)
-        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in map(str, files))
+        if rows is None:
+            rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
         ds = ds.repartition(max(1, -(-rows // max_rows)))
     if fmt == "ndjson":
         ds.write_json(str(conv_dir))
@@ -222,10 +228,15 @@ def dedup_by_doc_id(routed_ds, id_col: str = "meta.doc_id", buckets: int = 32,
         if seen_ref is not None:
             seen = _resolve_ref(seen_ref)
             g = g[~g[id_col].isin(seen)]
-        sort_cols = [c for c in ("conv_id", "turn_idx") if c in g.columns]
-        g = g.sort_values(sort_cols or [id_col]).drop_duplicates(
-            id_col, keep="first"
-        )
+        # STABLE sort (mergesort) + ts tie-breaker: the deterministic-
+        # survivor guarantee must not depend on post-shuffle row order
+        # when (conv_id, turn_idx) tie or are absent (default quicksort
+        # left ties in run-dependent order — rerun-vs-oracle flake)
+        sort_cols = [
+            c for c in ("conv_id", "turn_idx", ts_col) if c in g.columns
+        ]
+        g = g.sort_values(sort_cols or [id_col], kind="mergesort")
+        g = g.drop_duplicates(id_col, keep="first")
         if not emit_state:
             return g
         if ts_col in g.columns:

@@ -831,3 +831,88 @@ def test_line_strip_exactly_one_terminator(ray_session):
         rd.from_items([{"conv_id": "c", "text": "a\r\r\nb"}])
     ).to_pandas().sort_values("line_idx")
     assert lines["line"].tolist() == ["a\r", "b"]
+
+
+def test_convert_preserves_failed_row_original():
+    """Review regression: an in-place string->long convert destroyed
+    the failed row's datum; it now rides error.convert.original."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"convert": {"fields": [{"from": "a", "type": "long"}]}})
+    out = p(pa.table({"a": ["1", "abc"]}))
+    assert out["a"].to_pylist() == [1, None]
+    assert out["error.convert.original"].to_pylist() == [None, "a=abc"]
+
+
+def test_dissect_indirect_key_typed_conversion():
+    """Review regression: %{&k|integer} stored the value at the dynamic
+    target as a STRING (the convert loop only looked at static names)."""
+    from beats_ray.dissect import DissectError, compile_tokenizer, dissect_batch
+
+    cd = compile_tokenizer("%{*k} %{&k|integer}")
+    assert cd.apply("port 8080") == {"port": 8080}
+    f, ok = dissect_batch(cd, pa.array(["port 8080", "port abc"]))
+    assert f["port"].to_pylist() == [8080, None]
+    assert f["port"].type == pa.int64()
+    # adjacent variable-width keys are an invalid tokenizer (the first
+    # lazy capture always matched empty); fixed-length stays legal
+    with pytest.raises(DissectError, match="zero-width"):
+        compile_tokenizer("%{a}%{b}")
+    assert compile_tokenizer("%{a#2}%{b}").apply("xxrest") == {
+        "a": "xx", "b": "rest"
+    }
+
+
+def test_keyed_lookup_keeps_existing_on_miss():
+    """Review regression: add_docker_metadata nulled pre-existing
+    container.name on rows whose id missed the lookup table."""
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({
+        "add_docker_metadata": {
+            "index": {"abc": {"name": "svc-a", "image": "img",
+                              "labels": "x"}},
+        }
+    })
+    t = pa.table({"container.id": ["abc", "zzz"],
+                  "container.name": [None, "pre-existing"]})
+    out = p(t)
+    assert out["container.name"].to_pylist() == ["svc-a", "pre-existing"]
+
+
+def test_router_sanitizes_data_derived_sink_names(ray_session):
+    """Review regression: a format-string sink rendered from event data
+    containing '/' nested directories and mis-attributed rows."""
+    from beats_ray.routing import Router
+
+    r = Router([{"name": "logs-%{[svc]}"}, {"name": "default"}])
+    t = pa.table({"svc": ["a/b", "ok", "x=y"]})
+    sinks = r(t)["sink"].to_pylist()
+    assert sinks == ["logs-a_b", "logs-ok", "logs-x_y"]
+
+
+def test_normalize_text_keeps_nbsp_like_oracle(ray_session):
+    """Review regression: utf8_trim_whitespace stripped NBSP edges the
+    DuckDB oracle chain (RE2 \\s+ collapse + trim()) keeps."""
+    import ray.data as rd
+
+    from beats_ray.dataops.textnorm import normalize_text
+
+    out = normalize_text(
+        rd.from_items([{"text": "\xa0nbsp edge\xa0"}, {"text": "  x  "}])
+    ).to_pandas()
+    assert out["norm_text"].tolist() == ["\xa0nbsp edge\xa0", "x"]
+
+
+def test_repetition_score_is_per_row(ray_session):
+    """Review regression: duplicate-id rows pooled their word counts
+    within a batch (batch-boundary-dependent scores)."""
+    import ray.data as rd
+
+    from beats_ray.dataops.textnorm import repetition_score
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [7, 7], "text": ["x x", "y"]}
+    ))
+    out = repetition_score(docs).to_pandas()
+    assert sorted(zip(out["n_words"], out["top_word_n"])) == [(1, 1), (2, 2)]
