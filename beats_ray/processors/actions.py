@@ -154,14 +154,28 @@ def rename(cfg: dict):
 
 @register("copy_fields")
 def copy_fields(cfg: dict):
-    """Copy value from→to (actions/copy_fields.go:71)."""
+    """Copy value from→to (actions/copy_fields.go:71). Same guards as
+    rename (copy_fields.go fail_on_error default true): a missing
+    source or an already-existing target is an error — never a silent
+    overwrite of the target column."""
     pairs = [(f["from"], f["to"]) for f in cfg.get("fields", [])]
+    fail_on_error = cfg.get("fail_on_error", True)
+    ignore_missing = cfg.get("ignore_missing", False)
 
     @_named("copy_fields")
     def run(t: pa.Table) -> pa.Table:
         for src, dst in pairs:
-            if src in t.column_names:
-                t = set_col(t, dst, t[src])
+            if src not in t.column_names:
+                if ignore_missing:
+                    continue
+                if fail_on_error:
+                    raise KeyError(f"copy_fields: missing field {src!r}")
+                continue
+            if dst in t.column_names:
+                if fail_on_error:
+                    raise KeyError(f"copy_fields: target {dst!r} exists")
+                continue
+            t = set_col(t, dst, t[src])
         return t
 
     return run

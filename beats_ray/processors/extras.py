@@ -62,10 +62,10 @@ def decode_xml(cfg: dict):
                 out.append(None)
                 continue
             try:
+                root = ET.fromstring(v)  # parse ONCE (dominant cost)
                 out.append(
                     json.dumps(
-                        {ET.fromstring(v).tag: _xml_to_dict(ET.fromstring(v))},
-                        sort_keys=True,
+                        {root.tag: _xml_to_dict(root)}, sort_keys=True
                     )
                 )
             except ET.ParseError:
@@ -239,7 +239,20 @@ def decode_xml_wineventlog(cfg: dict):
         t = set_col(t, target, pa.array(win_out, pa.string()))
         if map_ecs:
             for c in ecs_cols:
-                t = set_col(t, c, pa.array(ecs_out[c], pa.string()))
+                new = pa.array(ecs_out[c], pa.string())
+                old = get_col(t, c)
+                if old is not None:
+                    # AddOptional semantics (winevent ECS mapping):
+                    # absent values never overwrite an existing column
+                    # — notably 'message', where a wholesale set_col
+                    # DESTROYED the original text for parse-failed rows
+                    # and events without RenderingInfo/Message
+                    new = pc.if_else(
+                        pc.is_valid(new), new,
+                        pc.cast(old.combine_chunks(), pa.string(),
+                                safe=False),
+                    )
+                t = set_col(t, c, new)
         if bad.any():
             t = set_error(t, pa.array(bad), "failed to decode xml")
         return t
@@ -261,8 +274,29 @@ def extract_array(cfg: dict):
         if col is None:
             return t
         col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0)
         for target, idx in mappings.items():
-            t = set_col(t, target, pc.list_element(col, idx))
+            # pc.list_element RAISES on any out-of-bounds row (killing
+            # the whole batch for one short array — Beats fails
+            # per-event); mask short rows to null instead. Negative
+            # indices resolve from the end like the reference's Go
+            # slice-indexing adaptation.
+            import numpy as np
+
+            if idx >= 0:
+                in_bounds = pc.greater(lens, idx)
+            else:
+                in_bounds = pc.greater_equal(lens, -idx)
+            # extract via flatten + masked take on validated offsets
+            lens_np = lens.to_numpy(zero_copy_only=False).astype("int64")
+            ok_np = in_bounds.to_numpy(zero_copy_only=False) & (
+                pc.is_valid(col).to_numpy(zero_copy_only=False)
+            )
+            starts = np.cumsum(lens_np) - lens_np
+            pos = (starts + idx) if idx >= 0 else (starts + lens_np + idx)
+            flat = pc.list_flatten(col)
+            take_idx = pa.array(pos, pa.int64(), mask=~ok_np)
+            t = set_col(t, target, pc.take(flat, take_idx))
         return t
 
     return run
@@ -320,7 +354,15 @@ def community_id(cfg: dict):
             if None in (sip, dip, sp, dp):
                 out.append(None)
                 continue
-            out.append(_community_id_v1(pn, sip, dip, int(sp), int(dp), seed))
+            try:
+                spi, dpi = int(sp), int(dp)
+            except (ValueError, TypeError):
+                out.append(None)  # malformed port fails per-ROW
+                continue
+            if not (0 <= spi <= 0xFFFF and 0 <= dpi <= 0xFFFF):
+                out.append(None)  # struct.pack('!H') would raise
+                continue
+            out.append(_community_id_v1(pn, sip, dip, spi, dpi, seed))
         return set_col(t, target, pa.array(out, pa.string()))
 
     return run
@@ -351,10 +393,19 @@ def add_network_direction(cfg: dict):
         if src is None or dst is None:
             return t
         memo: dict = {}
+
+        def lookup(v):
+            # NOT setdefault: Python evaluates the default argument
+            # eagerly, so the ip-parse + CIDR scan ran on EVERY row and
+            # the memo never saved any work
+            if v not in memo:
+                memo[v] = _internal(v)
+            return memo[v]
+
         out = []
         for s, d in zip(src.to_pylist(), dst.to_pylist()):
-            si = memo.setdefault(s, _internal(s))
-            di = memo.setdefault(d, _internal(d))
+            si = lookup(s)
+            di = lookup(d)
             if si is None or di is None:
                 out.append(None)
             elif si and di:
@@ -392,7 +443,14 @@ def translate(cfg: dict):
                           value_set=pa.array([str(k) for k in keys]))
         mapped = pc.take(pa.array(vals, pa.string()), idx)
         if default is not None:
-            mapped = pc.fill_null(mapped, str(default))
+            # default means "key NOT FOUND" — a null source field means
+            # no lookup was attempted at all, so it must stay null
+            # (blanket fill_null also translated never-looked-up rows)
+            src_valid = pc.is_valid(col.combine_chunks())
+            mapped = pc.if_else(
+                pc.and_(src_valid, pc.is_null(mapped)),
+                pa.scalar(str(default)), mapped,
+            )
         return set_col(t, target, mapped)
 
     return run
@@ -601,10 +659,6 @@ def script(cfg: dict):
             ns: dict = {}
             exec(compiled, ns)  # once per worker (deserialize-time)
             self.process = ns["process"]
-
-        def keep_mask(self, t: pa.Table) -> pa.Array:
-            rows = t.to_pylist()
-            return pa.array([self.process(dict(r)) is not None for r in rows])
 
         def __call__(self, t: pa.Table) -> pa.Table:
             rows = t.to_pylist()

@@ -136,16 +136,22 @@ class MicroBatchRunner:
                 f_hi = mx if f_hi is None else max(f_hi, mx)
             if f_lo is not None:
                 file_ranges.append((f, f_lo, f_hi))
-        lo = min(r[1] for r in file_ranges)
-        hi = max(r[2] for r in file_ranges)
-        w_us = self.window_s * 1_000_000
-        first_w, last_w = lo // w_us, hi // w_us
-
         state = StreamState.remote()
         done = self._done_windows()
         # resume: rebuild counters from completed-window lineage
         for rec in done.values():
             state.add_window.remote(rec["window_id"], rec["sink_counts"])
+
+        if not file_ranges:
+            # empty corpus / all-empty files: a quiet stream tick on a
+            # not-yet-populated directory returns the resumed totals
+            # instead of crashing min() on an empty sequence
+            return ray.get(state.totals.remote())
+
+        lo = min(r[1] for r in file_ranges)
+        hi = max(r[2] for r in file_ranges)
+        w_us = self.window_s * 1_000_000
+        first_w, last_w = lo // w_us, hi // w_us
 
         # cross-window carried state for STATEFUL stages (token_bucket:
         # per-key bucket map; dedup: seen-id set — the reference's
@@ -243,6 +249,12 @@ class MicroBatchRunner:
             # not even the directory; an empty/missing state dir reads
             # as fresh, which for dedup is exactly right
             tmp.mkdir(exist_ok=True)
+            # commit marker: lets the loader tell "committed EMPTY
+            # state" apart from "crashed before commit" — without it a
+            # crash after the final rename but before the aside cleanup
+            # made an empty committed dir fall back to the STALE aside
+            # copy (re-dropping rows whose dedup ids had TTL-expired)
+            (tmp / "_COMMITTED").touch()
             shutil.rmtree(aside, ignore_errors=True)
             if final.is_dir():
                 os.rename(final, aside)
@@ -278,9 +290,15 @@ class MicroBatchRunner:
                 d = self.lineage_dir / f"state-w{prev_w}-s{i}"
                 aside = self.lineage_dir / f"state-w{prev_w}-s{i}-old"
                 f = self.lineage_dir / f"state-w{prev_w}-s{i}.parquet"
-                if not (d.is_dir() and any(d.glob("*.parquet"))):
+                committed = d.is_dir() and (
+                    (d / "_COMMITTED").exists() or any(d.glob("*.parquet"))
+                )
+                if not committed:
                     # crash fell between the persist swap's two renames:
-                    # the aside copy is the last committed state
+                    # the aside copy is the last committed state. (A
+                    # committed-but-EMPTY dir carries the _COMMITTED
+                    # marker and must NOT fall back — it legitimately
+                    # means "all state expired".)
                     if aside.is_dir() and any(aside.glob("*.parquet")):
                         d = aside
                 if d.is_dir() and any(d.glob("*.parquet")):

@@ -916,3 +916,68 @@ def test_repetition_score_is_per_row(ray_session):
     ))
     out = repetition_score(docs).to_pandas()
     assert sorted(zip(out["n_words"], out["top_word_n"])) == [(1, 1), (2, 2)]
+
+
+def test_extract_array_out_of_bounds_is_null_not_crash():
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"extract_array": {"field": "arr",
+                                           "mappings": {"x": 2, "y": -1}}})
+    out = p(pa.table({"arr": [["a", "b", "c"], ["q"], None]}))
+    assert out["x"].to_pylist() == ["c", None, None]
+    assert out["y"].to_pylist() == ["c", "q", None]
+
+
+def test_copy_fields_never_silently_overwrites():
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"copy_fields": {"fields": [{"from": "a", "to": "b"}]}})
+    with pytest.raises(KeyError, match="exists"):
+        p(pa.table({"a": ["1"], "b": ["keep"]}))
+    p2 = build_processor({"copy_fields": {"fields": [{"from": "a", "to": "b"}],
+                                          "fail_on_error": False}})
+    out = p2(pa.table({"a": ["1"], "b": ["keep"]}))
+    assert out["b"].to_pylist() == ["keep"]
+
+
+def test_community_id_malformed_port_is_null_not_crash():
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"community_id": {}})
+    t = pa.table({
+        "source.ip": ["10.0.0.1", "10.0.0.1"],
+        "destination.ip": ["10.0.0.2", "10.0.0.2"],
+        "source.port": ["abc", "99999"],
+        "destination.port": ["80", "80"],
+        "network.transport": ["tcp", "tcp"],
+    })
+    out = p(t)
+    assert out["network.community_id"].to_pylist() == [None, None]
+
+
+def test_translate_default_skips_null_source():
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"translate": {
+        "field": "k", "target_field": "v",
+        "dictionary": {"a": "A"}, "default": "DFLT",
+    }})
+    out = p(pa.table({"k": ["a", "zz", None]}))
+    assert out["v"].to_pylist() == ["A", "DFLT", None]
+
+
+def test_wineventlog_keeps_message_on_parse_failure():
+    from beats_ray.processors.base import build_processor
+
+    p = build_processor({"decode_xml_wineventlog": {"field": "message"}})
+    t = pa.table({"message": ["<not-xml", "plain text"]})
+    out = p(t)
+    # neither row parsed — the original message column must survive
+    assert out["message"].to_pylist() == ["<not-xml", "plain text"]
+
+
+def test_stream_empty_corpus_returns_totals(ray_session, tmp_path):
+    from beats_ray.stream import MicroBatchRunner
+
+    totals = MicroBatchRunner(str(tmp_path / "s"), window_s=3600).run([])
+    assert totals == {"rows_routed": {}, "windows_done": []}
