@@ -406,7 +406,6 @@ def q_dns_cache_hits(sf_dir: str):
     120 s, and each event is classified hit/miss by event-time expiry.
     Oracle = a recursive CTE replaying the identical anchored-expiry
     chain per host."""
-    import pandas as pd
 
     from beats_ray.dataops.dnscache import dns_cache_replay
 
@@ -617,10 +616,14 @@ def q_c4_clean_docs(sf_dir: str):
     from beats_ray.dataops.quality import c4_line_filter
 
     def with_id(df: pd.DataFrame) -> pd.DataFrame:
-        ids = [
-            _stable_hash(c) * 100_000 + int(t)
-            for c, t in zip(df["conv_id"], df["turn_idx"])
-        ]
+        # hash per UNIQUE conv (conversations repeat ~28x per batch);
+        # the per-row md5 loop cost ~6M hashes at sf1 for ~212k convs
+        uniq = pd.unique(df["conv_id"])
+        lut = {c: _stable_hash(c) for c in uniq}
+        ids = (
+            df["conv_id"].map(lut).to_numpy(dtype="int64") * 100_000
+            + df["turn_idx"].to_numpy(dtype="int64")
+        )
         return pd.DataFrame(
             {"doc_id": pd.array(ids, dtype="int64"), "text": df["text"]}
         )
@@ -712,17 +715,45 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str) -> np.ndarray:
+    """The 4 probe vectors — a driver-side footer-pruned parquet read
+    (4 rows; a full Ray Dataset execution per ANN query paid ~0.5 s of
+    fixed cost before the search even started)."""
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    emb = (
-        _table(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], 4)), batch_format="pyarrow"
-        )
-        .to_pandas()
-        .sort_values("vec_id")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return np.stack(emb["embedding"].to_numpy())
+    t = t.filter(pc.less(t["vec_id"], 4)).sort_by("vec_id")
+    return np.stack(t["embedding"].to_pandas().to_numpy())
+
+
+def _query_vec_ids(sf_dir: str) -> np.ndarray:
+    """The probe rows' ACTUAL vec_ids, sorted — the oracle labels
+    results with q.vec_id, so the engine must map its positional query
+    index back to these (they only coincide while ids 0..3 exist
+    contiguously)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    t = t.filter(pc.less(t["vec_id"], 4)).sort_by("vec_id")
+    return t["vec_id"].to_numpy()
+
+
+def _rank_topk(res: "pd.DataFrame", sf_dir: str) -> "pd.DataFrame":
+    """Shared ANN postlude: deterministic (sim desc, vec_id asc) rank
+    per query + map the positional query index to the real probe
+    vec_id (oracle labels)."""
+    res = res.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    qids = _query_vec_ids(sf_dir)
+    res["query_id"] = res["query_id"].map(
+        lambda qi: int(qids[qi])
+    ).astype("int64")
+    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
 
 
 def q_ann_brute_topk(sf_dir: str):
@@ -733,9 +764,7 @@ def q_ann_brute_topk(sf_dir: str):
         _query_vectors(sf_dir),
         k=10,
     )
-    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    res["rank"] = res.groupby("query_id").cumcount() + 1
-    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return _rank_topk(res, sf_dir)
 
 
 def q_ann_ivf_topk(sf_dir: str):
@@ -754,9 +783,7 @@ def q_ann_ivf_topk(sf_dir: str):
         n_clusters=16,
         n_probe=16,
     )
-    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    res["rank"] = res.groupby("query_id").cumcount() + 1
-    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return _rank_topk(res, sf_dir)
 
 
 def q_ann_lsh_topk(sf_dir: str):
@@ -775,9 +802,7 @@ def q_ann_lsh_topk(sf_dir: str):
         n_planes=6,
         n_probe=64,
     )
-    res = res.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    res["rank"] = res.groupby("query_id").cumcount() + 1
-    return res[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    return _rank_topk(res, sf_dir)
 
 
 def q_embed_dup_pairs(sf_dir: str):
@@ -1166,7 +1191,6 @@ def q_distinct_tools_per_role(sf_dir: str):
     """Grouped distinct count: per role, how many distinct tools —
     two-level distinct (per-batch pair dedup → global pair dedup →
     count), shuffle moves unique pairs only."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -1723,6 +1747,21 @@ FROM sh s CROSS JOIN probe p
 """
 
 
+# exact brute-force top-k ground truth — shared by all three ANN
+# queries (brute is exact; IVF/LSH run at full probe, provably equal)
+_ANN_ORACLE = """
+            SELECT q.vec_id AS query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+            QUALIFY rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     # make sure the corpus the SQL reads exists (driver runs at sf0.01)
     ensure_transcripts(0.01)
@@ -2199,40 +2238,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE length(word) >= 1
             GROUP BY word ORDER BY n DESC, word LIMIT 20""",
-        "ann_brute_topk": """
-            SELECT q.vec_id AS query_id,
-                   CAST(row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]),
-                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
-                   e.vec_id
-            FROM embeddings e
-            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
-            QUALIFY rank <= 10""",
+        "ann_brute_topk": _ANN_ORACLE,
         # IVF at full probe is provably exact → same oracle as brute
-        "ann_lsh_topk": """
-            SELECT q.vec_id AS query_id,
-                   CAST(row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]),
-                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
-                   e.vec_id
-            FROM embeddings e
-            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
-            QUALIFY rank <= 10""",
-        "ann_ivf_topk": """
-            SELECT q.vec_id AS query_id,
-                   CAST(row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]),
-                       CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank,
-                   e.vec_id
-            FROM embeddings e
-            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
-            QUALIFY rank <= 10""",
+        "ann_lsh_topk": _ANN_ORACLE,
+        "ann_ivf_topk": _ANN_ORACLE,
         # iterative clustering → recursive-CTE transitive closure
         "embed_dup_clusters": """
             WITH RECURSIVE pairs AS (

@@ -21,6 +21,7 @@ groupby(conv_id) stages see realistic key skew.
 from __future__ import annotations
 
 import os
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -145,8 +146,12 @@ def fnv1a32_series(values: pd.Series) -> np.ndarray:
     try:
         return fnv1a32_arrow(pa.array(values.astype("string")))
     except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        # str(u): the only way here is a payload astype('string')
+        # rejected, so hashing raw values would crash .encode — and the
+        # primary path hashes the STRINGIFIED value, so both paths must
+        # agree
         uniq = pd.unique(values)
-        table = {u: fnv1a32(u) for u in uniq}
+        table = {u: fnv1a32(str(u)) for u in uniq}
         return values.map(table).to_numpy(dtype=np.int64)
 
 
@@ -277,24 +282,54 @@ def transcripts_dir(sf: float, root: str = "/tmp/beats_ray_fixtures") -> str:
     return os.path.join(root, f"sf{sf:g}", "transcripts")
 
 
+def _fixture_token(sf: float) -> str:
+    """Cache-validity token: generation parameters + a generator-source
+    digest, so editing the generator (or changing the partition count)
+    regenerates instead of silently serving a stale corpus."""
+    import hashlib
+
+    src = Path(__file__).read_bytes()
+    return (
+        f"sf={sf} p={num_partitions(sf)} "
+        f"gen={hashlib.md5(src).hexdigest()[:12]}"
+    )
+
+
 def ensure_transcripts(sf: float, root: str = "/tmp/beats_ray_fixtures") -> str:
     """Write the transcript corpus as P hash(conv_id)-partitioned parquet
     files (FIXTURES.md: ≥8 files so resume/lineage tests span partitions).
-    Idempotent & cached: a _DONE marker short-circuits regeneration.
+    Idempotent & cached: a _DONE marker carrying the generation token
+    short-circuits regeneration; generation happens in a temp dir that
+    atomically os.replace()s into place, so a concurrent caller never
+    reads truncated part files and a stale cache (generator edited,
+    partition count changed) regenerates instead of being served.
     """
     out = Path(transcripts_dir(sf, root))
     done = out / "_DONE"
-    if done.exists():
+    token = _fixture_token(sf)
+    if done.exists() and done.read_text() == token:
         return str(out)
-    out.mkdir(parents=True, exist_ok=True)
+    tmp = Path(str(out) + f".tmp-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
     tbl = build_transcripts(sf)
     p = num_partitions(sf)
     part = fnv1a32_series(pd.Series(tbl["conv_id"].to_pandas())) % p
     part_arr = np.asarray(part)
     for k in range(p):
         sub = tbl.filter(pa.array(part_arr == k))
-        pq.write_table(sub, out / f"part-{k:05d}.parquet")
-    done.write_text("ok")
+        pq.write_table(sub, tmp / f"part-{k:05d}.parquet")
+    (tmp / "_DONE").write_text(token)
+    # near-atomic publish (rename-aside swap): losers of a concurrent
+    # race replace with an identical (deterministic) corpus; a reader
+    # can at worst hit a brief missing-dir window — never a truncated
+    # part file mid-write
+    aside = Path(str(out) + ".old")
+    shutil.rmtree(aside, ignore_errors=True)
+    if out.exists():
+        os.replace(out, aside)
+    os.replace(tmp, out)
+    shutil.rmtree(aside, ignore_errors=True)
     return str(out)
 
 

@@ -1002,3 +1002,24 @@ def test_top_words_min_len_zero_drops_empty_tokens(ray_session):
     ))
     words = top_words(docs, k=10, min_len=0)["word"].tolist()
     assert "" not in words and "x" in words
+
+
+def test_fixture_cache_token_invalidates_stale_corpus(tmp_path):
+    """Review regression: a bare _DONE marker served a stale corpus
+    after generator edits; the marker now carries a generation token
+    and regeneration publishes via an atomic directory swap."""
+    from beats_ray.fixtures import _fixture_token, ensure_transcripts
+
+    root = str(tmp_path / "fx")
+    d = ensure_transcripts(0.001, root=root)
+    from pathlib import Path
+
+    done = Path(d) / "_DONE"
+    assert done.read_text() == _fixture_token(0.001)
+    # corrupt the token -> next call regenerates (and still completes)
+    done.write_text("stale-token")
+    mtime_before = (Path(d) / "part-00000.parquet").stat().st_mtime_ns
+    d2 = ensure_transcripts(0.001, root=root)
+    assert d2 == d
+    assert done.read_text() == _fixture_token(0.001)
+    assert (Path(d) / "part-00000.parquet").stat().st_mtime_ns != mtime_before
