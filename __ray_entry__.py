@@ -592,6 +592,24 @@ def q_ngram_dup_pairs(sf_dir: str):
     return out.select_columns(["a", "b", "inter_n", "union_n"])
 
 
+def q_ngram_dup_clusters(sf_dir: str):
+    """Duplicate clustering COMPOSED with the sketch family: connected
+    components over the MinHash-candidate → char-3-gram-Jaccard-verified
+    pair graph (the production near-dup dedup shape: sketch → verify →
+    transitive closure → keep one per cluster). Oracle: the full SQL
+    pipeline replay wrapped in a recursive-CTE closure."""
+    from beats_ray.dataops.dedup import ngram_jaccard_pairs
+    from beats_ray.dataops.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        n=3, threshold=0.6,
+    ).select_columns(["a", "b"])
+    nodes = _table(sf_dir, "documents", ["doc_id"])
+    out = connected_components(pairs, nodes, node_col="doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_substring_dup_spans(sf_dir: str):
     """Exact duplicate-substring spans (suffix-array training-data
     dedup, Lee et al. 2022, as content-defined sampled window hashing):
@@ -1389,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "ngram_dup_clusters": q_ngram_dup_clusters,
         "substring_dup_spans": q_substring_dup_spans,
         # text analysis
         "c4_clean_docs": q_c4_clean_docs,
@@ -2272,6 +2291,20 @@ def oracle_sql() -> dict[str, str]:
         # make every step reproducible in DuckDB)
         "minhash_dedup": _minhash_dedup_sql(),
         "ngram_dup_pairs": _ngram_pairs_sql(),
+        # sketch -> verify -> transitive closure (the full near-dup
+        # dedup pipeline replayed, wrapped in a recursive-CTE closure)
+        "ngram_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_ngram_pairs_sql()}),
+            sym AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ), reach(node, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(MIN(lab) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node""",
         # exact substring-span dedup: identical window hashing + the
         # content-defined hash%4 sampling, replayed over every 10-token
         # window (DuckDB list slice l[i:j] is 1-based inclusive)
