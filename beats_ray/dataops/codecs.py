@@ -229,7 +229,8 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         1_000_000 // fps,  # dwMicroSecPerFrame
         frame_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX off, use 0x10 (WASCAPTUREFILE ok)
+        0,  # dwFlags: no AVIF_HASINDEX — we write no idx1 chunk, and a
+        # strict player honoring the flag would fail to seek/open
         n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(

@@ -5,63 +5,171 @@ training-data pipeline then needs the transitive closure — "keep one
 doc per duplicate CLUSTER", not "drop the larger of each pair" — which
 is connected components over the pair graph.
 
-Ray-Data-first shape: min-label propagation WITH label chasing
-(pointer jumping). Every node starts labelled with its own id; each
-round every node adopts ``min(own label, neighbour labels)`` and then
-labels chase one hop through the label table (``lab <- lab[lab]``),
-which collapses chains exponentially — O(log diameter) rounds instead
-of O(diameter) (the Hash-to-Min / large-star family, Rastogi et al.
-2013). All state lives in Datasets; each round is one candidate join,
-one grouped min, one chase join and a scalar changed-count — no
-adjacency ever materializes on the driver, so the dup graph can be
-corpus-sized.
+Algorithm: min-label propagation WITH label chasing (pointer jumping).
+Every node starts labelled with its own id; each round every node
+adopts ``min(own label, neighbour labels)`` and then labels chase one
+hop through the label table (``lab <- lab[lab]``), which collapses
+chains exponentially — O(log diameter) rounds instead of O(diameter)
+(the Hash-to-Min / large-star family, Rastogi et al. 2013).
+
+Execution shape: a BSP actor pool (Pregel-style), the one place in the
+engine where raw Ray actors beat a Dataset composition. An iterative
+keyed algorithm re-executed as Dataset pipelines pays the full
+streaming-executor setup + an all-to-all shuffle of the STATIC edge
+set every round (measured: ~7 s/round of pure fixed cost at 500 nodes
+— scheduling tax, not data). Instead, ``buckets`` actors each hold one
+hash-shard of the edges (loaded once, streamed in via map_batches —
+never through the driver) and of the label table; a round is three
+bucket-to-bucket object-store exchanges of label-sized arrays
+(candidates → grouped min → pointer-jump probes/answers), with the
+driver touching only object refs and one scalar changed-count per
+round. Partitioning assumption (document per the engine's custom-op
+rule): node ids hash-shard uniformly; per-actor state is
+O((|V|+|E|)/buckets) — size ``buckets`` to the cluster so a shard fits
+a worker's heap. A hub node's incident edges land in one shard (same
+skew exposure as any vertex-partitioned graph system).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import ray
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier
 
 
-def _int_join(left, right, lon: str, ron: str, buckets: int):
-    """Lightweight inner join for ALL-INT64 frames (the CC loop's only
-    shape): tag each side with ``key % buckets`` + a side marker, pad
-    to the combined column set with int64 sentinels (schemas align
-    without typed-null machinery), one co-locating groupby, pandas
-    merge per bucket. ~5× less per-round fixed cost than the general
-    ``bucket_hash_join`` — iterative algorithms pay the per-execution
-    overhead every round, so the constant matters more than anywhere
-    else in the engine."""
+def _bkt(ids: np.ndarray, buckets: int) -> np.ndarray:
+    """Decorrelate sequential ids from the shard index (int64 → uint64
+    multiplicative mix, top bits carry the entropy)."""
+    x = ids.astype(np.uint64) * _MIX
+    return ((x >> np.uint64(40)) % np.uint64(buckets)).astype(np.int64)
 
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-    all_cols = lcols + [c for c in rcols if c not in lcols]
 
-    def tag(side, keycol, cols):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(index=df.index)
-            for c in all_cols:
-                out[c] = (df[c].astype("int64") if c in cols
-                          else pd.array([0] * len(df), dtype="int64"))
-            out["_side"] = pd.array([side] * len(df), dtype="int64")
-            out["_b"] = (df[keycol].astype("int64") % buckets).astype("int64")
-            return out
+@ray.remote(num_cpus=0)
+class _CCShard:
+    """One hash-shard of the dup graph: the edges whose src hashes
+    here, and the current label of every node that hashes here.
+    ``num_cpus=0`` so the pool never deadlocks against the map tasks
+    that stream edges in (the per-round bursts are short and the pool
+    is idle between rounds)."""
 
-        return fn
+    def __init__(self, bucket: int, n_buckets: int):
+        self.b = bucket
+        self.B = n_buckets
+        self._edge_parts: list[tuple[np.ndarray, np.ndarray]] = []
+        self._node_parts: list[np.ndarray] = []
+        self.nodes = np.empty(0, np.int64)  # sorted
+        self.labs = np.empty(0, np.int64)
 
-    both = left.map_batches(
-        tag(0, lon, lcols), batch_format="pandas"
-    ).union(right.map_batches(tag(1, ron, rcols), batch_format="pandas"))
+    def add_edges(self, src, dst) -> None:
+        self._edge_parts.append(
+            (np.asarray(src, np.int64), np.asarray(dst, np.int64))
+        )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["_b"])
-        l = g[g["_side"] == 0][lcols]
-        r = g[g["_side"] == 1][rcols]
-        out = l.merge(r, left_on=lon, right_on=ron)
-        for c in out.columns:
-            out[c] = out[c].astype("int64")
-        return out
+    def add_nodes(self, ids) -> None:
+        self._node_parts.append(np.asarray(ids, np.int64))
 
-    return both.groupby("_b").map_groups(merge, batch_format="pandas")
+    def seal(self) -> int:
+        """Freeze the shard: dedupe nodes, index edge sources into the
+        node table once (labels are then O(1) array lookups all run)."""
+        self.nodes = (
+            np.unique(np.concatenate(self._node_parts))
+            if self._node_parts else np.empty(0, np.int64)
+        )
+        self.labs = self.nodes.copy()
+        if self._edge_parts:
+            src = np.concatenate([p[0] for p in self._edge_parts])
+            self.dst = np.concatenate([p[1] for p in self._edge_parts])
+        else:
+            src = np.empty(0, np.int64)
+            self.dst = np.empty(0, np.int64)
+        self._edge_parts = []
+        self._node_parts = []
+        # pair endpoints may reference nodes absent from ``nodes``
+        # (caller passed a node subset); drop those edges — same
+        # behaviour as the join-based formulation, which inner-joined
+        # edges against the label table
+        self.src_idx, ok = self._lookup(src)
+        if not ok.all():
+            self.src_idx = self.src_idx[ok]
+            self.dst = self.dst[ok]
+        self.dst_bkt = _bkt(self.dst, self.B)
+        return len(self.nodes)
+
+    def _lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(index into nodes, present-mask) for an id array."""
+        if len(self.nodes) == 0:
+            z = np.zeros(len(ids), np.int64)
+            return z, np.zeros(len(ids), bool)
+        idx = np.searchsorted(self.nodes, ids)
+        idx = np.minimum(idx, len(self.nodes) - 1)
+        return idx, self.nodes[idx] == ids
+
+    def cand_out(self):
+        """Superstep 1: for every local edge, the neighbour candidate
+        (dst, lab[src]), split by dst's shard."""
+        lab = self.labs[self.src_idx]
+        return tuple(
+            (self.dst[m], lab[m])
+            for m in (self.dst_bkt == j for j in range(self.B))
+        )
+
+    def min_and_probe(self, *cands):
+        """Superstep 2: grouped min over own labels + received
+        candidates → new labels; emit (node, newlab) pointer-jump
+        probes to each label's owner shard. Returns
+        (changed_count, probes_for_shard_0, ..., probes_for_shard_B-1).
+        """
+        new = self.labs.copy()
+        for dst, lab in cands:
+            idx, ok = self._lookup(np.asarray(dst, np.int64))
+            np.minimum.at(new, idx[ok], np.asarray(lab, np.int64)[ok])
+        changed = int(np.sum(new < self.labs))
+        self.labs = new
+        # only non-root nodes need the chase (lab[root]==root, no-op)
+        nz = new < self.nodes
+        pn, pl = self.nodes[nz], new[nz]
+        pb = _bkt(pl, self.B)
+        return (changed, *(
+            (pn[m], pl[m]) for m in (pb == j for j in range(self.B))
+        ))
+
+    def answer_probes(self, *probes):
+        """Superstep 3a: answer lab[lab[n]] lookups for labels this
+        shard owns (labels are node ids, so the lookup is total), split
+        by the asking node's shard. Runs before ``apply_chase`` on this
+        actor (per-actor FIFO), so it reads post-min, pre-chase labels
+        — exactly the lab <- lab[lab] semantics."""
+        outs: list[list[tuple[np.ndarray, np.ndarray]]] = [
+            [] for _ in range(self.B)
+        ]
+        for node, lab in probes:
+            node = np.asarray(node, np.int64)
+            # labels are ids of surviving (edge-validated) nodes, so
+            # the lookup is total; the mask is belt-and-braces
+            idx, ok = self._lookup(np.asarray(lab, np.int64))
+            node, plab = node[ok], self.labs[idx[ok]]
+            nb = _bkt(node, self.B)
+            for j in range(self.B):
+                m = nb == j
+                if m.any():
+                    outs[j].append((node[m], plab[m]))
+        return tuple(
+            (np.concatenate([a for a, _ in o]) if o else np.empty(0, np.int64),
+             np.concatenate([b for _, b in o]) if o else np.empty(0, np.int64))
+            for o in outs
+        )
+
+    def apply_chase(self, *answers) -> None:
+        for node, plab in answers:
+            if len(node):
+                idx = np.searchsorted(self.nodes, node)
+                self.labs[idx] = plab
+
+    def labels_table(self, node_col: str, label_col: str) -> pa.Table:
+        return pa.table({node_col: self.nodes, label_col: self.labs})
 
 
 def connected_components(edges, nodes, node_col: str = "id",
@@ -72,141 +180,82 @@ def connected_components(edges, nodes, node_col: str = "id",
     ``edges``: Dataset with int columns (a, b) — undirected pairs.
     ``nodes``: Dataset with ``node_col`` — every node (isolated nodes
     keep their own id as the label). Returns a Dataset
-    [node_col, label_col].
+    [node_col, label_col]. See module docstring for the BSP shape.
     """
-    from .agg import map_buckets
-    from .joins import coalesce_if_fragmented
-
-    # labels(node, lab) — start: every node labels itself
-    labels = nodes.map_batches(
-        lambda df: pd.DataFrame(
-            {"node": df[node_col].astype("int64"),
-             "lab": df[node_col].astype("int64")}
-        ),
-        batch_format="pandas",
-    ).materialize()
-    # symmetrize once: candidates then need ONE join per round
-    sym = coalesce_if_fragmented(edges.materialize(), 2 * buckets)
-    sym = sym.map_batches(
-        lambda df: pd.DataFrame(
-            {"src": pd.concat([df["a"], df["b"]]).astype("int64").to_numpy(),
-             "dst": pd.concat([df["b"], df["a"]]).astype("int64").to_numpy()}
-        ),
-        batch_format="pandas",
-    ).materialize()
-
     import time as _time
+
+    shards = [_CCShard.remote(i, buckets) for i in range(buckets)]
+
+    # stream edges/nodes into the shards from map tasks — symmetrize in
+    # flight; nothing graph-sized ever passes through the driver
+    def push_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].astype("int64").to_numpy()
+        b = df["b"].astype("int64").to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        sb = _bkt(src, buckets)
+        ray.get([
+            shards[j].add_edges.remote(src[m], dst[m])
+            for j in range(buckets)
+            for m in (sb == j,) if m.any()
+        ])
+        return pd.DataFrame({"n": [len(df)]})
+
+    def push_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[node_col].astype("int64").to_numpy()
+        ib = _bkt(ids, buckets)
+        ray.get([
+            shards[j].add_nodes.remote(ids[m])
+            for j in range(buckets)
+            for m in (ib == j,) if m.any()
+        ])
+        return pd.DataFrame({"n": [len(df)]})
+
+    edges.map_batches(push_edges, batch_format="pandas").count()
+    nodes.map_batches(push_nodes, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
 
     for _it in range(max_iters):
         _t0 = _time.perf_counter()
-        # neighbour candidates: (dst, lab[src]) over the symmetric edges
-        cand = _int_join(
-            sym,
-            labels.map_batches(
-                lambda df: df.rename(columns={"node": "_n"}),
-                batch_format="pandas",
-            ),
-            "src", "_n", buckets=buckets,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["dst"].astype("int64"),
-                 "lab": df["lab"].astype("int64"),
-                 "own": pd.array([0] * len(df), dtype="int64")}
-            ),
-            batch_format="pandas",
-        ).materialize()
-        # ^ materialized: ``labels`` must not feed two branches of ONE
-        # plan (the cand join's probe side AND ``tagged`` below) — a
-        # multi-branch read of the same materialized dataset inside a
-        # single union plan can deadlock Ray's streaming executor
-        tagged = labels.map_batches(
-            lambda df: df.assign(own=pd.array([1] * len(df), dtype="int64")),
-            batch_format="pandas",
-        )
-
-        # grouped min per node + per-row changed flag (own row carries
-        # the previous label, so "changed" computes inside the bucket —
-        # no extra join for the convergence check)
-        def group_min(g: pd.DataFrame) -> pd.DataFrame:
-            newlab = g.groupby("node")["lab"].min()
-            old = g[g["own"] == 1].set_index("node")["lab"]
-            old = old.reindex(newlab.index)
-            return pd.DataFrame(
-                {"node": newlab.index.astype("int64"),
-                 "lab": newlab.astype("int64").to_numpy(),
-                 "changed": (newlab.to_numpy()
-                             < old.to_numpy()).astype("int64")}
-            ).reset_index(drop=True)
-
-        new_labels = map_buckets(
-            tagged.union(cand), "node", group_min, buckets=buckets
-        ).materialize()
-        changed = new_labels.sum("changed") or 0
-
-        # label chase (pointer jump): lab <- lab[lab]. Labels are node
-        # ids and every node has a row, so the inner join is total.
-        # SELF-join emitted in ONE pass (probe rows bucket by the
-        # label they chase, build rows by their own node id) — a union
-        # of two lazy branches over the same materialized dataset
-        # deadlocks Ray's streaming executor on repeated execution.
-        def chase_sides(df: pd.DataFrame) -> pd.DataFrame:
-            node = df["node"].astype("int64").to_numpy()
-            lab = df["lab"].astype("int64").to_numpy()
-            import numpy as np
-
-            return pd.DataFrame(
-                {"node": np.concatenate([node, node]),
-                 "lab": np.concatenate([lab, lab]),
-                 "_side": np.repeat(
-                     np.array([0, 1], dtype=np.int64), len(df)
-                 ),
-                 "_b": np.concatenate(
-                     [lab % buckets, node % buckets]
-                 ).astype("int64")}
+        cand = [
+            s.cand_out.options(num_returns=buckets).remote() for s in shards
+        ]
+        if buckets == 1:
+            cand = [[c] for c in cand]
+        minp = [
+            shards[j].min_and_probe.options(num_returns=buckets + 1).remote(
+                *(cand[i][j] for i in range(buckets))
             )
-
-        def chase_merge(g: pd.DataFrame) -> pd.DataFrame:
-            probe = g[g["_side"] == 0][["node", "lab"]]
-            build = g[g["_side"] == 1][["node", "lab"]].rename(
-                columns={"node": "_p", "lab": "_plab"}
+            for j in range(buckets)
+        ]
+        ans = [
+            shards[j].answer_probes.options(num_returns=buckets).remote(
+                *(minp[i][1 + j] for i in range(buckets))
             )
-            out = probe.merge(build, left_on="lab", right_on="_p")
-            return pd.DataFrame(
-                {"node": out["node"].astype("int64"),
-                 "lab": out["_plab"].astype("int64")}
-            )
-
-        labels = (
-            new_labels.map_batches(chase_sides, batch_format="pandas")
-            .groupby("_b")
-            .map_groups(
-                lambda g: chase_merge(g.drop(columns=["_b"])),
-                batch_format="pandas",
-            )
-            .materialize()
-        )
-        # bound the block count: each round's sort outputs inherit and
-        # COMPOUND upstream fragmentation (measured 80 → 176 → 368
-        # blocks in 3 rounds at constant 500 rows, tripling round wall
-        # each time) — an iterative op must re-coalesce per round
-        if labels.num_blocks() > 2 * buckets:
-            labels = labels.repartition(
-                buckets, shuffle=False
-            ).materialize()
+            for j in range(buckets)
+        ]
+        if buckets == 1:
+            ans = [[a] for a in ans]
+        done = [
+            shards[j].apply_chase.remote(*(ans[i][j] for i in range(buckets)))
+            for j in range(buckets)
+        ]
+        changed = sum(ray.get([minp[j][0] for j in range(buckets)]))
+        ray.get(done)
         if verbose:
             print(f"[cc] round {_it}: changed={changed} "
-                  f"rows={labels.count()} blocks={labels.num_blocks()} "
-                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+                  f"{_time.perf_counter() - _t0:.3f}s", flush=True)
         if changed == 0:
             break
 
-    return labels.map_batches(
-        lambda df: pd.DataFrame(
-            {node_col: df["node"].astype("int64"),
-             label_col: df["lab"].astype("int64")}
-        ),
-        batch_format="pandas",
-    )
+    refs = [
+        s.labels_table.remote(node_col, label_col) for s in shards
+    ]
+    out = ray.data.from_arrow_refs(refs)
+    out = out.materialize()  # let the actor pool die with its refs
+    for s in shards:
+        ray.kill(s)
+    return out
 
 
 def dup_cluster_survivors(edges, nodes, node_col: str = "id",

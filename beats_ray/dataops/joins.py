@@ -179,7 +179,11 @@ def pack_rows_state(rows_df: pd.DataFrame, state_df: pd.DataFrame,
     ]
     arrays += [pa.nulls(len(rows_df), pa.int64()) for _ in state_cols]
     arrays.append(pa.array([False] * len(rows_df), pa.bool_()))
-    names = ev_cols + list(state_cols) + [flag]
+    # state columns travel under a reserved ``_st_`` prefix so an event
+    # schema that happens to contain e.g. a "tok" or "cnt" column is
+    # never shadowed/dropped by dict(zip(...)) (same convention as
+    # union_state_rows)
+    names = ev_cols + [f"_st_{c}" for c in state_cols] + [flag]
     rows_t = pa.table(dict(zip(names, arrays)))
     sarrays = []
     for c in ev_cols:
@@ -203,11 +207,12 @@ def split_rows_state(both, key: str, state_cols: list[str], flag: str):
 
     def rows_part(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(pc.fill_null(t[flag], False)))
-        return t.drop_columns(list(state_cols) + [flag])
+        return t.drop_columns([f"_st_{c}" for c in state_cols] + [flag])
 
     def state_part(t: pa.Table) -> pa.Table:
         t = t.filter(pc.fill_null(t[flag], False))
-        return t.select([key, *state_cols])
+        t = t.select([key, *(f"_st_{c}" for c in state_cols)])
+        return t.rename_columns([key, *state_cols])
 
     return (
         both.map_batches(rows_part, batch_format="pyarrow"),

@@ -320,16 +320,36 @@ def ensure_transcripts(sf: float, root: str = "/tmp/beats_ray_fixtures") -> str:
         sub = tbl.filter(pa.array(part_arr == k))
         pq.write_table(sub, tmp / f"part-{k:05d}.parquet")
     (tmp / "_DONE").write_text(token)
-    # near-atomic publish (rename-aside swap): losers of a concurrent
-    # race replace with an identical (deterministic) corpus; a reader
-    # can at worst hit a brief missing-dir window — never a truncated
-    # part file mid-write
-    aside = Path(str(out) + ".old")
-    shutil.rmtree(aside, ignore_errors=True)
-    if out.exists():
-        os.replace(out, aside)
-    os.replace(tmp, out)
-    shutil.rmtree(aside, ignore_errors=True)
+    # atomic publish under an flock: serializes concurrent generators
+    # (losers re-check the _DONE token and discard their tmp dir), and
+    # readers that arrive mid-swap only see either the old complete dir
+    # or the new complete dir — never a truncated part file. The brief
+    # missing-dir window between the two os.replace calls only exists
+    # inside the lock, and every writer re-checks under it.
+    out.parent.mkdir(parents=True, exist_ok=True)
+    lock_path = Path(str(out) + ".lock")
+    with open(lock_path, "w") as lk:
+        try:
+            import fcntl
+
+            fcntl.flock(lk, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: fall back to best-effort swap
+            pass
+        if done.exists() and done.read_text() == token:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            return str(out)
+        aside = Path(str(out) + ".old")
+        shutil.rmtree(aside, ignore_errors=True)
+        try:
+            if out.exists():
+                os.replace(out, aside)
+            os.replace(tmp, out)
+        except OSError:
+            # another (non-locking legacy) writer swapped concurrently:
+            # accept its corpus if its token checks out
+            if not (done.exists() and done.read_text() == token):
+                raise
+        shutil.rmtree(aside, ignore_errors=True)
     return str(out)
 
 

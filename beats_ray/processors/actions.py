@@ -135,14 +135,23 @@ def rename(cfg: dict):
                 if ignore_missing:
                     continue
                 if fail_on_error:
-                    raise KeyError(f"rename: missing field {src!r}")
+                    # rename.go Run: the event is rolled back, gets
+                    # error.message, and the stream keeps flowing — a
+                    # config/schema mismatch must not abort the job.
+                    # Column-absence is batch-wide here, so every row
+                    # gets the tag.
+                    t = set_error(
+                        t, pa.array([True] * t.num_rows),
+                        f"rename: missing field {src!r}")
                 continue
             if dst in t.column_names:
                 if fail_on_error:
-                    raise KeyError(f"rename: target {dst!r} exists")
-                # rename.go renameField: target-exists is an error; with
-                # fail_on_error=false the event is restored UNTOUCHED —
-                # never silently overwrite the existing target
+                    t = set_error(
+                        t, pa.array([True] * t.num_rows),
+                        f"rename: target {dst!r} exists")
+                # rename.go renameField: target-exists is an error; the
+                # event is restored UNTOUCHED — never silently
+                # overwrite the existing target
                 continue
             col = t[src]
             t = t.drop_columns([src])
@@ -169,11 +178,17 @@ def copy_fields(cfg: dict):
                 if ignore_missing:
                     continue
                 if fail_on_error:
-                    raise KeyError(f"copy_fields: missing field {src!r}")
+                    # copy_fields.go Run: rollback + error.message +
+                    # keep processing (never abort the batch)
+                    t = set_error(
+                        t, pa.array([True] * t.num_rows),
+                        f"copy_fields: missing field {src!r}")
                 continue
             if dst in t.column_names:
                 if fail_on_error:
-                    raise KeyError(f"copy_fields: target {dst!r} exists")
+                    t = set_error(
+                        t, pa.array([True] * t.num_rows),
+                        f"copy_fields: target {dst!r} exists")
                 continue
             t = set_col(t, dst, t[src])
         return t

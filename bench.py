@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "c4_clean_docs",
     "bigram_coverage",
     "pack_sequences",
+    "embed_dup_clusters",
+    "ngram_dup_clusters",
 ]
 
 

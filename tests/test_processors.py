@@ -48,8 +48,11 @@ def test_rename_and_copy(table):
 
 
 def test_rename_existing_target_fails(table):
-    with pytest.raises(KeyError):
-        run({"rename": {"fields": [{"from": "role", "to": "text"}]}}, table)
+    # rename.go Run: rollback + error.message, stream keeps flowing —
+    # never an exception that would abort the whole batch/job
+    out = run({"rename": {"fields": [{"from": "role", "to": "text"}]}}, table)
+    assert out["role"].to_pylist() == table["role"].to_pylist()
+    assert all("target" in m for m in out["error.message"].to_pylist())
 
 
 def test_drop_and_include_fields(table):

@@ -932,8 +932,9 @@ def test_copy_fields_never_silently_overwrites():
     from beats_ray.processors.base import build_processor
 
     p = build_processor({"copy_fields": {"fields": [{"from": "a", "to": "b"}]}})
-    with pytest.raises(KeyError, match="exists"):
-        p(pa.table({"a": ["1"], "b": ["keep"]}))
+    out1 = p(pa.table({"a": ["1"], "b": ["keep"]}))
+    assert out1["b"].to_pylist() == ["keep"]  # rollback, not overwrite
+    assert "exists" in out1["error.message"].to_pylist()[0]
     p2 = build_processor({"copy_fields": {"fields": [{"from": "a", "to": "b"}],
                                           "fail_on_error": False}})
     out = p2(pa.table({"a": ["1"], "b": ["keep"]}))
