@@ -1,0 +1,107 @@
+"""Charset decode in the line-reader chain — goldens mirroring the
+reference's readfile/encode_test.go (per-line BOM stripping) and
+readfile/encoding tests (charmap/utf-16/BOM-policy decode)."""
+
+import pytest
+import ray.data as rd
+
+from beats_ray.sources.readers import read_log_lines, resolve_encoding
+
+
+def _read(tmp_path, payload: bytes, encoding: str, name="f.log"):
+    p = tmp_path / name
+    p.write_bytes(payload)
+    df = read_log_lines(str(p), encoding=encoding).to_pandas()
+    return df
+
+
+def test_latin1_lines(ray_session, tmp_path):
+    df = _read(tmp_path, "caf\xe9 au lait\nn\xfc\xf1ez\n".encode("latin-1"),
+               "iso8859-1")
+    assert df["text"].tolist() == ["café au lait", "nüñez"]
+    assert df["error.message"].isna().all()
+
+
+def test_gbk_lines(ray_session, tmp_path):
+    df = _read(tmp_path, "中文日志\n第二行\n".encode("gbk"), "gbk")
+    assert df["text"].tolist() == ["中文日志", "第二行"]
+
+
+def test_utf16le_frames_multibyte_terminators(ray_session, tmp_path):
+    # the \n is 0A 00 in utf-16le — a byte-level splitter would shear
+    # every code unit; decode-then-split must frame correctly
+    df = _read(tmp_path, "alpha\nbeta\r\ngamma\n".encode("utf-16-le"),
+               "utf-16le")
+    assert df["text"].tolist() == ["alpha", "beta", "gamma"]
+
+
+def test_utf16_bom_sniff_and_fallback(ray_session, tmp_path):
+    # BOM present: endianness comes from the BOM, BOM is consumed
+    be = "﻿big\nendian\n".encode("utf-16-be")
+    df = _read(tmp_path, be, "utf-16le-bom", name="be.log")
+    assert df["text"].tolist() == ["big", "endian"]
+    # BOM absent: utf-16le-bom falls back to little-endian
+    # (readfile/encoding/utf16.go:49-55)
+    df = _read(tmp_path, "fall\nback\n".encode("utf-16-le"),
+               "utf-16le-bom", name="le.log")
+    assert df["text"].tolist() == ["fall", "back"]
+
+
+def test_utf16_bom_required_without_bom_tags(ray_session, tmp_path):
+    # utf-16-bom with no BOM is an error in the reference
+    # (ErrUnsupportedSourceTypeBOM); here: rows tagged, not dropped
+    df = _read(tmp_path, "no\nbom\n".encode("utf-16-le"), "utf-16-bom")
+    assert df["error.message"].notna().any()
+
+
+def test_invalid_bytes_tagged_not_dropped(ray_session, tmp_path):
+    # invalid utf-8 must not kill the job (encoding/mixed.go: U+FFFD
+    # substitution, stream keeps flowing) — the bad ROW is tagged, the
+    # good rows are untouched
+    payload = b"good line\nbad \xff\xfe\xff line\nanother good\n"
+    df = _read(tmp_path, payload, "utf-8")
+    assert len(df) == 3
+    assert df["text"].tolist()[0] == "good line"
+    assert df["text"].tolist()[2] == "another good"
+    assert df["error.message"].notna().tolist() == [False, True, False]
+
+    df = _read(tmp_path, "ok\n".encode("utf-16-le") + b"\x41",
+               "utf-16le", name="bad16.log")
+    assert df["text"].tolist()[0] == "ok"
+    assert df["error.message"].notna().sum() == 1  # the mangled row only
+
+
+def test_per_line_bom_stripping_matches_encode_reader(ray_session, tmp_path):
+    # encode_test.go TestEncodeLines: a U+FEFF PREFIX is removed on
+    # every line; mid-line and non-BOM lookalikes are content
+    payload = ("﻿testing\n﻿multiline\n"
+               "testing simple ﻿line\n"
+               "￯testing simple line\n").encode("utf-8")
+    df = _read(tmp_path, payload, "plain")
+    assert df["text"].tolist() == [
+        "testing", "multiline",
+        "testing simple ﻿line",
+        "￯testing simple line",
+    ]
+
+
+def test_unknown_encoding_is_config_error(ray_session):
+    with pytest.raises(ValueError, match="unknown encoding"):
+        resolve_encoding("klingon-8")
+
+
+def test_encoding_names_resolve_to_real_codecs():
+    """Every registry entry must name a codec Python can actually
+    instantiate (catches alias typos for the long charmap tail)."""
+    import codecs
+
+    from beats_ray.sources.readers import _ENCODINGS
+
+    for name, (codec, _bom) in _ENCODINGS.items():
+        codecs.lookup(codec)
+
+
+def test_crlf_and_final_unterminated_line(ray_session, tmp_path):
+    df = _read(tmp_path, "a\r\nb\nc-no-newline".encode("cp1252"),
+               "windows1252")
+    assert df["text"].tolist() == ["a", "b", "c-no-newline"]
