@@ -37,10 +37,14 @@ def _tr_files(sf: float) -> list[str]:
     return sorted(glob.glob(ensure_transcripts(sf) + "/part-*.parquet"))
 
 
-def _transcripts(sf_dir: str):
+def _transcripts(sf_dir: str, columns: list[str] | None = None):
+    """Transcript corpus read. ALWAYS pass ``columns=`` when the query
+    consumes a subset — pruning at the read is the difference between
+    scanning 2 columns and scanning 6 at 100 TB (a post-read
+    select_columns still ships every column out of storage)."""
     import ray.data as rd
 
-    return rd.read_parquet(_tr_files(sf_from_dir(sf_dir)))
+    return rd.read_parquet(_tr_files(sf_from_dir(sf_dir)), columns=columns)
 
 
 def _table(sf_dir: str, name: str, columns: list[str] | None = None,
@@ -142,7 +146,7 @@ def q_dissect_parse(sf_dir: str):
             ["conv_id", "turn_idx", "level", "ts_str", "tool_name", "status", "msg"]
         )
 
-    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(parse, batch_format="pyarrow")
 
 
 def q_ndjson_parse(sf_dir: str):
@@ -165,7 +169,7 @@ def q_ndjson_parse(sf_dir: str):
             ["conv_id", "turn_idx", "event", "json_tool", "duration_ms"]
         )
 
-    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(parse, batch_format="pyarrow")
 
 
 def q_syslog_parse(sf_dir: str):
@@ -188,7 +192,7 @@ def q_syslog_parse(sf_dir: str):
              "app", "pid", "msg"]
         )
 
-    return _transcripts(sf_dir).map_batches(parse, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(parse, batch_format="pyarrow")
 
 
 def q_syslog_sd_parse(sf_dir: str):
@@ -238,8 +242,7 @@ def q_syslog_sd_parse(sf_dir: str):
         )
 
     return (
-        _transcripts(sf_dir)
-        .select_columns(["conv_id", "turn_idx"])
+        _transcripts(sf_dir, ["conv_id", "turn_idx"])
         .map_batches(build, batch_format="pandas")
         .map_batches(extract, batch_format="pyarrow")
     )
@@ -273,7 +276,7 @@ def q_multiline_stats(sf_dir: str):
         )
         return out.rename_columns(["conv_id", "turn_idx", "n_lines", "first_line"])
 
-    return _transcripts(sf_dir).map_batches(stats, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
 def q_truncate_preview(sf_dir: str):
@@ -290,7 +293,7 @@ def q_truncate_preview(sf_dir: str):
             }
         )
 
-    return _transcripts(sf_dir).map_batches(trunc, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(trunc, batch_format="pyarrow")
 
 
 def q_replace_mask_numbers(sf_dir: str):
@@ -305,7 +308,7 @@ def q_replace_mask_numbers(sf_dir: str):
             ["conv_id", "turn_idx", "masked"]
         )
 
-    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(go, batch_format="pyarrow")
 
 
 def q_timestamp_parse(sf_dir: str):
@@ -330,7 +333,7 @@ def q_timestamp_parse(sf_dir: str):
         t = t.filter(pc.is_valid(t["dissect.level"]))
         return t.select(["conv_id", "turn_idx", "ts_parsed"])
 
-    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(go, batch_format="pyarrow")
 
 
 def q_format_index(sf_dir: str):
@@ -343,7 +346,7 @@ def q_format_index(sf_dir: str):
     def go(t: pa.Table) -> pa.Table:
         return proc(t).select(["conv_id", "turn_idx", "idx_name"])
 
-    return _transcripts(sf_dir).map_batches(go, batch_format="pyarrow")
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "role", "ts"]).map_batches(go, batch_format="pyarrow")
 
 
 def q_fingerprint_docs(sf_dir: str):
@@ -367,7 +370,7 @@ def q_rate_limited_counts(sf_dir: str):
 
     # narrow projection BEFORE the keyed shuffle: the rate limiter only
     # needs (conv_id, turn_idx, ts) to decide survivors for the count
-    narrow = _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "ts"])
+    narrow = _transcripts(sf_dir, ["conv_id", "turn_idx", "ts"])
     kept = rate_limit(narrow, k=3, window_s=60)
     return grouped_count(kept, ["conv_id"], name="n_kept")
 
@@ -647,8 +650,7 @@ def q_c4_clean_docs(sf_dir: str):
         )
 
     docs = (
-        _transcripts(sf_dir)
-        .select_columns(["conv_id", "turn_idx", "text"])
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
         .map_batches(with_id, batch_format="pandas")
     )
     return c4_line_filter(docs)
@@ -935,7 +937,7 @@ def q_multiline_merge(sf_dir: str):
     from beats_ray.stages.multiline import explode_lines, multiline_merge
 
     lines = explode_lines(
-        _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     )
     merged = multiline_merge(lines, pattern=r"^\s", match="after")
     return merged.select_columns(
@@ -960,8 +962,7 @@ def q_conv_stats(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        _transcripts(sf_dir)
-        .select_columns(["conv_id", "ts"])
+        _transcripts(sf_dir, ["conv_id", "ts"])
         .map_batches(partial, batch_format="pandas")
         .groupby("conv_id")
         .aggregate(
@@ -1083,7 +1084,7 @@ def q_unique_tools(sf_dir: str):
     # per-batch distinct (combiner) -> global distinct via the Arrow
     # grouped-count reduce (one vectorized aggregate, no per-distinct-key
     # map_groups python call) -> project the key back out
-    ds = _transcripts(sf_dir).select_columns(["tool"]).map_batches(
+    ds = _transcripts(sf_dir, ["tool"]).map_batches(
         distinct, batch_format="pyarrow"
     )
     return grouped_count(ds, ["tool"]).select_columns(["tool"])
@@ -1101,7 +1102,7 @@ def q_text_len_histogram(sf_dir: str):
         bucket = pc.multiply(pc.divide(ln, 20), 20)
         return pa.table({"len_bucket": pc.cast(bucket, pa.int64())})
 
-    ds = _transcripts(sf_dir).select_columns(["text"]).map_batches(
+    ds = _transcripts(sf_dir, ["text"]).map_batches(
         bucketize, batch_format="pyarrow"
     )
     return grouped_count(ds, ["len_bucket"])
@@ -1114,7 +1115,7 @@ def q_hot_conversations(sf_dir: str):
     from beats_ray.dataops.agg import key_histogram
 
     return key_histogram(
-        _transcripts(sf_dir).select_columns(["conv_id"]), "conv_id", top=10
+        _transcripts(sf_dir, ["conv_id"]), "conv_id", top=10
     )
 
 
@@ -1142,7 +1143,7 @@ def q_mask_pii_rows(sf_dir: str):
     from beats_ray.dataops.pii import mask_pii
 
     ds = mask_pii(
-        _transcripts(sf_dir).select_columns(["conv_id", "turn_idx", "text"]),
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]),
         field="text",
         target="masked_text",
     )
@@ -1216,8 +1217,7 @@ def q_distinct_tools_per_role(sf_dir: str):
         return g
 
     uniq = (
-        _transcripts(sf_dir)
-        .select_columns(["role", "tool"])
+        _transcripts(sf_dir, ["role", "tool"])
         .map_batches(pairs, batch_format="pyarrow")
         .groupby(["role", "tool"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
@@ -1347,8 +1347,7 @@ def q_role_level_pivot(sf_dir: str):
         )
 
     return (
-        _transcripts(sf_dir)
-        .select_columns(["role", "text"])
+        _transcripts(sf_dir, ["role", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("role")
         .aggregate(

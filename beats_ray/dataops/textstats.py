@@ -10,8 +10,6 @@ from __future__ import annotations
 import re
 import string
 
-from .dedup import ws_tokens
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,32 +26,36 @@ STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
 class TokenStats:
-    """Stateful stage (cached task via stagecache): regexes compiled
-    once per worker, vectorized pandas str ops per batch."""
+    """Stateful stage (cached task via stagecache): token/punct counts
+    are byte-level numpy kernels over the raw Arrow values buffer
+    (bytekernels — ~10× over the RE2 equivalents, exactly equal by
+    construction); the stopword count stays an RE2 kernel because the
+    ASCII ``\\b`` boundary is not a pure byte-class property."""
 
     def __init__(self):
-        self.punct = re.compile(PUNCT_CLASS)
-        self.bpe = re.compile(BPE_TOKEN)
-        # re.ASCII: \b must mean RE2's ASCII word boundary, or accented
-        # text diverges from the oracle ("theé": RE2 matches, a
-        # unicode \b does not)
-        self.stop = re.compile(STOPWORD_RE, re.ASCII)
+        import pyarrow.compute as pc
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        out = pd.DataFrame(
+        self.pc = pc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from . import bytekernels as bk
+
+        pc = self.pc
+        text = pc.cast(pc.fill_null(t["text"].combine_chunks(), ""),
+                       pa.string())
+        i64 = pa.int64()
+        counts = bk.token_stat_counts(text)
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_chars": text.str.len().astype("int64"),
-                "n_ws_tokens": text.map(
-                    lambda t: len(ws_tokens(t))
-                ).astype("int64"),
-                "n_bpe_tokens": text.str.count(self.bpe).astype("int64"),
-                "n_punct": text.str.count(self.punct).astype("int64"),
-                "n_stopwords": text.str.lower().str.count(self.stop).astype("int64"),
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(text), i64),
+                "n_ws_tokens": pa.array(counts["n_ws_tokens"], i64),
+                "n_bpe_tokens": pa.array(counts["n_bpe_tokens"], i64),
+                "n_punct": pa.array(counts["n_punct"], i64),
+                "n_stopwords": pc.cast(pc.count_substring_regex(
+                    pc.utf8_lower(text), pattern=STOPWORD_RE), i64),
             }
         )
-        return out
 
 
 def token_stats(docs):
@@ -61,30 +63,40 @@ def token_stats(docs):
 
     # light state (compiled regexes) → fused task with per-worker
     # instance cache, not an actor pool (no ~1.5s spin-up per query)
-    return docs.map_batches(task_stage(TokenStats), batch_format="pandas")
+    return docs.map_batches(task_stage(TokenStats), batch_format="pyarrow")
 
 
 def quality_score(docs, min_chars: int = 50, max_punct_ratio: float = 0.3):
     """Quality classification from the integer stats: short docs and
-    punctuation-heavy docs are low quality (C4-style heuristics)."""
+    punctuation-heavy docs are low quality (C4-style heuristics).
+    Counts are Arrow RE2 kernels; the classification is numpy."""
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        n_chars = text.str.len().astype("int64")
-        n_punct = text.str.count(PUNCT_CLASS).astype("int64")
-        n_stop = text.str.lower().str.count(STOPWORD_RE).astype("int64")
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.cast(pc.fill_null(t["text"].combine_chunks(), ""),
+                       pa.string())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_punct = pc.cast(pc.count_substring_regex(
+            text, pattern=PUNCT_CLASS), pa.int64()).to_numpy()
+        n_stop = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=STOPWORD_RE),
+            pa.int64()).to_numpy()
         low = (n_chars < min_chars) | (n_punct > (n_chars * max_punct_ratio))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_chars": n_chars,
-                "n_punct": n_punct,
-                "n_stopwords": n_stop,
-                "quality": np.where(low, "low", np.where(n_stop > 0, "high", "mid")),
+                "doc_id": t["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "quality": pa.array(
+                    np.where(low, "low", np.where(n_stop > 0, "high", "mid")),
+                    pa.string(),
+                ),
             }
         )
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 # n-gram profiles for a tiny deterministic language-ID heuristic: score
@@ -99,30 +111,71 @@ _LANG_MARKERS = {
 
 
 class LangId:
-    """Language-ID stage: marker sets built once per worker (cached
-    task)."""
+    """Language-ID stage, fully vectorized: tokenize (byte-level word
+    runs over the raw Arrow buffer) → one hash probe of every token
+    against the flat marker table (pc.index_in — the same vectorized
+    probe archetype as the keyed-metadata processors) → per-(row, lang)
+    hit counts via one bincount → argmax. No regex engine, no Python
+    loop over rows or words; exactly the word-set formulation
+    ``sum(w in markers for w in findall('[a-zà-ÿ]+', lower(text)))``."""
 
     def __init__(self):
-        self.word = re.compile(r"[a-zà-ÿ]+")
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        import pyarrow.compute as pc
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in df["text"].fillna(""):
-            words = self.word.findall(text.lower())
-            best, best_n = "unknown", 0
-            for lang, marks in self.markers.items():
-                n = sum(1 for w in words if w in marks)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+        self.pc = pc
+        self.langs = list(_LANG_MARKERS)
+        # UNIQUE marker table (a marker like "la" belongs to several
+        # languages; index_in maps duplicates to their first slot, so
+        # membership is a (unique-marker × language) boolean matrix)
+        uniq = sorted({m for marks in _LANG_MARKERS.values() for m in marks})
+        self.marker_table = pa.array(
+            [m.encode() for m in uniq], pa.large_binary()
+        )
+        self.membership = np.zeros((len(uniq), len(self.langs)), bool)
+        pos = {m: i for i, m in enumerate(uniq)}
+        for j, marks in enumerate(_LANG_MARKERS.values()):
+            for m in marks:
+                self.membership[pos[m], j] = True
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from . import bytekernels as bk
+
+        pc = self.pc
+        text = pc.utf8_lower(
+            pc.cast(pc.fill_null(t["text"].combine_chunks(), ""),
+                    pa.string())
+        )
+        tokens, row_ids = bk.word_tokens(text)
+        nrows, nlang = t.num_rows, len(self.langs)
+        hit = pc.fill_null(
+            pc.index_in(tokens, value_set=self.marker_table), -1
+        )
+        hit_np = hit.to_numpy()  # zero-copy int32, -1 = no marker
+        ok = hit_np != -1
+        uniq_idx = hit_np[ok].astype(np.int64)
+        rows_ok = row_ids[ok]
+        nuniq = len(self.marker_table)
+        # one bincount over (row, unique-marker), then a tiny matmul
+        # into language space (a marker may belong to several languages)
+        per_marker = np.bincount(
+            rows_ok * nuniq + uniq_idx, minlength=nrows * nuniq
+        ).reshape(nrows, nuniq)
+        counts = per_marker @ self.membership.astype(np.int64)
+        best = np.asarray(self.langs, dtype=object)[counts.argmax(axis=1)]
+        # original tie rule: first language in declaration order with a
+        # STRICTLY greater count; all-zero → unknown (argmax already
+        # returns the first max, so only the zero case needs a mask)
+        preds = np.where(counts.max(axis=1) > 0, best, "unknown")
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "lang_pred": pa.array(preds, pa.string())}
+        )
 
 
 def lang_id(docs):
     from .stagecache import task_stage
 
-    return docs.map_batches(task_stage(LangId), batch_format="pandas")
+    return docs.map_batches(task_stage(LangId), batch_format="pyarrow")
 
 
 def doc_fingerprint(docs, prefix_len: int = 16):

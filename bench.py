@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "mask_pii_rows",
     "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "simhash_pairs",
     "embed_dup_pairs",
     "rate_limit_tokens",

@@ -1,0 +1,78 @@
+"""Byte-level numpy kernels vs the Python-regex reference semantics —
+randomized cross-checks (the kernels claim EXACT equality by
+construction; these tests are the proof obligation)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from beats_ray.dataops import bytekernels as bk
+from beats_ray.dataops.textstats import BPE_TOKEN, PUNCT_CLASS
+
+_NON_WS = re.compile(r"[^ \t\n\f\r]+")
+_BPE = re.compile(BPE_TOKEN)
+_PUNCT = re.compile(PUNCT_CLASS)
+_WORD = re.compile(r"[a-zà-ÿ]+")
+
+# alphabet chosen to hit every boundary class: ASCII ws (incl \x0b,
+# which is ws for Python \s but NOT for RE2), letters, digits, punct,
+# 2-byte word chars (é), 2-byte non-word (ß U+00DF, just below à),
+# 3-byte (—), 4-byte (😀), and the BOM char
+_ALPHABET = list("ab z09.,!\t\n\r\f\x0b") + ["é", "ÿ", "à", "ß", "—", "😀", "ﬀ"]
+
+
+def _random_texts(seed: int, n: int = 300) -> list[str]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(0, 40))
+        out.append("".join(rng.choice(_ALPHABET, size=k)))
+    out += ["", " ", "à", "ßà", "a", "é—é", "\x0b", "😀a😀"]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_counts_match_python_regex(seed):
+    texts = _random_texts(seed)
+    arr = pa.array(texts, pa.string())
+    assert bk.ws_token_count(arr).tolist() == [
+        len(_NON_WS.findall(t)) for t in texts
+    ]
+    assert bk.bpe_token_count(arr).tolist() == [
+        len(_BPE.findall(t)) for t in texts
+    ]
+    assert bk.punct_count(arr).tolist() == [
+        len(_PUNCT.findall(t)) for t in texts
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_word_tokens_match_findall(seed):
+    texts = [t.lower() for t in _random_texts(seed)]
+    arr = pa.array(texts, pa.string())
+    tokens, row_ids = bk.word_tokens(arr)
+    got: dict[int, list[bytes]] = {}
+    for tok, rid in zip(tokens.to_pylist(), row_ids.tolist()):
+        got.setdefault(rid, []).append(tok)
+    for i, t in enumerate(texts):
+        want = [w.encode() for w in _WORD.findall(t)]
+        assert got.get(i, []) == want, (i, t)
+
+
+def test_chunked_and_sliced_inputs():
+    texts = ["a b", "  c", "", "d e f"]
+    chunked = pa.chunked_array([texts[:2], texts[2:]])
+    assert bk.ws_token_count(chunked).tolist() == [2, 1, 0, 3]
+    sliced = pa.array(["xx yy", *texts]).slice(1)
+    assert bk.ws_token_count(sliced).tolist() == [2, 1, 0, 3]
+
+
+def test_runs_never_leak_across_rows():
+    # row 1 ends in-class, row 2 starts in-class: two runs, not one
+    arr = pa.array(["ab", "cd", "", "ef"])
+    assert bk.ws_token_count(arr).tolist() == [1, 1, 0, 1]
+    tokens, rows = bk.word_tokens(arr)
+    assert tokens.to_pylist() == [b"ab", b"cd", b"ef"]
+    assert rows.tolist() == [0, 1, 3]

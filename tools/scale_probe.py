@@ -358,12 +358,101 @@ def probe_stream_long_chain() -> dict:
     }
 
 
+def _hash_uniform(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-uniform in [-1, 1) from integer (i, j) —
+    counter-based, so the corpus is identical regardless of how Ray
+    blocks the id range."""
+    x = (i.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+         + j.astype(np.uint64)[None, :] * np.uint64(0xC2B2AE3D27D4EB4F))
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x >> np.uint64(11)).astype(np.float64) / 2**52 - 1.0
+
+
+def ann_corpus(n: int = 50_000, dim: int = 64, n_true_clusters: int = 32):
+    """Clustered embedding corpus (centroid + noise), synthesized
+    inside Ray tasks — IVF/LSH recall on uniform data is meaningless;
+    real embedding spaces are clustered."""
+    import ray.data as rd
+
+    def make(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        j = np.arange(dim)
+        cents = _hash_uniform(ids % n_true_clusters + 1_000_000, j)
+        noise = _hash_uniform(ids, j) * 0.35
+        emb = cents + noise
+        return pd.DataFrame(
+            {"vec_id": ids.astype("int64"),
+             "embedding": list(emb.astype(np.float32))}
+        )
+
+    return rd.range(n).map_batches(make, batch_format="pandas")
+
+
+def probe_ann_recall() -> dict:
+    """Recall@10 vs wall-clock for IVF and multi-probe LSH as n_probe
+    varies, at 10× the oracle corpus (50k × 64d, 32 queries), against
+    brute-force ground truth. Full probe must hit recall 1.0 (the
+    provable identity); the curve between is the user's
+    accuracy/latency lever. Recorded in BASELINE.md."""
+    from beats_ray.dataops.ann import brute_topk, ivf_topk, lsh_topk
+
+    n, dim, k = 50_000, 64, 10
+    ds = ann_corpus(n, dim).materialize()
+    # queries: perturbed members of the corpus (realistic near-dup ask)
+    qids = np.arange(32) * (n // 32)
+    j = np.arange(dim)
+    queries = (_hash_uniform(qids % 32 + 1_000_000, j)
+               + _hash_uniform(qids, j) * 0.35
+               + _hash_uniform(qids + 7_777_777, j) * 0.05)
+
+    t0 = time.time()
+    exact = brute_topk(ds, queries, k=k)
+    brute_wall = round(time.time() - t0, 2)
+    truth = {
+        qi: set(exact[exact["query_id"] == qi]["vec_id"])
+        for qi in range(len(qids))
+    }
+
+    def recall(approx: pd.DataFrame) -> float:
+        rs = [
+            len(truth[qi] & set(approx[approx["query_id"] == qi]["vec_id"]))
+            / max(len(truth[qi]), 1)
+            for qi in range(len(qids))
+        ]
+        return round(float(np.mean(rs)), 3)
+
+    ivf_rows = []
+    for n_probe in (1, 2, 4, 8, 16, 32):
+        t0 = time.time()
+        res = ivf_topk(ds, queries, k=k, n_clusters=32, n_probe=n_probe,
+                       sample_n=4096)
+        ivf_rows.append({"n_probe": n_probe, "recall": recall(res),
+                         "wall_s": round(time.time() - t0, 2)})
+    lsh_rows = []
+    for n_probe in (1, 4, 16, 64, 256):
+        t0 = time.time()
+        res = lsh_topk(ds, queries, k=k, n_planes=8, n_probe=n_probe)
+        lsh_rows.append({"n_probe": n_probe, "recall": recall(res),
+                         "wall_s": round(time.time() - t0, 2)})
+    return {
+        "probe": "ann_recall", "n_vectors": n, "dim": dim, "k": k,
+        "n_queries": len(qids), "brute_wall_s": brute_wall,
+        "ivf_n_clusters_32": ivf_rows, "lsh_n_planes_8": lsh_rows,
+        "full_probe_exact": bool(
+            ivf_rows[-1]["recall"] == 1.0 and lsh_rows[-1]["recall"] == 1.0
+        ),
+    }
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
     "families_10x": probe_families_10x,
     "tb_state": probe_tb_state,
     "stream_long_chain": probe_stream_long_chain,
+    "ann_recall": probe_ann_recall,
 }
 
 
