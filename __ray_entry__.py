@@ -888,6 +888,27 @@ def q_media_real_decode(sf_dir: str):
     )
 
 
+def q_jpeg_real_decode(sf_dir: str):
+    """REAL compressed-image decode: baseline-JPEG payloads (pure-Python
+    Huffman + dequantize + IDCT, codecs.py) through the same
+    feature-extraction stage as PNG. The fixture images are flat
+    8×8-block patterns, which survive JPEG's lossy pipeline in CLOSED
+    FORM (DC-only blocks, exact-integer DC path), so the oracle
+    recomputes the decoded pixel sum with integer math and no codec —
+    byte-level decode correctness through a genuinely lossy format."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        image_features,
+        synthesize_jpeg_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_jpeg_media_table(24))
+    return image_features(media, fake=False).select_columns(
+        ["media_id", "n_px", "px_sum"]
+    )
+
+
 def q_audio_real_decode(sf_dir: str):
     """REAL audio decode: actual RIFF/WAVE PCM16 payloads through the
     pure-Python decoder; sample contents are closed-form, oracle
@@ -1434,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
         "media_real_decode": q_media_real_decode,
+        "jpeg_real_decode": q_jpeg_real_decode,
         "audio_real_decode": q_audio_real_decode,
         "video_real_decode": q_video_real_decode,
     }
@@ -2357,6 +2379,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(media_id AS BIGINT) AS media_id,
                    CAST(768 AS BIGINT) AS n_px,
                    CAST(SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id""",
+        # flat 8x8 blocks through baseline JPEG decode in closed form:
+        # DC-only block, Q[0,0]=16 -> decoded px =
+        # clamp(2*floor((v-128)/2 + 0.5) + 128); 64 px per block
+        "jpeg_real_decode": """
+            WITH blk AS (
+              SELECT m.i AS media_id,
+                     ((m.i*31 + bx.bx*7 + by.by*3) % 256) AS v
+              FROM (SELECT unnest(generate_series(0, 23)) AS i) m,
+                   (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+                   (SELECT unnest(generate_series(0, 2)) AS by) by
+            ), px AS (
+              SELECT media_id,
+                     LEAST(255, GREATEST(0,
+                       2*CAST(floor((v - 128)/2.0 + 0.5) AS BIGINT) + 128
+                     )) AS pxv
+              FROM blk
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(768 AS BIGINT) AS n_px,
+                   CAST(SUM(64*pxv) AS BIGINT) AS px_sum
             FROM px GROUP BY media_id""",
         "video_real_decode": """
             WITH px AS (

@@ -13,6 +13,9 @@ stub to a working path:
   deployment routes through the PIL path when available and uses this
   as the fallback.
 - WAV: PCM 16-bit (mono/stereo), RIFF parsing via ``struct``.
+- JPEG: baseline sequential DCT, grayscale (real markers, Huffman
+  entropy coding, 8×8 DCT) — see the JPEG section; color/progressive
+  raise with a PIL pointer.
 
 Encoders exist so tests and fixtures can synthesize REAL files
 deterministically (encode → decode round-trips are the test oracle).
@@ -320,3 +323,318 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         # bottom-up BGR → top-down RGB (top-down DIBs skip the flip)
         out[i] = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
     return out, fps
+
+
+# ------------------------------------------------------------- JPEG
+# Baseline sequential DCT, grayscale (ITU T.81 / JFIF): real markers,
+# real Huffman entropy coding, real 8×8 DCT — the compressed-image
+# format actual training corpora ship. Custom (spec-legal) canonical
+# Huffman tables are emitted in the DHT segment, so any conforming
+# decoder reads these files; compression ratio is not the point.
+#
+# DC coefficients are computed by the EXACT integer identity
+# F(0,0) = sum(block - 128) / 8 (binary-exact in float), so images
+# built from flat 8×8 blocks decode to closed-form pixel values an SQL
+# oracle can recompute: q = floor((v-128)/2 + 0.5) for Q[0,0]=16, then
+# pixel = clamp(floor(q*Q00/8 + 128 + 0.5)).
+
+# Annex K luminance quantization table (T.81 Table K.1 — public spec)
+JPEG_QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation, generated (anti-diagonal walk,
+    alternating direction) rather than hand-typed."""
+    order = []
+    for s in range(15):
+        idx = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            idx.reverse()  # even diagonals walk up-right
+        order.extend(i * 8 + j for i, j in idx)
+    return np.asarray(order, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal DCT-II basis: F = C @ B @ C.T
+_DCT_C = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16)
+     * (np.sqrt(1 / 8) if u == 0 else 0.5)
+     for x in range(8)]
+    for u in range(8)
+])
+
+# canonical Huffman: DC = 12 category symbols at length 4 (16 codes,
+# all-ones unused); AC = the 162 baseline (run<<4|size) symbols at
+# length 8 (256 codes). Both are written into DHT, so decode is
+# self-describing.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_DC_BITS = [0] * 16
+_DC_BITS[3] = len(_DC_SYMBOLS)   # all codes length 4 (index 3 = L-1)
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMBOLS)   # all codes length 8
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict:
+    """symbol → (code, length), canonical JPEG assignment."""
+    out, code, k = {}, 0, 0
+    for li, n in enumerate(bits):
+        for _ in range(n):
+            out[symbols[k]] = (code, li + 1)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, cat: int) -> int:
+    # negative values are stored one's-complement style (T.81 F.1.2.1)
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg_gray(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) → baseline JFIF bytes (grayscale, one scan)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    H, W = padded.shape
+    blocks = (
+        padded.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _DCT_C, blocks, _DCT_C)
+    # exact-integer DC identity (see module comment): kills the float
+    # half-way ambiguity that would break the closed-form oracle
+    coef[:, 0, 0] = blocks.sum(axis=(1, 2)) / 8.0
+    q = np.floor(coef / JPEG_QTABLE + 0.5).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _ZIGZAG]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        cat = _category(diff)
+        code, ln = _DC_CODES[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(_amplitude(diff, cat), cat)
+        run = 0
+        nz = np.flatnonzero(blk[1:])
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = _AC_CODES[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = _AC_CODES[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(_amplitude(v, cat), cat)
+            run = 0
+        if last < 63:
+            code, ln = _AC_CODES[0x00]  # EOB
+            bw.put(code, ln)
+
+    qz = JPEG_QTABLE.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0x00]) + qz.tobytes())  # DQT, table 0
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+                + bytes([1, 0x11, 0]))  # SOF0: 1 component, no subsample
+    out += _seg(0xFFC4, dht_dc) + _seg(0xFFC4, dht_ac)
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # unstuff
+                self.pos += 1  # skip the 0x00
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF bytes → uint8 (h, w). Reads the DQT and
+    DHT tables from the stream (self-describing — decodes any
+    single-component baseline file with ≤16-bit codes, not just this
+    encoder's output)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtab = None
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4: pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            if payload[0] & 0x0F == 0:
+                dezz = np.empty(64, np.int64)
+                dezz[_ZIGZAG] = np.frombuffer(
+                    payload[1:65], dtype=np.uint8
+                ).astype(np.int64)
+                qtab = dezz.reshape(8, 8)
+        elif marker == 0xC0:
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) baseline JPEG "
+                    "decodes offline; install PIL for color"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential DCT (SOF0) decodes offline"
+            )
+        elif marker == 0xC4:
+            cls_id = payload[0]
+            bits = list(payload[1:17])
+            syms = list(payload[17: 17 + sum(bits)])
+            table: dict[tuple[int, int], int] = {}
+            code, k = 0, 0
+            for li, n in enumerate(bits):
+                for _ in range(n):
+                    table[(li + 1, code)] = syms[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            huff[(cls_id >> 4, cls_id & 0x0F)] = table
+        elif marker == 0xDA:
+            scan_start = pos
+            break
+    if qtab is None or h is None or scan_start is None:
+        raise ValueError("JPEG missing DQT/SOF0/SOS")
+    dc_tab, ac_tab = huff[(0, 0)], huff[(1, 0)]
+
+    br = _BitReader(data[scan_start:])
+
+    def read_symbol(table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.take(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    nblocks = bh * bw_
+    zz = np.zeros((nblocks, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(nblocks):
+        cat = read_symbol(dc_tab)
+        diff = extend(br.take(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[b, k] = extend(br.take(cat), cat)
+            k += 1
+    coef = np.zeros((nblocks, 64), dtype=np.int64)
+    coef[:, _ZIGZAG] = zz
+    coef = coef.reshape(-1, 8, 8) * qtab
+    pix = np.einsum("xu,nuv,yv->nxy", _DCT_C.T, coef.astype(np.float64),
+                    _DCT_C.T)
+    pix = np.clip(np.floor(pix + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    out = (
+        pix.reshape(bh, bw_, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw_ * 8)
+    )
+    return out[:h, :w]

@@ -90,9 +90,16 @@ class ImageFeatures:
             from .codecs import decode_png
 
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            # REAL offline decode path: pure-Python baseline JPEG
+            # (grayscale; color/progressive raise with a PIL pointer)
+            from .codecs import decode_jpeg_gray
+
+            return decode_jpeg_gray(payload)
         raise NotImplementedError(
-            "only PNG decodes offline (pure-Python path); other formats "
-            "need PIL — pass fake=True for the deterministic test decoder"
+            "only PNG and grayscale baseline JPEG decode offline "
+            "(pure-Python paths); other formats need PIL — pass "
+            "fake=True for the deterministic test decoder"
         )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -164,6 +171,33 @@ def synthesize_real_media_table(n: int = 24, width: int = 32,
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media_table(n: int = 24, width: int = 32,
+                                height: int = 24) -> pa.Table:
+    """Media corpus of REAL baseline-JPEG payloads. Images are built
+    from FLAT 8×8 blocks — block (bx, by) of item i has every pixel
+    equal to ``(i*31 + bx*7 + by*3) % 256`` — because a flat block
+    survives JPEG's lossy pipeline in closed form: only the DC
+    coefficient is nonzero, so the decoded value is exactly
+    ``clamp(2*floor((v-128)/2 + 0.5) + 128)`` for Q[0,0]=16 (see
+    codecs.py JPEG section) and an SQL oracle can recompute the decoded
+    pixel sum with integer math, no codec."""
+    from .codecs import encode_jpeg_gray
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        by, bx = np.mgrid[0:height // 8, 0:width // 8]
+        blocks = ((i * 31 + bx * 7 + by * 3) % 256).astype(np.uint8)
+        arr = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_jpeg_gray(arr))
+        rows["mime"].append("image/jpeg")
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(0)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 

@@ -152,3 +152,76 @@ def test_frame_sampler_real_path_decodes_avi():
         hashlib.md5(rgb[0].tobytes()).hexdigest()[:16],
         hashlib.md5(rgb[2].tobytes()).hexdigest()[:16],
     ]
+
+
+# ------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_smooth_gradient_bounded_error():
+    """Baseline JPEG is lossy; on a smooth (non-wrapping) gradient the
+    quality-50 quantization error stays small."""
+    import math
+
+    from beats_ray.dataops.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = (60 + x * 2 + y * 3).astype(np.uint8)  # max 60+62+69 < 256
+    data = encode_jpeg_gray(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg_gray(data)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3
+
+
+def test_jpeg_flat_blocks_match_closed_form():
+    """Flat 8×8 blocks survive the lossy pipeline in closed form —
+    the identity the jpeg_real_decode oracle relies on."""
+    import math
+
+    from beats_ray.dataops.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    for v in (0, 1, 5, 77, 128, 200, 254, 255):
+        img = np.full((16, 24), v, np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        q = math.floor((v - 128) / 2 + 0.5)
+        expect = min(max(2 * q + 128, 0), 255)
+        assert set(out.ravel().tolist()) == {expect}, v
+
+
+def test_jpeg_nonaligned_dimensions_and_extremes():
+    from beats_ray.dataops.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(13, 21), dtype=np.uint8)  # pad path
+    out = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert out.shape == (13, 21)  # padding cropped back off
+
+
+def test_jpeg_rejects_unsupported_variants():
+    from beats_ray.dataops.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x01")
+    # flip SOF0 -> SOF2 (progressive) in a real stream
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_feature_stage_end_to_end(ray_session):
+    """synthesize → decode → features through the actor/task stage —
+    the pipeline path the jpeg_real_decode query drives."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        image_features,
+        synthesize_jpeg_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_jpeg_media_table(6))
+    out = image_features(media, fake=False).to_pandas()
+    assert len(out) == 6
+    assert (out["n_px"] == 32 * 24).all()
