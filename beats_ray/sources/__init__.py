@@ -4,3 +4,8 @@ from .readers import (  # noqa: F401
     read_ndjson_logs,
     write_ndjson_fixture,
 )
+from .sockets import (  # noqa: F401
+    SocketListener,
+    drain_to_dataset,
+    read_syslog_socket,
+)

@@ -1,0 +1,254 @@
+"""Socket inputs — filebeat's tcp/udp/unix/syslog-socket servers as
+actor-hosted listeners draining into Datasets.
+
+Reference surface: filebeat/inputsource/tcp (config.go: timeout,
+max_message_size), inputsource/udp, inputsource/unix, with framing from
+inputsource/common/streaming (scan.go: delimiter split and RFC6587
+octet-counting) and the per-remote metadata field ``log.source.address``.
+The syslog input is the socket listener composed with the existing
+``syslog`` processor (format auto: RFC3164 + RFC5424), exactly the
+reference's input/syslog layering.
+
+Ray-Data shape: the LISTENER is the one genuinely stateful, push-driven
+piece, so it is a raw Ray actor (``num_cpus=0`` — it blocks on accept,
+not compute); everything downstream is the ordinary batch pipeline. A
+``drain()`` call snapshots-and-clears the buffer as one Arrow table;
+``drain_to_dataset`` wraps it for the micro-batch loop (the
+MicroBatchRunner seam SURVEY §2.1 names). At scale: one listener actor
+per node/port behind the site's load balancer, each drained
+independently per window — no cross-actor coordination, and the buffer
+cap applies real TCP backpressure (the reader thread stops pulling from
+the socket, the kernel window closes, the sender blocks) instead of
+dropping. UDP, per its semantics, drops-and-counts when the buffer is
+full.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pyarrow as pa
+import ray
+
+
+def _now_us() -> int:
+    return time.time_ns() // 1_000
+
+
+class _Buffer:
+    """Bounded line buffer shared between reader threads and drain()."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.lock = threading.Lock()
+        self.texts: list[str] = []
+        self.addrs: list[str] = []
+        self.ts: list[int] = []
+        self.received = 0
+        self.dropped = 0
+        self.truncated = 0
+
+    def put(self, text: str, addr: str, *, block: bool) -> None:
+        while True:
+            with self.lock:
+                if len(self.texts) < self.cap:
+                    self.texts.append(text)
+                    self.addrs.append(addr)
+                    self.ts.append(_now_us())
+                    self.received += 1
+                    return
+                if not block:
+                    self.dropped += 1  # UDP semantics: full buffer drops
+                    return
+            time.sleep(0.005)  # TCP semantics: stall the reader →
+            # kernel window closes → sender blocks (backpressure)
+
+    def drain(self) -> pa.Table:
+        with self.lock:
+            t = pa.table({
+                "text": pa.array(self.texts, pa.string()),
+                "log.source.address": pa.array(self.addrs, pa.string()),
+                "recv_us": pa.array(self.ts, pa.int64()),
+            })
+            self.texts, self.addrs, self.ts = [], [], []
+            return t
+
+
+def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
+                  framing: str, max_message_size: int) -> None:
+    """Read a stream connection to EOF, splitting into messages.
+    ``delimiter`` framing mirrors streaming/scan.go FactoryDelimiter;
+    ``rfc6587`` handles both octet counting ("123 <bytes>") and
+    non-transparent (delimiter) framing per message, like
+    FactoryRFC6587Framing. Over-long messages are truncated + counted,
+    never dropped (the engine's tag-don't-drop rule)."""
+    pending = b""
+    while True:
+        try:
+            chunk = conn.recv(65536)
+        except OSError:
+            break
+        if not chunk:
+            break
+        pending += chunk
+        while True:
+            # RFC6587 octet counting applies iff the frame starts with
+            # a 1-10 digit length and a space ("123 <bytes>"); anything
+            # else uses non-transparent (delimiter) framing — both may
+            # interleave on one connection per the RFC
+            use_octet = False
+            if framing == "rfc6587" and pending[:1].isdigit():
+                sp = pending.find(b" ", 0, 11)
+                if sp > 0 and pending[:sp].isdigit():
+                    use_octet = True
+                elif (sp < 0 and len(pending) <= 11
+                      and pending.find(delimiter) < 0):
+                    break  # can't tell the framing yet — wait for bytes
+            if use_octet:
+                n = int(pending[:sp])
+                if len(pending) < sp + 1 + n:
+                    break  # wait for the full counted frame
+                msg = pending[sp + 1: sp + 1 + n]
+                pending = pending[sp + 1 + n:]
+            else:
+                i = pending.find(delimiter)
+                if i < 0:
+                    break
+                msg = pending[:i]
+                pending = pending[i + len(delimiter):]
+            if len(msg) > max_message_size:
+                msg = msg[:max_message_size]
+                with buf.lock:
+                    buf.truncated += 1
+            buf.put(msg.decode("utf-8", "replace"), addr, block=True)
+    if pending:  # EOF flushes a trailing unterminated message
+        buf.put(pending[:max_message_size].decode("utf-8", "replace"),
+                addr, block=True)
+    try:
+        conn.close()
+    except OSError:
+        pass
+
+
+@ray.remote(num_cpus=0)
+class SocketListener:
+    """One network listener = one actor (num_cpus=0: it blocks on
+    accept/recv, not compute). proto: "tcp" | "udp" | "unix". Port 0
+    binds an ephemeral port — read it back via ``address()``."""
+
+    def __init__(self, proto: str = "tcp", host: str = "127.0.0.1",
+                 port: int = 0, path: str | None = None,
+                 line_delimiter: str = "\n", framing: str = "delimiter",
+                 max_message_size: int = 20 * 1024 * 1024,
+                 max_buffer: int = 1_000_000):
+        if framing not in ("delimiter", "rfc6587"):
+            raise ValueError(f"unknown framing {framing!r}")
+        self.proto = proto
+        self.buf = _Buffer(max_buffer)
+        self.delim = line_delimiter.encode()
+        self.framing = framing
+        self.max_msg = max_message_size
+        self._closing = False
+        if proto == "tcp":
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self.sock.bind((host, port))
+            self.sock.listen(64)
+            self.addr = self.sock.getsockname()
+            target = self._accept_loop
+        elif proto == "unix":
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.bind(path)
+            self.sock.listen(64)
+            self.addr = (path, 0)
+            target = self._accept_loop
+        elif proto == "udp":
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self.sock.bind((host, port))
+            self.addr = self.sock.getsockname()
+            target = self._udp_loop
+        else:
+            raise ValueError(f"unknown proto {proto!r}")
+        self._thread = threading.Thread(target=target, daemon=True)
+        self._thread.start()
+
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, peer = self.sock.accept()
+            except OSError:
+                break
+            addr = (f"{peer[0]}:{peer[1]}" if isinstance(peer, tuple)
+                    else str(self.addr[0]))
+            threading.Thread(
+                target=_frame_stream,
+                args=(self.buf, conn, addr, self.delim, self.framing,
+                      self.max_msg),
+                daemon=True,
+            ).start()
+
+    def _udp_loop(self) -> None:
+        while not self._closing:
+            try:
+                data, peer = self.sock.recvfrom(65536)
+            except OSError:
+                break
+            if len(data) > self.max_msg:
+                data = data[: self.max_msg]
+                with self.buf.lock:
+                    self.buf.truncated += 1
+            # one message per datagram (inputsource/udp) — UDP drops
+            # when the buffer is full rather than blocking the loop
+            self.buf.put(data.decode("utf-8", "replace"),
+                         f"{peer[0]}:{peer[1]}", block=False)
+
+    def address(self) -> tuple[str, int]:
+        return (str(self.addr[0]), int(self.addr[1]))
+
+    def pending(self) -> int:
+        with self.buf.lock:
+            return len(self.buf.texts)
+
+    def drain(self) -> pa.Table:
+        return self.buf.drain()
+
+    def stats(self) -> dict:
+        with self.buf.lock:
+            return {"received": self.buf.received,
+                    "dropped": self.buf.dropped,
+                    "truncated": self.buf.truncated,
+                    "buffered": len(self.buf.texts)}
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def drain_to_dataset(listener, max_bytes: int = 10 * 1024 * 1024):
+    """One micro-batch drain → line Dataset through the same
+    StripNewline/LimitReader chain as the file sources (so socket rows
+    carry the identical truncated-flag semantics). Driver holds only
+    the drained window, exactly like a window's worth of file rows."""
+    import ray.data as rd
+
+    from .readers import line_reader_chain
+
+    table = ray.get(listener.drain.remote())
+    return line_reader_chain(rd.from_arrow(table), max_bytes=max_bytes)
+
+
+def read_syslog_socket(listener, max_bytes: int = 10 * 1024 * 1024):
+    """Syslog-over-socket input: drain + the ``syslog`` processor
+    (RFC3164/RFC5424 auto) — the reference's input/syslog layering over
+    the tcp/udp listeners."""
+    from ..processors import build_processor
+
+    proc = build_processor({"syslog": {}})
+    return drain_to_dataset(listener, max_bytes=max_bytes).map_batches(
+        proc, batch_format="pyarrow"
+    )

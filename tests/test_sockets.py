@@ -1,0 +1,150 @@
+"""Socket inputs (tcp/udp/unix/syslog-socket) — real localhost
+connections against the actor-hosted listeners, mirroring the
+reference's inputsource tests (tcp/server_test.go shapes: delimiter
+framing, split packets, RFC6587 octet counting, max_message_size)."""
+
+import socket
+import time
+
+import pytest
+import ray
+
+
+def _wait_pending(listener, n, timeout=10.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if ray.get(listener.pending.remote()) >= n:
+            return
+        time.sleep(0.02)
+    raise TimeoutError(
+        f"listener buffered {ray.get(listener.pending.remote())}/{n}"
+    )
+
+
+def _tcp_send(addr, payload: bytes, chunk: int = 0):
+    with socket.create_connection(addr) as s:
+        if chunk:
+            for i in range(0, len(payload), chunk):
+                s.sendall(payload[i: i + chunk])
+                time.sleep(0.01)
+        else:
+            s.sendall(payload)
+
+
+def test_tcp_lines_and_split_packets(ray_session):
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    lis = SocketListener.remote(proto="tcp")
+    addr = ray.get(lis.address.remote())
+    # lines split mid-message across packets must reassemble
+    _tcp_send(addr, b"hello one\nhello two\nhel", chunk=0)
+    _tcp_send(addr, "unicode café\n".encode(), chunk=4)
+    _wait_pending(lis, 3)
+    df = drain_to_dataset(lis).to_pandas()
+    texts = sorted(df["text"])
+    # "hel" had no newline: flushed at connection EOF (CollectOnEOF)
+    assert texts == ["hel", "hello one", "hello two", "unicode café"]
+    assert df["log.source.address"].str.startswith("127.0.0.1:").all()
+    ray.get(lis.close.remote())
+
+
+def test_tcp_max_message_size_truncates_not_drops(ray_session):
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    lis = SocketListener.remote(proto="tcp", max_message_size=10)
+    addr = ray.get(lis.address.remote())
+    _tcp_send(addr, b"x" * 100 + b"\nok\n")
+    _wait_pending(lis, 2)
+    df = drain_to_dataset(lis).to_pandas()
+    assert sorted(df["text"]) == ["ok", "x" * 10]
+    assert ray.get(lis.stats.remote())["truncated"] == 1
+    ray.get(lis.close.remote())
+
+
+def test_udp_one_message_per_datagram(ray_session):
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    lis = SocketListener.remote(proto="udp")
+    addr = ray.get(lis.address.remote())
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.sendto(b"datagram one", addr)
+    s.sendto(b"datagram two\nwith newline", addr)  # NOT line-framed
+    s.close()
+    _wait_pending(lis, 2)
+    df = drain_to_dataset(lis).to_pandas()
+    assert sorted(df["text"]) == ["datagram one", "datagram two\nwith newline"]
+    ray.get(lis.close.remote())
+
+
+def test_unix_socket_lines(ray_session, tmp_path):
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    path = str(tmp_path / "in.sock")
+    lis = SocketListener.remote(proto="unix", path=path)
+    ray.get(lis.address.remote())  # wait for bind
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.connect(path)
+        s.sendall(b"via unix\nsecond\n")
+    _wait_pending(lis, 2)
+    df = drain_to_dataset(lis).to_pandas()
+    assert sorted(df["text"]) == ["second", "via unix"]
+    ray.get(lis.close.remote())
+
+
+def test_rfc6587_octet_counting_and_mixed_framing(ray_session):
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    lis = SocketListener.remote(proto="tcp", framing="rfc6587")
+    addr = ray.get(lis.address.remote())
+    # octet-counted frames back to back (message content may contain
+    # newlines), then a non-transparent (delimiter) frame on the same
+    # connection — split across packets to exercise buffering
+    m1 = b"<34>May  1 00:10:00 h app: line\none"
+    payload = (str(len(m1)).encode() + b" " + m1
+               + b"11 hello world"
+               + b"<13>plain delimiter frame\n")
+    _tcp_send(addr, payload, chunk=7)
+    _wait_pending(lis, 3)
+    df = drain_to_dataset(lis).to_pandas()
+    assert sorted(df["text"]) == sorted(
+        [m1.decode(), "hello world", "<13>plain delimiter frame"]
+    )
+    ray.get(lis.close.remote())
+
+
+def test_syslog_socket_end_to_end(ray_session):
+    from beats_ray.sources.sockets import SocketListener, read_syslog_socket
+
+    lis = SocketListener.remote(proto="udp")
+    addr = ray.get(lis.address.remote())
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.sendto(b"<34>May  1 00:10:00 host1 app[42]: started ok", addr)
+    s.sendto(b"<165>1 2024-05-01T00:10:05Z host2 app2 7 - - v5424 body",
+             addr)
+    s.close()
+    _wait_pending(lis, 2)
+    out = read_syslog_socket(lis).to_pandas().sort_values(
+        "syslog.host").reset_index(drop=True)
+    assert out["syslog.ok"].all()
+    assert out["syslog.host"].tolist() == ["host1", "host2"]
+    assert out["syslog.severity"].tolist() == [2, 5]  # 34&7, 165&7
+    assert out["syslog.facility"].tolist() == [4, 20]  # 34>>3, 165>>3
+    ray.get(lis.close.remote())
+
+
+def test_udp_full_buffer_drops_and_counts(ray_session):
+    from beats_ray.sources.sockets import SocketListener
+
+    lis = SocketListener.remote(proto="udp", max_buffer=3)
+    addr = ray.get(lis.address.remote())
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for i in range(10):
+        s.sendto(f"m{i}".encode(), addr)
+    s.close()
+    _wait_pending(lis, 3)
+    time.sleep(0.3)  # let the tail datagrams arrive and be dropped
+    stats = ray.get(lis.stats.remote())
+    assert stats["buffered"] == 3
+    assert stats["received"] == 3
+    assert stats["dropped"] >= 1  # UDP drops when full (no blocking)
+    ray.get(lis.close.remote())
