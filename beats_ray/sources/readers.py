@@ -111,66 +111,103 @@ def resolve_encoding(name: str) -> tuple[str, object]:
     return _ENCODINGS[key]
 
 
-def _decode_file(data: bytes, codec: str, bom) -> tuple[str, bool]:
-    """Whole-buffer charset decode → (text, had_errors). Invalid byte
-    sequences become U+FFFD and flag the file (EncodeReader semantics:
-    golang transform.Reader substitutes the replacement rune and the
-    stream keeps flowing — never a dropped line)."""
-    if isinstance(bom, tuple):  # utf-16 BOM sniff (utf16.go:82-115)
-        fallback = bom[1]
-        if data[:2] == b"\xff\xfe":
-            codec, data = "utf-16-le", data[2:]
-        elif data[:2] == b"\xfe\xff":
-            codec, data = "utf-16-be", data[2:]
-        elif fallback is not None:
-            codec = fallback
-        else:
-            # utf-16-bom requires a BOM (ErrUnsupportedSourceTypeBOM /
-            # unknownEndianness): tag EVERY line of the file — the
-            # endianness is unknowable, so no line is trustworthy
-            return data.decode("utf-8", "replace"), "all"
-        bom = None
-    try:
-        return data.decode(codec), False
-    except UnicodeDecodeError:
-        return data.decode(codec, "replace"), "lines"
+def _sniff_bom(head: bytes, bom) -> tuple[str | None, bytes, bool]:
+    """Resolve a utf-16 BOM policy against the file's first bytes →
+    (codec or None, remaining head bytes, bom_missing_error).
+    utf16.go:82-115: consume FF FE / FE FF; fall back to the policy's
+    endianness when absent; utf-16-bom with no BOM is an error."""
+    fallback = bom[1]
+    if head[:2] == b"\xff\xfe":
+        return "utf-16-le", head[2:], False
+    if head[:2] == b"\xfe\xff":
+        return "utf-16-be", head[2:], False
+    if fallback is not None:
+        return fallback, head, False
+    return None, head, True
 
 
-def _decoded_lines_table(t: pa.Table, codec: str, bom) -> pa.Table:
-    """One binary-file row → line rows (text, log.file.path[,
-    error.message]). The split happens AFTER decode, so multi-byte
-    terminators (utf-16 ``\\n\\x00``) frame correctly — the reference
-    scans for the charset-encoded terminator (readfile/line.go);
-    decode-then-split is the same framing."""
-    texts: list[str] = []
-    paths: list[str] = []
-    errs: list[str | None] = []
-    for data, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
-        text, bad = _decode_file(data or b"", codec, bom)
-        lines = text.split("\n")
-        if lines and lines[-1] == "":
-            lines.pop()  # trailing terminator, not an empty final line
-        texts.extend(lines)
-        paths.extend([path] * len(lines))
-        if bad == "all":
-            errs.extend(
-                ["decode error: BOM required but missing"] * len(lines)
-            )
-        elif bad:
-            # a strict decode failed somewhere in this file: tag the
-            # lines carrying a replacement char (the mangled ones)
-            errs.extend(
-                "decode error: invalid bytes for configured encoding"
-                if "�" in ln else None
-                for ln in lines
-            )
-        else:
-            errs.extend([None] * len(lines))
-    return pa.table({
-        "text": pa.array(texts, pa.string()),
-        "log.file.path": pa.array(paths, pa.string()),
-        "error.message": pa.array(errs, pa.string()),
-    })
+def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
+                           rows_per_batch: int = 65536):
+    """Stream ONE file as line tables with BOUNDED memory: chunked
+    reads + an incremental charset decoder (multi-byte sequences and
+    terminators split across chunk boundaries decode correctly), lines
+    emitted every ``rows_per_batch``. A strict shadow decoder detects
+    invalid input without disturbing the replace-mode stream — from the
+    first bad chunk on, lines carrying U+FFFD are tagged via
+    error.message (EncodeReader semantics: substitute and keep flowing,
+    never drop, never die). A multi-GB file costs one task
+    O(chunk_bytes), not O(file)."""
+    import codecs as _codecs
+
+    bad_all = False
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if isinstance(bom, tuple):
+            resolved, head, bad_all = _sniff_bom(head, bom)
+            codec = resolved or "utf-8"
+        dec = _codecs.getincrementaldecoder(codec)("replace")
+        strict = _codecs.getincrementaldecoder(codec)("strict")
+        had_error = bad_all
+        pending = ""
+        texts: list[str] = []
+        errs: list[str | None] = []
+
+        def table() -> pa.Table:
+            t = pa.table({
+                "text": pa.array(texts, pa.string()),
+                "log.file.path": pa.array([path] * len(texts), pa.string()),
+                "error.message": pa.array(errs, pa.string()),
+            })
+            texts.clear()
+            errs.clear()
+            return t
+
+        def push(line: str) -> None:
+            texts.append(line)
+            if bad_all:
+                errs.append("decode error: BOM required but missing")
+            elif had_error and "�" in line:
+                errs.append(
+                    "decode error: invalid bytes for configured encoding")
+            else:
+                errs.append(None)
+
+        final = False
+        while not final:
+            chunk = head if head else f.read(chunk_bytes)
+            head = b""
+            final = not chunk
+            if strict is not None:
+                try:
+                    strict.decode(chunk, final)
+                except UnicodeDecodeError:
+                    had_error = True
+                    strict = None  # replace-mode stream carries on
+            pending += dec.decode(chunk, final)
+            lines = pending.split("\n")
+            # the last piece is unterminated: carry it into the next
+            # chunk; at EOF a non-empty trailer is a real final line
+            # and an empty one is just the trailing terminator
+            pending = lines.pop()
+            for ln in lines:
+                push(ln)
+            if final and pending:
+                push(pending)
+            if len(texts) >= rows_per_batch or (final and texts):
+                yield table()
+
+
+def _decoded_lines_stream(codec: str, bom, chunk_bytes: int = 8 << 20):
+    """map_batches generator UDF over a paths dataset: one task per
+    file block, each streaming its file's lines (see
+    _iter_file_line_tables). Requires the path to be readable from the
+    worker — the same locality contract as a filebeat harvester."""
+
+    def gen(t: pa.Table):
+        for path in t["path"].to_pylist():
+            yield from _iter_file_line_tables(path, codec, bom, chunk_bytes)
+
+    return gen
 
 
 def read_log_lines(paths: list[str] | str, max_bytes: int = 10 * 1024 * 1024,
@@ -181,20 +218,38 @@ def read_log_lines(paths: list[str] | str, max_bytes: int = 10 * 1024 * 1024,
 
     ``encoding``: filebeat's ``encoding:`` option (EncodeReader,
     readfile/encode.go + encoding/encoding.go). Every charset — utf-8
-    included — reads whole files as binary (the file stays the
-    parallelism unit, exactly one harvester's worth of sequential bytes
-    per task) and decodes + line-splits per file. NOT ``read_text``:
-    its datasource hard-raises on the first invalid utf-8 byte, killing
-    the job, where the reference's utf8 decoder (encoding/mixed.go)
-    substitutes U+FFFD and keeps flowing — decode-error rows are tagged
-    via error.message, never dropped and never fatal."""
+    included — streams files chunk-by-chunk through an incremental
+    decoder (file = parallelism unit, exactly one harvester's worth of
+    sequential bytes per task, O(chunk) memory however large the file).
+    NOT ``read_text``: its datasource hard-raises on the first invalid
+    utf-8 byte, killing the job, where the reference's utf8 decoder
+    (encoding/mixed.go) substitutes U+FFFD and keeps flowing —
+    decode-error rows are tagged via error.message, never dropped and
+    never fatal."""
+    import glob as _glob
+
     import ray.data as rd
 
     codec, bom = resolve_encoding(encoding)
-    ds = rd.read_binary_files(paths, include_paths=True)
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                sorted(str(q) for q in Path(p).rglob("*") if q.is_file())
+            )
+        elif any(ch in p for ch in "*?["):
+            files.extend(sorted(_glob.glob(p)))
+        else:
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no input files in {paths!r}")
+    ds = rd.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    )
     ds = ds.map_batches(
-        lambda t: _decoded_lines_table(t, codec, bom),
-        batch_format="pyarrow",
+        _decoded_lines_stream(codec, bom), batch_format="pyarrow"
     )
     if not include_path:
         ds = ds.drop_columns(["log.file.path"])
