@@ -1023,3 +1023,42 @@ def test_fixture_cache_token_invalidates_stale_corpus(tmp_path):
     assert d2 == d
     assert done.read_text() == _fixture_token(0.001)
     assert (Path(d) / "part-00000.parquet").stat().st_mtime_ns != mtime_before
+
+
+def test_connected_components_random_vs_union_find(ray_session):
+    """BSP CC vs a driver-side union-find oracle on random graphs with
+    non-contiguous (and negative) int64 ids, isolated nodes, self-loops
+    and duplicate edges — the rewrite (actor shards) must match the
+    abstract semantics exactly."""
+    from beats_ray.dataops.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        ids = rng.choice(np.arange(-500, 4000, 7), size=120,
+                         replace=False).astype(np.int64)
+        a = rng.choice(ids, size=80)
+        b = rng.choice(ids, size=80)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {int(i): find(int(i)) for i in ids}
+
+        out = (
+            connected_components(
+                rd.from_pandas(pd.DataFrame({"a": a, "b": b})),
+                rd.from_pandas(pd.DataFrame({"id": ids})),
+                buckets=3 + trial,
+            )
+            .to_pandas()
+        )
+        got = dict(zip(out["id"].astype(int), out["cluster_id"].astype(int)))
+        assert got == want, trial

@@ -173,6 +173,18 @@ def main(n_rows: int = 200_000):
 
     dt = bench(jac, pairs)
     out["rows_per_sec"]["jaccard_verify_pairs"] = round(len(pairs) / dt)
+
+    # round-5 byte-level text kernels (bytekernels.py — raw Arrow
+    # buffer numpy; BASELINE.md "text-kernel vectorization" table)
+    from beats_ray.dataops.textstats import LangId, TokenStats
+
+    docs = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": tbl["text"]}
+    )
+    dt = bench(TokenStats(), docs)
+    out["rows_per_sec"]["token_stats_stage"] = round(n / dt)
+    dt = bench(LangId(), docs)
+    out["rows_per_sec"]["lang_id_stage"] = round(n / dt)
     print(json.dumps(out))
 
 

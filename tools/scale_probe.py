@@ -446,6 +446,55 @@ def probe_ann_recall() -> dict:
     }
 
 
+def probe_cc_scale() -> dict:
+    """Connected components at 200× the oracle graph (100k nodes, 80k
+    random edges + a 1k-node chain for pointer-jumping depth):
+    wall-clock and correctness invariants for the BSP actor-pool
+    rewrite. The round-4 Dataset-loop implementation paid ~7 s/round of
+    fixed executor cost regardless of graph size; the BSP rounds are
+    object-store exchanges, so wall should track data, not rounds ×
+    executor setup."""
+    import ray.data as rd
+
+    from beats_ray.dataops.graph import connected_components
+
+    n = 100_000
+    rng = np.random.RandomState(3)
+
+    def mk_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        r = np.random.RandomState(int(ids.min()) % 2**31)
+        return pd.DataFrame({
+            "a": r.randint(0, n, size=len(ids)).astype("int64"),
+            "b": r.randint(0, n, size=len(ids)).astype("int64"),
+        })
+
+    edges = rd.range(80_000).map_batches(mk_edges, batch_format="pandas")
+    chain = rd.from_pandas(pd.DataFrame({
+        "a": np.arange(1000, dtype=np.int64) * 91 % n,
+        "b": np.arange(1, 1001, dtype=np.int64) * 91 % n,
+    }))
+    nodes = rd.range(n).map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].astype("int64")}),
+        batch_format="pandas",
+    )
+    t0 = time.time()
+    labels = connected_components(
+        edges.union(chain), nodes, buckets=16
+    ).to_pandas()
+    wall = time.time() - t0
+    assert len(labels) == n
+    # invariants: every label ≤ its node id, labels are component mins
+    ok_min = bool((labels["cluster_id"] <= labels["id"]).all())
+    n_clusters = int(labels["cluster_id"].nunique())
+    return {
+        "probe": "cc_scale", "n_nodes": n, "n_edges": 81_000,
+        "wall_s": round(wall, 1), "n_clusters": n_clusters,
+        "labels_are_minima": ok_min,
+        "rss_mb": round(_rss_mb(), 1),
+    }
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
@@ -453,6 +502,7 @@ PROBES = {
     "tb_state": probe_tb_state,
     "stream_long_chain": probe_stream_long_chain,
     "ann_recall": probe_ann_recall,
+    "cc_scale": probe_cc_scale,
 }
 
 
