@@ -924,6 +924,41 @@ def q_audio_real_decode(sf_dir: str):
     return audio_features(media)
 
 
+def q_g711_audio_decode(sf_dir: str):
+    """COMPRESSED audio decode: G.711 μ-law/A-law WAVs (fmt 7/6 — the
+    8-bit companded telephony formats) through the same audio-feature
+    stage as PCM. The payload code bytes follow a closed formula and
+    each law is pure integer bit-field math, so the oracle recomputes
+    Σ|decoded sample| in SQL with no codec and no shared tables."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        audio_features,
+        synthesize_g711_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_g711_media_table(24))
+    return audio_features(media)
+
+
+def q_mjpeg_video_decode(sf_dir: str):
+    """COMPRESSED video decode: Motion-JPEG AVI ('MJPG' fourcc —
+    per-frame baseline JPEG, the form webcam/security corpora ship)
+    through the frame-feature stage. Flat 8×8-block frames survive
+    JPEG's lossy pipeline in closed form, so the oracle recomputes each
+    sampled frame's pixel sum with integer math — container parse AND
+    entropy decode correctness, end to end."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        synthesize_mjpeg_video_table,
+        video_frame_features,
+    )
+
+    media = rd.from_arrow(synthesize_mjpeg_video_table(8))
+    return video_frame_features(media, every_ms=300)
+
+
 def q_video_real_decode(sf_dir: str):
     """REAL video decode: actual uncompressed-AVI payloads parsed by
     the pure-Python RIFF/DIB codec; frame pixels are closed-form
@@ -1456,6 +1491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": q_frame_samples,
         "media_real_decode": q_media_real_decode,
         "jpeg_real_decode": q_jpeg_real_decode,
+        "g711_audio_decode": q_g711_audio_decode,
+        "mjpeg_video_decode": q_mjpeg_video_decode,
         "audio_real_decode": q_audio_real_decode,
         "video_real_decode": q_video_real_decode,
     }
@@ -2415,6 +2452,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(frame_ms AS BIGINT) AS frame_ms,
                    CAST(768 AS BIGINT) AS n_px,
                    CAST(SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id, frame_ms""",
+        # G.711 decode magnitudes from the ITU-T bit-field math alone:
+        # μ-law (even ids): u = 255-c; mag = (((u&15)*8+132) << ((u>>4)&7)) - 132
+        # A-law (odd ids):  a = c XOR 85; seg = (a>>4)&7; m = a&15;
+        #   mag = (m*16+8 if seg=0 else m*16+264) << max(seg-1, 0)
+        # amp_sum = Σ mag (abs collapses the sign branch)
+        "g711_audio_decode": """
+            WITH s AS (
+              SELECT m.i AS media_id, ((m.i*17 + t.t*13) % 256) AS c
+              FROM (SELECT unnest(generate_series(0, 23)) AS i) m,
+                   (SELECT unnest(generate_series(0, 483)) AS t) t
+              WHERE t.t < 300 + 8*m.i
+            ), d AS (
+              SELECT media_id,
+                CASE WHEN media_id % 2 = 0 THEN
+                  ((((255 - c) & 15) * 8 + 132)
+                     << (((255 - c) >> 4) & 7)) - 132
+                ELSE
+                  (CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                        THEN (xor(c, 85) & 15) * 16 + 8
+                        ELSE (xor(c, 85) & 15) * 16 + 264 END)
+                    << GREATEST(((xor(c, 85) >> 4) & 7) - 1, 0)
+                END AS mag
+              FROM s
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(300 + 8*media_id AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(SUM(mag) AS BIGINT) AS amp_sum
+            FROM d GROUP BY media_id""",
+        # flat 8x8 blocks through MJPEG: same closed form as
+        # jpeg_real_decode, per sampled frame (8 frames @ 10 fps,
+        # sampled every 300 ms -> frames 0/3/6)
+        "mjpeg_video_decode": """
+            WITH blk AS (
+              SELECT m.i AS media_id, t.t AS frame_ms,
+                     ((m.i*11 + LEAST(7, (t.t*10)//1000)*29
+                       + bx.bx*7 + by.by*3) % 256) AS v
+              FROM (SELECT unnest(generate_series(0, 7)) AS i) m,
+                   (SELECT unnest(generate_series(0, 799, 300)) AS t) t,
+                   (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+                   (SELECT unnest(generate_series(0, 2)) AS by) by
+            ), px AS (
+              SELECT media_id, frame_ms,
+                     LEAST(255, GREATEST(0,
+                       2*CAST(floor((v - 128)/2.0 + 0.5) AS BIGINT) + 128
+                     )) AS pxv
+              FROM blk
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(frame_ms AS BIGINT) AS frame_ms,
+                   CAST(768 AS BIGINT) AS n_px,
+                   CAST(SUM(64*pxv) AS BIGINT) AS px_sum
             FROM px GROUP BY media_id, frame_ms""",
         "audio_real_decode": """
             WITH s AS (

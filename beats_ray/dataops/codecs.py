@@ -12,10 +12,18 @@ stub to a working path:
   sequential filters (Sub/Paeth) — correctness first; a production
   deployment routes through the PIL path when available and uses this
   as the fallback.
-- WAV: PCM 16-bit (mono/stereo), RIFF parsing via ``struct``.
+- WAV: PCM 16-bit (mono/stereo), G.711 μ-law / A-law (fmt codes 7/6 —
+  the companded 8-bit telephony formats, decoded by a vectorized
+  256-entry LUT; encoders bit-exact vs CPython's audioop), and IMA
+  ADPCM (fmt 0x11 — 4-bit differential; blocks are independent, so
+  decode vectorizes ACROSS blocks with a short loop over the
+  intra-block sample position, the only sequential axis).
 - JPEG: baseline sequential DCT, grayscale (real markers, Huffman
   entropy coding, 8×8 DCT) — see the JPEG section; color/progressive
   raise with a PIL pointer.
+- AVI: uncompressed 24-bit DIB frames, plus MJPEG ('MJPG' fourcc —
+  each frame a baseline JPEG, riding the JPEG codec above), the
+  compressed form webcam/security corpora actually ship.
 
 Encoders exist so tests and fixtures can synthesize REAL files
 deterministically (encode → decode round-trips are the test oracle).
@@ -167,11 +175,15 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 → (samples int16 [(n,) or (n, ch)], rate)."""
+    """RIFF/WAVE → (samples int16 [(n,) or (n, ch)], rate).
+
+    Formats: PCM16 (fmt 1), G.711 A-law/μ-law (fmt 6/7 → LUT expand to
+    int16), IMA ADPCM (fmt 0x11, mono → block-parallel expand)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
-    rate = n_ch = None
+    rate = n_ch = fmt_code = block_align = None
+    fact_n = None
     payload = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -179,19 +191,268 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
-            fmt_code, n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
-            if fmt_code != 1 or bits != 16:
+            fmt_code, n_ch, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            expect = {1: 16, 6: 8, 7: 8, 0x11: 4}.get(fmt_code)
+            if expect is None or bits != expect:
                 raise NotImplementedError(
                     f"WAV variant not supported (fmt={fmt_code}, bits={bits})"
                 )
+        elif tag == b"fact":
+            (fact_n,) = struct.unpack_from("<I", body)
         elif tag == b"data":
             payload = body
     if rate is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(payload, dtype="<i2")
+    if fmt_code == 1:
+        samples = np.frombuffer(payload, dtype="<i2")
+    elif fmt_code in (6, 7):
+        lut = ALAW_DECODE_LUT if fmt_code == 6 else MULAW_DECODE_LUT
+        samples = lut[np.frombuffer(payload, dtype=np.uint8)]
+    else:  # 0x11 IMA ADPCM
+        if n_ch != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only")
+        samples = decode_ima_adpcm(payload, block_align)
+        if fact_n is not None:
+            samples = samples[:fact_n]
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch)
     return samples, rate
+
+
+# ----------------------------------------------------------- G.711
+# μ-law / A-law companded audio (ITU-T G.711) — the 8-bit telephony
+# formats call-center / voice corpora ship inside WAV (fmt codes 7/6).
+# Each law is a bijective 256-code→int16 map, so DECODE is one
+# vectorized LUT gather; encoders are the Sun/CCITT reference
+# algorithms, verified bit-exact against CPython's audioop across the
+# full int16 sweep (tests/test_codecs.py).
+
+_MULAW_BIAS = 0x84  # 132
+
+
+def _mulaw_decode_lut() -> np.ndarray:
+    c = np.arange(256, dtype=np.int64)
+    u = (~c) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_lut() -> np.ndarray:
+    c = np.arange(256, dtype=np.int64)
+    a = c ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    base = np.where(seg == 0, (mant << 4) + 8, (mant << 4) + 0x108)
+    mag = base << np.maximum(seg - 1, 0)
+    # A-law stores POSITIVE with the sign bit set (opposite of μ-law)
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+MULAW_DECODE_LUT = _mulaw_decode_lut()
+ALAW_DECODE_LUT = _alaw_decode_lut()
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → μ-law codes (uint8). audioop-exact: 14-bit domain via
+    arithmetic shift BEFORE negation, clip 8158, bias 33."""
+    s = np.asarray(samples, np.int64)
+    sign = s < 0
+    q = s >> 2
+    pcm = np.minimum(np.where(sign, -q, q), 8158) + 33
+    # frexp exponent of v∈[2^k, 2^(k+1)) is k+1; pcm ≥ 33 → exp ≥ 0
+    exp = (np.frexp(pcm.astype(np.float64))[1] - 6).clip(0, 7).astype(np.int64)
+    mant = (pcm >> (exp + 1)) & 0x0F
+    code = ~((sign.astype(np.int64) << 7) | (exp << 4) | mant)
+    return (code & 0xFF).astype(np.uint8)
+
+
+_ALAW_SEG_ENDS = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int64
+)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → A-law codes (uint8), audioop-exact (13-bit domain)."""
+    s = np.asarray(samples, np.int64)
+    pos = s >= 0
+    pcm = np.where(pos, s, -s - 1) >> 3
+    seg = np.searchsorted(_ALAW_SEG_ENDS, pcm, side="left")
+    shift = np.where(seg < 2, 1, seg)
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | ((pcm >> shift) & 0x0F))
+    return (aval ^ np.where(pos, 0xD5, 0x55)).astype(np.uint8)
+
+
+def g711_wav_from_codes(codes: np.ndarray, rate: int = 8000,
+                        law: str = "mulaw") -> bytes:
+    """Raw G.711 code bytes → RIFF/WAVE framing (fmt 7/6). This is the
+    wire form a telephony capture ships: the payload IS the code
+    stream, so fixtures can make codes follow a closed formula and an
+    oracle can recompute the decode without the codec."""
+    codes = np.asarray(codes, dtype=np.uint8).reshape(-1)
+    fmt_code = {"mulaw": 7, "alaw": 6}.get(law)
+    if fmt_code is None:
+        raise ValueError(f"unknown law {law!r}")
+    payload = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(codes))
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000,
+                    law: str = "mulaw") -> bytes:
+    """int16 mono samples → RIFF/WAVE with G.711 payload (fmt 7/6)."""
+    samples = np.asarray(samples, dtype=np.int64).reshape(-1)
+    codes = mulaw_encode(samples) if law == "mulaw" else alaw_encode(samples)
+    return g711_wav_from_codes(codes, rate, law)
+
+
+# ------------------------------------------------------- IMA ADPCM
+# 4-bit differential PCM (WAV fmt 0x11, "DVI/IMA"). Each block carries
+# its own (predictor, step-index) header, so blocks decode
+# INDEPENDENTLY: the decoder below vectorizes across all blocks at
+# once and loops only over the intra-block sample position — the one
+# genuinely sequential axis (the recurrence pred/index ← f(nibble)).
+# The encoder makes the same choice (state resets at each block
+# header), trading a hair of quality at block seams for
+# block-parallelism on both sides; any conforming decoder accepts the
+# output because the header snapshots are authoritative.
+
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], np.int64)
+_ADPCM_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def _adpcm_step(pred: np.ndarray, index: np.ndarray,
+                nib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One decode step for a VECTOR of blocks: (pred, index, nibble) →
+    (new pred, new index). Pure int math, no per-block Python."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    diff += np.where(nib & 1, step >> 2, 0)
+    diff += np.where(nib & 2, step >> 1, 0)
+    diff += np.where(nib & 4, step, 0)
+    pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+    index = np.clip(index + _ADPCM_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, index
+
+
+def decode_ima_adpcm(payload: bytes, block_align: int) -> np.ndarray:
+    """IMA ADPCM data-chunk bytes (mono) → int16 samples. Vectorized
+    across blocks; a trailing short block decodes via zero-padding and
+    trimming (its sample count follows from its byte length)."""
+    n_full = len(payload) // block_align
+    tail = len(payload) - n_full * block_align
+    tail_samples = 0
+    if tail:
+        if tail < 4:
+            raise ValueError("truncated ADPCM block header")
+        payload = payload + b"\x00" * (block_align - tail)
+        tail_samples = (tail - 4) * 2 + 1
+    blocks = np.frombuffer(payload, np.uint8).reshape(-1, block_align)
+    n_blk = len(blocks)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    nib_bytes = blocks[:, 4:]
+    spb = (block_align - 4) * 2  # nibble samples per block
+    out = np.empty((n_blk, 1 + spb), np.int64)
+    out[:, 0] = pred
+    nibs = np.empty((n_blk, spb), np.uint8)
+    nibs[:, 0::2] = nib_bytes & 0x0F   # low nibble first (spec order)
+    nibs[:, 1::2] = nib_bytes >> 4
+    for t in range(spb):
+        pred, index = _adpcm_step(pred, index, nibs[:, t].astype(np.int64))
+        out[:, t + 1] = pred
+    flat = out.reshape(-1)
+    if tail:
+        flat = np.concatenate([
+            out[:-1].reshape(-1), out[-1, :tail_samples]
+        ])
+    return flat.astype(np.int16)
+
+
+def encode_ima_adpcm(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """int16 mono samples → IMA ADPCM block bytes (pads the final block
+    by repeating the last sample; pair with a 'fact' chunk to trim).
+    Vectorized across blocks (state resets per block header)."""
+    samples = np.asarray(samples, np.int64).reshape(-1)
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    n_blk = max(1, -(-len(samples) // spb))
+    padded = np.full(n_blk * spb, samples[-1] if len(samples) else 0,
+                     np.int64)
+    padded[: len(samples)] = samples
+    mat = padded.reshape(n_blk, spb)
+    pred = mat[:, 0].copy()
+    # seed each block's step index from its own mean |Δ| (header
+    # snapshots make any seed legal; this one avoids the re-adaptation
+    # transient a plain index=0 reset pays at every block seam while
+    # keeping the encoder block-parallel)
+    mean_d = np.abs(np.diff(mat, axis=1)).mean(axis=1).astype(np.int64)
+    init_index = np.clip(np.searchsorted(_ADPCM_STEPS, mean_d), 0, 88)
+    index = init_index.copy()
+    nibs = np.empty((n_blk, spb - 1), np.uint8)
+    for t in range(spb - 1):
+        target = mat[:, t + 1]
+        step = _ADPCM_STEPS[index]
+        delta = target - pred
+        nib = np.where(delta < 0, 8, 0)
+        delta = np.abs(delta)
+        take = delta >= step
+        nib |= np.where(take, 4, 0)
+        delta -= np.where(take, step, 0)
+        take = delta >= (step >> 1)
+        nib |= np.where(take, 2, 0)
+        delta -= np.where(take, step >> 1, 0)
+        nib |= np.where(delta >= (step >> 2), 1, 0)
+        pred, index = _adpcm_step(pred, index, nib)
+        nibs[:, t] = nib.astype(np.uint8)
+    blocks = np.empty((n_blk, block_align), np.uint8)
+    hdr = np.zeros((n_blk, 2), "<i2")
+    hdr[:, 0] = mat[:, 0].astype(np.int16)
+    blocks[:, :4] = np.frombuffer(hdr.tobytes(), np.uint8).reshape(n_blk, 4)
+    blocks[:, 2] = init_index.astype(np.uint8)  # per-block seed index
+    blocks[:, 3] = 0
+    blocks[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    return blocks.tobytes()
+
+
+def encode_wav_adpcm(samples: np.ndarray, rate: int = 8000,
+                     block_align: int = 256) -> bytes:
+    """int16 mono samples → RIFF/WAVE IMA ADPCM (fmt 0x11) with the
+    required wSamplesPerBlock extension and 'fact' sample count."""
+    samples = np.asarray(samples, dtype=np.int64).reshape(-1)
+    payload = encode_ima_adpcm(samples, block_align)
+    spb = (block_align - 4) * 2 + 1
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate,
+                      block_align, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ------------------------------------------------------------------ AVI
@@ -207,10 +468,33 @@ def _stride(width: int) -> int:
     return (3 * width + 3) // 4 * 4
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """uint8 frames (n, h, w) gray or (n, h, w, 3) RGB → uncompressed
-    AVI bytes. Gray replicates into BGR. Any stock player opens the
-    result — this is a real container, not a bespoke format."""
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def _le_chunk(tag: bytes, payload: bytes) -> bytes:
+    out = struct.pack("<4sI", tag, len(payload)) + payload
+    if len(payload) % 2:
+        out += b"\x00"  # RIFF chunks are word-aligned
+    return out
+
+
+def _le_list(kind: bytes, payload: bytes) -> bytes:
+    return _le_chunk(b"LIST", kind + payload)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10,
+               codec: str = "raw") -> bytes:
+    """uint8 frames (n, h, w) gray or (n, h, w, 3) RGB → AVI bytes.
+
+    ``codec="raw"``: uncompressed 24-bit DIB ('00db'); gray replicates
+    into BGR. ``codec="mjpeg"``: each frame a baseline grayscale JPEG
+    in a '00dc' chunk under fourcc 'MJPG' (RGB input is luma-averaged
+    — the offline JPEG codec is single-component). Any stock player
+    opens either form — real containers, not bespoke formats."""
+    if codec == "mjpeg":
+        return _encode_avi_mjpeg(frames, fps)
+    if codec != "raw":
+        raise ValueError(f"unknown AVI codec {codec!r}")
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim == 3:
         frames = np.repeat(frames[..., None], 3, axis=3)
@@ -218,14 +502,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     stride = _stride(w)
     frame_bytes = stride * h
 
-    def le_chunk(tag: bytes, payload: bytes) -> bytes:
-        out = struct.pack("<4sI", tag, len(payload)) + payload
-        if len(payload) % 2:
-            out += b"\x00"  # RIFF chunks are word-aligned
-        return out
-
-    def le_list(kind: bytes, payload: bytes) -> bytes:
-        return le_chunk(b"LIST", kind + payload)
+    le_chunk, le_list = _le_chunk, _le_list
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
@@ -268,20 +545,57 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+def _encode_avi_mjpeg(frames: np.ndarray, fps: int) -> bytes:
+    """Motion-JPEG AVI: per-frame baseline JPEGs in '00dc' chunks."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 4:  # RGB → luma (offline JPEG is grayscale)
+        frames = frames.mean(axis=3).astype(np.uint8)
+    n, h, w = frames.shape
+    payloads = [encode_jpeg_gray(frames[f]) for f in range(n)]
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_bytes * fps, 0, 0,
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, n, max_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, 0, 0, 0, 0, 0
+    )
+    hdrl = _le_list(
+        b"hdrl",
+        _le_chunk(b"avih", avih)
+        + _le_list(b"strl", _le_chunk(b"strh", strh)
+                   + _le_chunk(b"strf", strf)),
+    )
+    movi = _le_list(
+        b"movi", b"".join(_le_chunk(b"00dc", p) for p in payloads)
+    )
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
 def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes → (frames (n, h, w, 3) RGB uint8, fps). Supports the
-    uncompressed 24-bit DIB form ('00db'/'00dc' with biCompression=0);
-    anything compressed raises (that genuinely needs a codec library)."""
+    uncompressed 24-bit DIB form ('00db'/'00dc' with biCompression=0)
+    and Motion-JPEG ('MJPG' — per-frame baseline JPEG via the offline
+    JPEG codec); other codecs raise (they genuinely need a library)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     w = h = None
     fps = 0
     top_down = False
+    mjpeg = False
     frames_raw: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, fps, top_down
+        nonlocal w, h, fps, top_down, mjpeg
         while pos + 8 <= end:
             tag, size = struct.unpack_from("<4sI", buf, pos)
             body_start = pos + 8
@@ -297,9 +611,12 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 (_, bw, bh, _, bits, comp) = struct.unpack_from(
                     "<IiiHHI", buf, body_start
                 )
-                if comp != 0 or bits != 24:
+                if comp == _MJPG_FOURCC:
+                    mjpeg = True
+                elif comp != 0 or bits != 24:
                     raise NotImplementedError(
-                        "compressed AVI needs a codec library"
+                        "AVI codec not supported offline (only raw DIB "
+                        "and MJPG decode without a codec library)"
                     )
                 # negative biHeight = rows already top-down (legal DIB)
                 w, h, top_down = bw, abs(bh), bh < 0
@@ -313,6 +630,11 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         # scope); a clean error here beats a ZeroDivisionError in the
         # frame-sampling stages
         raise ValueError("no video stream found")
+    if mjpeg:
+        grays = [decode_jpeg_gray(raw) for raw in frames_raw]
+        if any(g.shape != grays[0].shape for g in grays):
+            raise ValueError("MJPEG frame sizes differ within stream")
+        return np.repeat(np.stack(grays)[..., None], 3, axis=3), fps
     stride = _stride(w)
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):

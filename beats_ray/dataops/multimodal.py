@@ -201,6 +201,58 @@ def synthesize_jpeg_media_table(n: int = 24, width: int = 32,
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synthesize_g711_media_table(n: int = 24) -> pa.Table:
+    """Media corpus of COMPRESSED audio: G.711 WAVs as a telephony
+    capture ships them — μ-law (even ids) / A-law (odd ids), fmt codes
+    7/6, 8 kHz. The payload code stream follows the closed formula
+    ``code(i, t) = (i*17 + t*13) % 256`` and the decode laws are pure
+    integer maps, so an SQL oracle recomputes Σ|decoded| from the
+    G.711 bit-field math alone (no codec, no LUT sharing)."""
+    from .codecs import g711_wav_from_codes
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        n_samp = 300 + 8 * i
+        t = np.arange(n_samp, dtype=np.int64)
+        codes = ((i * 17 + t * 13) % 256).astype(np.uint8)
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["payload"].append(g711_wav_from_codes(codes, 8000, law))
+        rows["mime"].append("audio/wav")
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["duration_ms"].append(int(n_samp * 1000 // 8000))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def synthesize_mjpeg_video_table(n: int = 8, width: int = 32,
+                                 height: int = 24, n_frames: int = 8,
+                                 fps: int = 10) -> pa.Table:
+    """Media corpus of COMPRESSED video: Motion-JPEG AVIs (fourcc
+    'MJPG', per-frame baseline JPEG). Frames are FLAT 8×8 blocks —
+    block (bx, by) of frame f of item i is
+    ``(i*11 + f*29 + bx*7 + by*3) % 256`` — so each frame survives the
+    lossy JPEG pipeline in closed form (DC-only blocks; see codecs.py
+    JPEG section) and an SQL oracle recomputes sampled-frame pixel sums
+    with integer math."""
+    from .codecs import encode_avi
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        f, by, bx = np.mgrid[0:n_frames, 0:height // 8, 0:width // 8]
+        blocks = ((i * 11 + f * 29 + bx * 7 + by * 3) % 256).astype(np.uint8)
+        frames = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["payload"].append(encode_avi(frames, fps=fps, codec="mjpeg"))
+        rows["mime"].append("video/x-msvideo")
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(int(n_frames * 1000 // fps))
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synthesize_real_video_table(n: int = 12, width: int = 32,
                                 height: int = 24, n_frames: int = 8,
                                 fps: int = 10) -> pa.Table:

@@ -225,3 +225,169 @@ def test_jpeg_feature_stage_end_to_end(ray_session):
     out = image_features(media, fake=False).to_pandas()
     assert len(out) == 6
     assert (out["n_px"] == 32 * 24).all()
+
+
+# ------------------------------------------------- G.711 (WAV fmt 6/7)
+
+
+def test_g711_decode_luts_match_audioop_exactly():
+    """All 256 codes, both laws, vs CPython's audioop (an independent
+    implementation of the same ITU-T G.711 tables)."""
+    audioop = pytest.importorskip("audioop")
+    from beats_ray.dataops.codecs import ALAW_DECODE_LUT, MULAW_DECODE_LUT
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        MULAW_DECODE_LUT, np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    )
+    assert np.array_equal(
+        ALAW_DECODE_LUT, np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    )
+
+
+def test_g711_encoders_match_audioop_full_sweep():
+    audioop = pytest.importorskip("audioop")
+    from beats_ray.dataops.codecs import alaw_encode, mulaw_encode
+
+    sweep = np.arange(-32768, 32768, dtype=np.int64)
+    raw = sweep.astype("<i2").tobytes()
+    assert np.array_equal(
+        mulaw_encode(sweep), np.frombuffer(audioop.lin2ulaw(raw, 2), np.uint8)
+    )
+    assert np.array_equal(
+        alaw_encode(sweep), np.frombuffer(audioop.lin2alaw(raw, 2), np.uint8)
+    )
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_wav_roundtrip_and_fixed_point(law):
+    from beats_ray.dataops.codecs import decode_wav, encode_wav_g711
+
+    s = ((np.arange(4001) * 37) % 4096 - 2048).astype(np.int16)
+    dec, rate = decode_wav(encode_wav_g711(s, 8000, law))
+    assert rate == 8000 and len(dec) == len(s)
+    # companding error is bounded by the local quantization step
+    assert np.abs(dec.astype(np.int64) - s.astype(np.int64)).max() <= 128
+    # decoded values are fixed points of the law (re-encode is lossless)
+    dec2, _ = decode_wav(encode_wav_g711(dec, 8000, law))
+    assert np.array_equal(dec2, dec)
+
+
+# --------------------------------------------- IMA ADPCM (WAV fmt 0x11)
+
+
+def _scalar_adpcm_decode(payload: bytes, block_align: int) -> np.ndarray:
+    """Per-sample reference decoder straight off the IMA spec text —
+    the independent check for the block-vectorized implementation."""
+    from beats_ray.dataops.codecs import _ADPCM_INDEX_ADJ, _ADPCM_STEPS
+
+    out = []
+    for off in range(0, len(payload), block_align):
+        blk = payload[off : off + block_align]
+        pred = struct.unpack_from("<h", blk, 0)[0]
+        idx = min(88, blk[2])
+        out.append(pred)
+        for b in blk[4:]:
+            for nib in (b & 0xF, b >> 4):
+                step = int(_ADPCM_STEPS[idx])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                if nib & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx = max(0, min(88, idx + int(_ADPCM_INDEX_ADJ[nib & 7])))
+                out.append(pred)
+    return np.array(out, np.int16)
+
+
+def test_adpcm_vectorized_decode_matches_scalar_reference():
+    from beats_ray.dataops.codecs import decode_ima_adpcm, encode_ima_adpcm
+
+    rng = np.random.RandomState(11)
+    s = np.cumsum(rng.randint(-300, 301, 3000)).clip(-32768, 32767)
+    enc = encode_ima_adpcm(s.astype(np.int16), 128)
+    assert np.array_equal(
+        decode_ima_adpcm(enc, 128), _scalar_adpcm_decode(enc, 128)
+    )
+
+
+def test_adpcm_wav_roundtrip_tracks_smooth_signal():
+    from beats_ray.dataops.codecs import decode_wav, encode_wav_adpcm
+
+    t = np.arange(8000)
+    s = (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    dec, rate = decode_wav(encode_wav_adpcm(s, 8000, 256))
+    assert rate == 8000 and len(dec) == len(s)  # 'fact' trims padding
+    err = np.abs(dec.astype(np.int64) - s.astype(np.int64))
+    # 4-bit differential coding: tolerance ~ one adapted step size
+    assert err.max() <= 400 and err.mean() <= 100
+
+
+def test_adpcm_decoder_rejects_stereo_and_truncated_header():
+    from beats_ray.dataops.codecs import decode_ima_adpcm
+
+    with pytest.raises(ValueError):
+        decode_ima_adpcm(b"\x00\x01\x02", 256)  # <4-byte trailing block
+
+
+# -------------------------------------------------------- MJPEG AVI
+
+
+def _flat_block_frames(n, h, w):
+    """(frame, bx, by) → flat 8×8 blocks of value
+    (f*11 + bx*7 + by*3) % 256 — survives JPEG in closed form."""
+    bx, by = w // 8, h // 8
+    v = (
+        np.arange(n)[:, None, None] * 11
+        + np.arange(bx)[None, :, None] * 7
+        + np.arange(by)[None, None, :] * 3
+    ) % 256
+    frames = np.repeat(
+        np.repeat(v.transpose(0, 2, 1), 8, axis=1), 8, axis=2
+    ).astype(np.uint8)
+    return frames, v
+
+
+def test_mjpeg_avi_flat_blocks_closed_form():
+    from beats_ray.dataops.codecs import decode_avi, encode_avi
+
+    frames, v = _flat_block_frames(3, 24, 32)
+    out, fps = decode_avi(encode_avi(frames, fps=10, codec="mjpeg"))
+    assert fps == 10 and out.shape == (3, 24, 32, 3)
+    q = np.floor((v.astype(np.float64) - 128) / 2 + 0.5)
+    exp = np.clip(2 * q + 128, 0, 255).astype(np.uint8)
+    exp_frames = np.repeat(
+        np.repeat(exp.transpose(0, 2, 1), 8, axis=1), 8, axis=2
+    )
+    assert np.array_equal(out[..., 0], exp_frames)
+    assert np.array_equal(out[..., 0], out[..., 1])  # gray replicated
+
+
+def test_mjpeg_avi_smooth_frames_bounded_error():
+    from beats_ray.dataops.codecs import decode_avi, encode_avi
+
+    y, x = np.mgrid[0:16, 0:24]
+    frames = np.stack(
+        [((x * 3 + y * 5 + f * 17) % 200 + 20).astype(np.uint8)
+         for f in range(4)]
+    )
+    out, _ = decode_avi(encode_avi(frames, fps=5, codec="mjpeg"))
+    err = np.abs(out[..., 0].astype(np.int64) - frames.astype(np.int64))
+    assert err.max() <= 40  # lossy, but bounded (baseline Q tables)
+
+
+def test_mjpeg_avi_rgb_input_uses_luma():
+    from beats_ray.dataops.codecs import decode_avi, encode_avi
+
+    rgb = np.zeros((2, 8, 8, 3), np.uint8)
+    rgb[..., 0] = 90
+    rgb[..., 1] = 120
+    rgb[..., 2] = 150  # luma mean = 120, flat blocks → closed form
+    out, _ = decode_avi(encode_avi(rgb, fps=4, codec="mjpeg"))
+    q = np.floor((120.0 - 128) / 2 + 0.5)
+    assert np.all(out == np.clip(2 * q + 128, 0, 255))
