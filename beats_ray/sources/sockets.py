@@ -85,6 +85,7 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
     FactoryRFC6587Framing. Over-long messages are truncated + counted,
     never dropped (the engine's tag-don't-drop rule)."""
     pending = b""
+    skip = 0  # remaining bytes of an over-long counted frame to discard
     while True:
         try:
             chunk = conn.recv(65536)
@@ -93,6 +94,12 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
         if not chunk:
             break
         pending += chunk
+        if skip:
+            drop = min(skip, len(pending))
+            pending = pending[drop:]
+            skip -= drop
+            if skip:
+                continue
         while True:
             # RFC6587 octet counting applies iff the frame starts with
             # a 1-10 digit length and a space ("123 <bytes>"); anything
@@ -109,6 +116,19 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
             if use_octet:
                 n = int(pending[:sp])
                 if len(pending) < sp + 1 + n:
+                    if (n > max_message_size
+                            and len(pending) >= sp + 1 + max_message_size):
+                        # over-long counted frame: don't buffer n bytes
+                        # (a hostile "9999999999 " header would exhaust
+                        # memory) — emit the truncated head now and
+                        # discard the remainder as it streams in
+                        msg = pending[sp + 1: sp + 1 + max_message_size]
+                        skip = n - (len(pending) - (sp + 1))
+                        pending = b""
+                        with buf.lock:
+                            buf.truncated += 1
+                        buf.put(msg.decode("utf-8", "replace"), addr,
+                                block=True)
                     break  # wait for the full counted frame
                 msg = pending[sp + 1: sp + 1 + n]
                 pending = pending[sp + 1 + n:]

@@ -148,3 +148,30 @@ def test_udp_full_buffer_drops_and_counts(ray_session):
     assert stats["received"] == 3
     assert stats["dropped"] >= 1  # UDP drops when full (no blocking)
     ray.get(lis.close.remote())
+
+
+def test_rfc6587_overlong_counted_frame_bounded_memory(ray_session):
+    """A counted frame longer than max_message_size must NOT be
+    buffered whole: the truncated head is emitted as soon as it
+    arrives, the remainder is discarded as it streams in, and framing
+    resumes cleanly on the next message."""
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    lis = SocketListener.remote(
+        proto="tcp", framing="rfc6587", max_message_size=64
+    )
+    addr = ray.get(lis.address.remote())
+    big = b"A" * 5000  # claims 5000 bytes, cap is 64
+    payload = (
+        str(len(big)).encode() + b" " + big
+        + b"5 after"
+        + b"tail delimiter\n"
+    )
+    _tcp_send(addr, payload, chunk=512)
+    _wait_pending(lis, 3)
+    df = drain_to_dataset(lis, max_bytes=10_000).to_pandas()
+    texts = sorted(df["text"])
+    assert texts == sorted(["A" * 64, "after", "tail delimiter"])
+    stats = ray.get(lis.stats.remote())
+    assert stats["truncated"] == 1
+    ray.get(lis.close.remote())
