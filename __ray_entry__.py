@@ -855,6 +855,36 @@ def q_embed_dup_clusters(sf_dir: str):
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def q_semantic_dedup_keep(sf_dir: str):
+    """SemDeDup-class semantic dedup (Abbas et al. 2023 class): cluster
+    documents whose EMBEDDINGS are near-duplicates in cosine space
+    (transitive closure over the exact similarity join) and KEEP one
+    representative per cluster (the minimum id) — the dedup POLICY on
+    top of the cluster labels, applied back to the corpus with a
+    distributed semi-join so nothing id-sized lands on the driver.
+    Oracle: recursive-CTE closure + min-per-component + join in SQL."""
+    import pyarrow.compute as pc  # noqa: F401  (matches sibling queries)
+
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+    from beats_ray.dataops.graph import dup_cluster_survivors
+    from beats_ray.dataops.joins import bucket_semi_join
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
+    nodes = _table(sf_dir, "embeddings", ["vec_id"])
+    keep = dup_cluster_survivors(edges, nodes, node_col="vec_id")
+    keep = keep.map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    docs = _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = bucket_semi_join(docs, keep, on="doc_id", buckets=8).to_pandas()
+    # the semi-join's union pads the key side with nulls, floating
+    # n_chars; every surviving row is a document row, so the cast is
+    # lossless
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str):
     """Image decode → feature extraction over the deterministic media
     corpus. Output = integer pixel evidence (count + sum); the oracle
@@ -1486,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_dup_clusters": q_embed_dup_clusters,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
         # multimodal plumbing
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
@@ -2337,6 +2368,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS vec_id,
                    CAST(MIN(lab) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node""",
+        # SemDeDup policy: closure over the similarity join, keep the
+        # min id per component, join back to the document corpus
+        "semantic_dedup_keep": """
+            WITH RECURSIVE pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+              WHERE list_cosine_similarity(
+                      CAST(l.embedding AS DOUBLE[]),
+                      CAST(r.embedding AS DOUBLE[])) >= 0.35
+            ), sym AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ), reach(node, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            ), labels AS (
+              SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+                   CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d
+            JOIN labels l ON l.node = d.doc_id AND l.node = l.cluster_id""",
         # exact similarity join → all-pairs ground truth
         "embed_dup_pairs": """
             SELECT l.vec_id AS a, r.vec_id AS b
