@@ -60,14 +60,24 @@ def bytes_and_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def _per_row_counts(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Sum a per-byte boolean over each row — np.add.reduceat on the
     int32 view (≈4× a cumsum-and-difference; int32 is safe, a segment
-    sum is bounded by the row's byte length). reduceat quirk: an empty
-    segment yields flags[idx], not 0 — zeroed explicitly."""
+    sum is bounded by the row's byte length). Two reduceat quirks
+    handled explicitly: an empty segment yields flags[idx], not 0
+    (zeroed); and an index == len(flags) (a TRAILING empty row) is
+    illegal — clamping it would truncate the previous row's segment,
+    so trailing-empty starts are dropped from the index list instead."""
+    n_rows = len(offsets) - 1
     if len(flags) == 0:
-        return np.zeros(len(offsets) - 1, np.int64)
-    idx = np.minimum(offsets[:-1], len(flags) - 1)
-    out = np.add.reduceat(flags.view(np.uint8).astype(np.int32), idx)
-    out[offsets[:-1] >= offsets[1:]] = 0
-    return out.astype(np.int64)
+        return np.zeros(n_rows, np.int64)
+    starts = offsets[:-1]
+    in_buf = starts < len(flags)  # rows starting before the buffer end
+    out = np.zeros(n_rows, np.int64)
+    if in_buf.any():
+        red = np.add.reduceat(
+            flags.view(np.uint8).astype(np.int32), starts[in_buf]
+        )
+        out[in_buf] = red
+    out[starts >= offsets[1:]] = 0
+    return out
 
 
 def _run_counts(member: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -146,7 +156,9 @@ def word_tokens(arr) -> tuple[pa.Array, np.ndarray]:
     prev_word = np.empty_like(word)
     prev_word[0] = False
     prev_word[1:] = word[:-1]
-    prev_word[offsets[:-1]] = False
+    _first = offsets[:-1]
+    prev_word[_first[_first < len(data)]] = False  # trailing-empty rows
+    # start at len(data) — no byte of their own to mark
     next_word = np.empty_like(word)
     next_word[-1] = False
     next_word[:-1] = word[1:]

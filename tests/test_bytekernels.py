@@ -76,3 +76,27 @@ def test_runs_never_leak_across_rows():
     tokens, rows = bk.word_tokens(arr)
     assert tokens.to_pylist() == [b"ab", b"cd", b"ef"]
     assert rows.tolist() == [0, 1, 3]
+
+
+def test_trailing_empty_rows_do_not_truncate_previous_row():
+    """Regression: a trailing EMPTY row starts at len(buffer); clamping
+    that index into reduceat silently ended the previous row's segment
+    one byte early (["a.b.", ""] counted 1 punct, not 2), and
+    word_tokens indexed out of bounds."""
+    import pyarrow as pa
+
+    from beats_ray.dataops.bytekernels import (
+        punct_count,
+        word_tokens,
+        ws_token_count,
+    )
+
+    assert punct_count(pa.array(["a.b.", ""])).tolist() == [2, 0]
+    assert ws_token_count(pa.array(["a b", ""])).tolist() == [2, 0]
+    assert ws_token_count(pa.array(["x", "", ""])).tolist() == [1, 0, 0]
+    toks, rows = word_tokens(pa.array(["one two", "", ""]))
+    assert [bytes(t) for t in toks.to_pylist()] == [b"one", b"two"]
+    assert rows.tolist() == [0, 0]
+    # all-empty batch
+    toks, rows = word_tokens(pa.array(["", ""]))
+    assert len(toks) == 0 and len(rows) == 0
