@@ -341,18 +341,31 @@ _ADPCM_STEPS = np.array([
 _ADPCM_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
 
 
+def _adpcm_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Precompute (89 step-indexes × 16 nibbles) signed-diff and
+    next-index tables — the whole per-sample recurrence becomes two
+    table gathers + one clip, instead of ~10 numpy ops."""
+    idx = np.arange(89)[:, None]
+    nib = np.arange(16)[None, :]
+    step = _ADPCM_STEPS[idx]
+    mag = ((step >> 3)
+           + np.where(nib & 1, step >> 2, 0)
+           + np.where(nib & 2, step >> 1, 0)
+           + np.where(nib & 4, step, 0))
+    diff = np.where(nib & 8, -mag, mag)
+    nxt = np.clip(idx + _ADPCM_INDEX_ADJ[nib & 7], 0, 88)
+    return diff.astype(np.int64), nxt.astype(np.int64)
+
+
+_ADPCM_DIFF, _ADPCM_NEXT = _adpcm_tables()
+
+
 def _adpcm_step(pred: np.ndarray, index: np.ndarray,
                 nib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One decode step for a VECTOR of blocks: (pred, index, nibble) →
-    (new pred, new index). Pure int math, no per-block Python."""
-    step = _ADPCM_STEPS[index]
-    diff = step >> 3
-    diff += np.where(nib & 1, step >> 2, 0)
-    diff += np.where(nib & 2, step >> 1, 0)
-    diff += np.where(nib & 4, step, 0)
-    pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
-    index = np.clip(index + _ADPCM_INDEX_ADJ[nib & 7], 0, 88)
-    return pred, index
+    (new pred, new index). Two precomputed-table gathers + a clip."""
+    pred = np.clip(pred + _ADPCM_DIFF[index, nib], -32768, 32767)
+    return pred, _ADPCM_NEXT[index, nib]
 
 
 def decode_ima_adpcm(payload: bytes, block_align: int) -> np.ndarray:

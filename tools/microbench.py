@@ -185,6 +185,34 @@ def main(n_rows: int = 200_000):
     out["rows_per_sec"]["token_stats_stage"] = round(n / dt)
     dt = bench(LangId(), docs)
     out["rows_per_sec"]["lang_id_stage"] = round(n / dt)
+
+    # round-5 compressed codecs (codecs.py)
+    from beats_ray.dataops.codecs import (
+        decode_avi,
+        decode_wav,
+        encode_avi,
+        encode_wav_adpcm,
+        g711_wav_from_codes,
+    )
+
+    sec = 8000  # one second of 8 kHz telephony audio per file
+    codes = ((np.arange(sec) * 13) % 256).astype(np.uint8)
+    g711_files = [g711_wav_from_codes(codes, 8000, "mulaw")
+                  for _ in range(200)]
+    dt = bench(lambda fs: [decode_wav(f) for f in fs], g711_files)
+    out["rows_per_sec"]["g711_decode_1s_files"] = round(len(g711_files) / dt)
+
+    samples = (3000 * np.sin(np.arange(sec) / 3.0)).astype(np.int16)
+    adpcm_files = [encode_wav_adpcm(samples, 8000) for _ in range(200)]
+    dt = bench(lambda fs: [decode_wav(f) for f in fs], adpcm_files)
+    out["rows_per_sec"]["adpcm_decode_1s_files"] = round(len(adpcm_files) / dt)
+
+    fr = (np.arange(8 * 48 * 64) % 256).astype(np.uint8).reshape(8, 48, 64)
+    mjpeg_files = [encode_avi(fr, fps=8, codec="mjpeg") for _ in range(20)]
+    dt = bench(lambda fs: [decode_avi(f) for f in fs], mjpeg_files)
+    out["rows_per_sec"]["mjpeg_decode_8f_48x64"] = round(
+        len(mjpeg_files) * 8 / dt
+    )
     print(json.dumps(out))
 
 
