@@ -1,0 +1,120 @@
+"""Adversarial-input robustness: every text / dedup / sampling stage
+over a corpus of the inputs the sf fixtures DON'T contain — empty
+strings, whitespace-only rows, emoji/CJK/combining unicode, a 100 KB
+single token, NUL bytes, a BOM-prefixed row. The byte-kernel
+trailing-empty-row bug (fixed round 5) was exactly this class: green
+oracles at sf0.01 while ["a.b.", ""] miscounted. Stages must neither
+crash nor produce out-of-contract values on any of these rows.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+TEXTS = [
+    "",
+    " ",
+    "\n\n",
+    "\t",
+    "normal text here",
+    "🎉🎉 emoji soup 🌍",
+    "中文文本测试一二三",
+    "combining é́",
+    "a" * 100_000,
+    ("tok " * 5000).strip(),
+    "ß ÿ à mixed ÀÉÎ",
+    "1234567890 !!!",
+    "\x00null byte",
+    "﻿BOM start",
+    # 60-token identical twins: with hash%4 window sampling, ≥1 of the
+    # 51 10-token windows samples with probability 1 - (3/4)^51
+    " ".join(f"w{i % 7}x{i}" for i in range(60)),
+    " ".join(f"w{i % 7}x{i}" for i in range(60)),
+]
+
+
+@pytest.fixture()
+def adversarial_docs(ray_session):
+    n = len(TEXTS)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(TEXTS, pa.string()),
+        "lang": pa.array(["xx"] * n),
+        "source": pa.array(["fuzz"] * n),
+        "n_chars": pa.array([len(t) for t in TEXTS], pa.int64()),
+    }))
+
+
+def test_text_stats_family(adversarial_docs):
+    from beats_ray.dataops import textstats
+
+    ts = textstats.token_stats(adversarial_docs).to_pandas().set_index(
+        "doc_id").sort_index()
+    assert len(ts) == len(TEXTS)
+    # empty/whitespace rows count zero tokens; the 100 KB token counts 1
+    assert ts.loc[0, "n_ws_tokens"] == 0
+    assert ts.loc[1, "n_ws_tokens"] == 0
+    assert ts.loc[8, "n_ws_tokens"] == 1
+    assert ts.loc[9, "n_ws_tokens"] == 5000
+    li = textstats.lang_id(adversarial_docs).to_pandas()
+    assert len(li) == len(TEXTS)
+    q = textstats.quality_score(adversarial_docs).to_pandas()
+    assert len(q) == len(TEXTS)
+    fp = textstats.doc_fingerprint(adversarial_docs).to_pandas()
+    assert fp["doc_id"].nunique() == len(TEXTS)
+
+
+def test_pii_and_norm_family(adversarial_docs):
+    from beats_ray.dataops import pii, textnorm
+
+    masked = pii.mask_pii(adversarial_docs).to_pandas()
+    assert len(masked) == len(TEXTS)
+    tw = pii.top_words(adversarial_docs)
+    tw = tw.to_pandas() if hasattr(tw, "to_pandas") else tw
+    assert (tw["n"] > 0).all()
+    nn = textnorm.normalize_text(adversarial_docs).to_pandas()
+    assert len(nn) == len(TEXTS)
+    rep = textnorm.repetition_score(adversarial_docs).to_pandas()
+    assert len(rep) == len(TEXTS)
+    cs = textnorm.contamination_screen(
+        adversarial_docs, ["dup dup dup one two"], k=3
+    ).to_pandas()
+    assert len(cs) == len(TEXTS)
+
+
+def test_dedup_family(adversarial_docs):
+    from beats_ray.dataops import dedup
+
+    kept = dedup.exact_dedup(adversarial_docs).to_pandas()
+    # rows 14/15 are byte-identical → exactly one survives
+    assert len(kept) == len(TEXTS) - 1
+    md = dedup.minhash_dedup(adversarial_docs)
+    md = md.to_pandas() if hasattr(md, "to_pandas") else md
+    assert len(md) <= len(TEXTS)
+    sh = dedup.simhash_dedup(adversarial_docs)
+    sh = sh.to_pandas() if hasattr(sh, "to_pandas") else sh
+    ws = dedup.window_dup_spans(adversarial_docs)
+    ws = ws.to_pandas() if hasattr(ws, "to_pandas") else ws
+    # the identical 12-token twins share every sampled window
+    assert set(ws["doc_id"]) >= {14, 15}
+
+
+def test_sampling_and_quality_family(adversarial_docs):
+    from beats_ray.dataops import quality, sampling
+
+    s = sampling.hash_sample(adversarial_docs, 0.5).to_pandas()
+    assert 0 <= len(s) <= len(TEXTS)
+    sp = sampling.hash_split(
+        adversarial_docs, {"train": 0.8, "val": 0.2}
+    ).to_pandas()
+    assert len(sp) == len(TEXTS)
+    assert set(sp["split"]) <= {"train", "val"}
+    pk = sampling.pack_sequences(adversarial_docs, 64)
+    pk = pk.to_pandas() if hasattr(pk, "to_pandas") else pk
+    c4 = quality.c4_line_filter(adversarial_docs).to_pandas()
+    assert len(c4) == len(TEXTS)
+    bc = quality.bigram_coverage(adversarial_docs).to_pandas()
+    assert len(bc) == len(TEXTS)
+    assert (bc["n_in_model"] <= bc["n_bigrams"]).all()
+    assert (bc["n_in_model"] >= 0).all()
