@@ -21,11 +21,22 @@ cap applies real TCP backpressure (the reader thread stops pulling from
 the socket, the kernel window closes, the sender blocks) instead of
 dropping. UDP, per its semantics, drops-and-counts when the buffer is
 full.
+
+Durability (``wal_dir=``): the diskqueue analogue
+(libbeat/publisher/queue/diskqueue) — accepted messages append to an
+on-disk segment BEFORE counting as received, ``drain`` seals the
+segment, and ``ack_drained`` deletes it only after the caller has
+durably written the window downstream. A listener crash re-delivers
+every un-acked message on restart: at-least-once, matching the
+reference's guaranteed-send contract (its ACK chain truncates the disk
+queue only after the output confirms the batch).
 """
 
 from __future__ import annotations
 
+import os
 import socket
+import struct
 import threading
 import time
 
@@ -37,26 +48,124 @@ def _now_us() -> int:
     return time.time_ns() // 1_000
 
 
-class _Buffer:
-    """Bounded line buffer shared between reader threads and drain()."""
+class _Wal:
+    """Write-ahead log for the listener buffer — the diskqueue analogue
+    (libbeat/publisher/queue/diskqueue/queue.go:43-80): every accepted
+    message is appended to the current segment BEFORE it counts as
+    received; ``drain`` seals the segment and hands its epoch to the
+    caller; ``ack(epoch)`` deletes sealed segments once the drained
+    window is durably written downstream — at-least-once across a
+    listener crash (un-acked segments are re-read into the buffer on
+    restart, so a crash between drain and downstream write re-delivers,
+    never loses). Record: u32 text len + bytes, u16 addr len + bytes,
+    i64 recv_us. Appends are buffered through the OS file cache (same
+    stance as the reference's writer; pass fsync=True to harden against
+    host crashes too)."""
 
-    def __init__(self, cap: int):
+    def __init__(self, wal_dir: str, fsync: bool = False):
+        self.dir = wal_dir
+        self.fsync = fsync
+        os.makedirs(wal_dir, exist_ok=True)
+        existing = sorted(
+            int(f[4:-4]) for f in os.listdir(wal_dir)
+            if f.startswith("seg-") and f.endswith(".wal")
+        )
+        self.epoch = (existing[-1] + 1) if existing else 0
+        self._f = None
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"seg-{epoch:08d}.wal")
+
+    def recover(self) -> list[tuple[str, str, int]]:
+        """Read every un-acked segment (oldest first) → records."""
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if not (name.startswith("seg-") and name.endswith(".wal")):
+                continue
+            with open(os.path.join(self.dir, name), "rb") as f:
+                data = f.read()
+            pos = 0
+            while pos + 4 <= len(data):
+                (tl,) = struct.unpack_from("<I", data, pos)
+                p = pos + 4
+                if p + tl + 2 > len(data):
+                    break  # torn tail record (crash mid-append): drop
+                text = data[p: p + tl].decode("utf-8", "replace")
+                p += tl
+                (al,) = struct.unpack_from("<H", data, p)
+                p += 2
+                if p + al + 8 > len(data):
+                    break
+                addr = data[p: p + al].decode("utf-8", "replace")
+                (ts,) = struct.unpack_from("<q", data, p + al)
+                out.append((text, addr, ts))
+                pos = p + al + 8
+        return out
+
+    def append(self, text: str, addr: str, ts: int) -> None:
+        if self._f is None:
+            self._f = open(self._path(self.epoch), "ab")
+        tb, ab = text.encode(), addr.encode()
+        self._f.write(
+            struct.pack("<I", len(tb)) + tb
+            + struct.pack("<H", len(ab)) + ab + struct.pack("<q", ts)
+        )
+        self._f.flush()
+        if self.fsync:
+            os.fsync(self._f.fileno())
+
+    def seal(self) -> int:
+        """Close the current segment; subsequent appends open the next.
+        Returns the sealed epoch (the ack handle for this drain)."""
+        sealed = self.epoch
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        self.epoch += 1
+        return sealed
+
+    def ack(self, up_to_epoch: int) -> int:
+        """Delete sealed segments ≤ epoch; returns how many."""
+        n = 0
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("seg-") and name.endswith(".wal"):
+                if int(name[4:-4]) <= up_to_epoch:
+                    os.unlink(os.path.join(self.dir, name))
+                    n += 1
+        return n
+
+
+class _Buffer:
+    """Bounded line buffer shared between reader threads and drain().
+    With a ``wal``, every accepted message is appended to the log
+    before it counts as received (persist-then-ack ordering)."""
+
+    def __init__(self, cap: int, wal: _Wal | None = None):
         self.cap = cap
         self.lock = threading.Lock()
+        self.wal = wal
         self.texts: list[str] = []
         self.addrs: list[str] = []
         self.ts: list[int] = []
         self.received = 0
         self.dropped = 0
         self.truncated = 0
+        if wal is not None:
+            for text, addr, ts in wal.recover():
+                self.texts.append(text)
+                self.addrs.append(addr)
+                self.ts.append(ts)
 
     def put(self, text: str, addr: str, *, block: bool) -> None:
         while True:
             with self.lock:
                 if len(self.texts) < self.cap:
+                    ts = _now_us()
+                    if self.wal is not None:
+                        self.wal.append(text, addr, ts)
                     self.texts.append(text)
                     self.addrs.append(addr)
-                    self.ts.append(_now_us())
+                    self.ts.append(ts)
                     self.received += 1
                     return
                 if not block:
@@ -65,7 +174,10 @@ class _Buffer:
             time.sleep(0.005)  # TCP semantics: stall the reader →
             # kernel window closes → sender blocks (backpressure)
 
-    def drain(self) -> pa.Table:
+    def drain(self) -> tuple[pa.Table, int]:
+        """Snapshot-and-clear → (table, sealed WAL epoch). The epoch is
+        the ack handle: pass it to ``ack`` once the drained window is
+        durably written downstream (-1 when no WAL is configured)."""
         with self.lock:
             t = pa.table({
                 "text": pa.array(self.texts, pa.string()),
@@ -73,7 +185,8 @@ class _Buffer:
                 "recv_us": pa.array(self.ts, pa.int64()),
             })
             self.texts, self.addrs, self.ts = [], [], []
-            return t
+            epoch = self.wal.seal() if self.wal is not None else -1
+            return t, epoch
 
 
 def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
@@ -162,11 +275,14 @@ class SocketListener:
                  port: int = 0, path: str | None = None,
                  line_delimiter: str = "\n", framing: str = "delimiter",
                  max_message_size: int = 20 * 1024 * 1024,
-                 max_buffer: int = 1_000_000):
+                 max_buffer: int = 1_000_000,
+                 wal_dir: str | None = None, wal_fsync: bool = False):
         if framing not in ("delimiter", "rfc6587"):
             raise ValueError(f"unknown framing {framing!r}")
         self.proto = proto
-        self.buf = _Buffer(max_buffer)
+        wal = _Wal(wal_dir, fsync=wal_fsync) if wal_dir else None
+        self.buf = _Buffer(max_buffer, wal=wal)
+        self._sealed = -1  # last drained-but-unacked WAL epoch
         self.delim = line_delimiter.encode()
         self.framing = framing
         self.max_msg = max_message_size
@@ -232,7 +348,22 @@ class SocketListener:
             return len(self.buf.texts)
 
     def drain(self) -> pa.Table:
-        return self.buf.drain()
+        """Snapshot-and-clear the buffer. With a WAL configured this
+        seals the covering segment(s); call ``ack_drained()`` after the
+        drained window is durably written downstream — un-acked
+        segments re-deliver on restart (at-least-once, the reference's
+        guaranteed-send contract)."""
+        t, epoch = self.buf.drain()
+        if epoch >= 0:
+            self._sealed = max(self._sealed, epoch)
+        return t
+
+    def ack_drained(self) -> int:
+        """Delete WAL segments covered by the last drain; returns how
+        many segment files were removed (0 when no WAL)."""
+        if self.buf.wal is None or self._sealed < 0:
+            return 0
+        return self.buf.wal.ack(self._sealed)
 
     def stats(self) -> dict:
         with self.buf.lock:

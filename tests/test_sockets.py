@@ -175,3 +175,76 @@ def test_rfc6587_overlong_counted_frame_bounded_memory(ray_session):
     stats = ray.get(lis.stats.remote())
     assert stats["truncated"] == 1
     ray.get(lis.close.remote())
+
+
+def test_wal_redelivers_unacked_messages_after_crash(ray_session, tmp_path):
+    """Diskqueue semantics: messages persist before they count as
+    received; a listener killed WITHOUT ack re-delivers everything on
+    restart; ack_drained truncates the log so the next restart delivers
+    nothing."""
+    from beats_ray.sources.sockets import SocketListener
+
+    wal = str(tmp_path / "wal")
+    lis = SocketListener.remote(proto="tcp", wal_dir=wal)
+    addr = ray.get(lis.address.remote())
+    _tcp_send(addr, b"one\ntwo\nthree\n")
+    _wait_pending(lis, 3)
+    ray.kill(lis)  # crash before any drain
+
+    lis2 = SocketListener.remote(proto="tcp", wal_dir=wal)
+    t = ray.get(lis2.drain.remote())
+    assert sorted(t["text"].to_pylist()) == ["one", "three", "two"]
+    # crash AFTER drain but BEFORE ack → still re-delivered
+    ray.kill(lis2)
+    lis3 = SocketListener.remote(proto="tcp", wal_dir=wal)
+    t = ray.get(lis3.drain.remote())
+    assert sorted(t["text"].to_pylist()) == ["one", "three", "two"]
+    # ack → log truncated → restart delivers nothing
+    assert ray.get(lis3.ack_drained.remote()) >= 1
+    ray.kill(lis3)
+    lis4 = SocketListener.remote(proto="tcp", wal_dir=wal)
+    assert len(ray.get(lis4.drain.remote())) == 0
+    ray.get(lis4.close.remote())
+
+
+def test_wal_mixes_recovered_and_new_messages(ray_session, tmp_path):
+    from beats_ray.sources.sockets import SocketListener
+
+    wal = str(tmp_path / "wal")
+    lis = SocketListener.remote(proto="udp", wal_dir=wal)
+    addr = ray.get(lis.address.remote())
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.sendto(b"old", addr)
+    _wait_pending(lis, 1)
+    ray.kill(lis)
+
+    lis2 = SocketListener.remote(proto="udp", wal_dir=wal)
+    addr2 = ray.get(lis2.address.remote())
+    s.sendto(b"new", addr2)
+    s.close()
+    _wait_pending(lis2, 2)
+    t = ray.get(lis2.drain.remote())
+    assert sorted(t["text"].to_pylist()) == ["new", "old"]
+    ray.get(lis2.ack_drained.remote())
+    ray.get(lis2.close.remote())
+
+
+def test_wal_recover_drops_torn_tail_record(tmp_path):
+    """A crash mid-append leaves a torn tail record: recover() keeps
+    every complete record and drops only the torn one."""
+    import struct as _s
+
+    from beats_ray.sources.sockets import _Wal
+
+    wal = _Wal(str(tmp_path / "w"))
+    wal.append("complete", "a:1", 123)
+    wal.seal()
+    # hand-write a segment with one good and one torn record
+    good = (_s.pack("<I", 4) + b"good" + _s.pack("<H", 3) + b"b:2"
+            + _s.pack("<q", 456))
+    with open(wal._path(wal.epoch), "wb") as f:
+        f.write(good + _s.pack("<I", 100) + b"only-part-of-it")
+    recovered = _Wal(str(tmp_path / "w")).recover()
+    assert [(r[0], r[1], r[2]) for r in recovered] == [
+        ("complete", "a:1", 123), ("good", "b:2", 456)
+    ]
