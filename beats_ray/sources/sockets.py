@@ -393,6 +393,27 @@ def drain_to_dataset(listener, max_bytes: int = 10 * 1024 * 1024):
     return line_reader_chain(rd.from_arrow(table), max_bytes=max_bytes)
 
 
+def drain_window_to_parquet(listener, out_dir: str, window_id: int,
+                            max_bytes: int = 10 * 1024 * 1024) -> int:
+    """One micro-batch window, crash-ordered: drain → line chain →
+    write the window's parquet partition → ONLY THEN ack the WAL.
+    A crash anywhere before the ack re-delivers the window's messages
+    on restart (at-least-once — the reference's guaranteed-send
+    contract); re-delivered rows land in a later window, so pair the
+    output with the fingerprint→_id dedup sink for exactly-once
+    EFFECT, exactly as the reference pairs its disk queue with
+    Elasticsearch create-mode dedup. Returns rows written."""
+    import os as _os
+
+    ds = drain_to_dataset(listener, max_bytes=max_bytes).materialize()
+    part = _os.path.join(out_dir, f"window-{window_id:06d}")
+    n = ds.count()
+    if n:
+        ds.write_parquet(part)
+    ray.get(listener.ack_drained.remote())
+    return n
+
+
 def read_syslog_socket(listener, max_bytes: int = 10 * 1024 * 1024):
     """Syslog-over-socket input: drain + the ``syslog`` processor
     (RFC3164/RFC5424 auto) — the reference's input/syslog layering over

@@ -248,3 +248,50 @@ def test_wal_recover_drops_torn_tail_record(tmp_path):
     assert [(r[0], r[1], r[2]) for r in recovered] == [
         ("complete", "a:1", 123), ("good", "b:2", 456)
     ]
+
+
+def test_drain_window_write_then_ack_ordering(ray_session, tmp_path):
+    """Windowed socket consumption: parquet write precedes the WAL ack,
+    so a crash between drain and ack re-delivers into a later window —
+    no loss; duplicates collapse under the fingerprint dedup sink."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from beats_ray.sources.sockets import (
+        SocketListener,
+        drain_to_dataset,
+        drain_window_to_parquet,
+    )
+
+    wal = str(tmp_path / "wal")
+    out = str(tmp_path / "out")
+    lis = SocketListener.remote(proto="tcp", wal_dir=wal)
+    addr = ray.get(lis.address.remote())
+
+    _tcp_send(addr, b"w1-a\nw1-b\n")
+    _wait_pending(lis, 2)
+    assert drain_window_to_parquet(lis, out, 1) == 2
+    # acked: nothing re-delivers
+    ray.kill(lis)
+    lis2 = SocketListener.remote(proto="tcp", wal_dir=wal)
+    addr2 = ray.get(lis2.address.remote())
+    assert ray.get(lis2.pending.remote()) == 0
+
+    # window 2: drain + write happen, but CRASH before ack
+    _tcp_send(addr2, b"w2-a\n")
+    _wait_pending(lis2, 1)
+    ds = drain_to_dataset(lis2)
+    assert ds.count() == 1  # drained, WAL sealed, NOT acked
+    ray.kill(lis2)
+
+    # restart: w2-a re-delivers and lands in the next window
+    lis3 = SocketListener.remote(proto="tcp", wal_dir=wal)
+    assert drain_window_to_parquet(lis3, out, 3) == 1
+    ray.get(lis3.close.remote())
+
+    files = sorted(glob.glob(out + "/window-*/*.parquet"))
+    texts = []
+    for f in files:
+        texts += pq.read_table(f, columns=["text"])["text"].to_pylist()
+    assert sorted(texts) == ["w1-a", "w1-b", "w2-a"]  # no loss
