@@ -954,6 +954,25 @@ def q_audio_real_decode(sf_dir: str):
     return audio_features(media)
 
 
+def q_gif_real_decode(sf_dir: str):
+    """REAL LZW decode: GIF payloads (the third compression family
+    after PNG's DEFLATE and JPEG's DCT — variable-width LZW codes)
+    through the image-feature stage. GIF is LOSSLESS, so the oracle
+    recomputes the decoded pixel sum straight from the generating
+    formula (×3 — the gray palette replicates into RGB)."""
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        image_features,
+        synthesize_gif_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_gif_media_table(24))
+    return image_features(media, fake=False).select_columns(
+        ["media_id", "n_px", "px_sum"]
+    )
+
+
 def q_g711_audio_decode(sf_dir: str):
     """COMPRESSED audio decode: G.711 μ-law/A-law WAVs (fmt 7/6 — the
     8-bit companded telephony formats) through the same audio-feature
@@ -1523,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": q_media_real_decode,
         "jpeg_real_decode": q_jpeg_real_decode,
         "g711_audio_decode": q_g711_audio_decode,
+        "gif_real_decode": q_gif_real_decode,
         "mjpeg_video_decode": q_mjpeg_video_decode,
         "audio_real_decode": q_audio_real_decode,
         "video_real_decode": q_video_real_decode,
@@ -2506,6 +2526,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(768 AS BIGINT) AS n_px,
                    CAST(SUM(v) AS BIGINT) AS px_sum
             FROM px GROUP BY media_id, frame_ms""",
+        # GIF is lossless: decoded pixels == the generating formula;
+        # the gray palette triples every pixel into RGB
+        "gif_real_decode": """
+            WITH px AS (
+              SELECT m.i AS media_id, ((m.i*31 + x.x*7 + y.y*3) % 256) AS v
+              FROM (SELECT unnest(generate_series(0, 23)) AS i) m,
+                   (SELECT unnest(generate_series(0, 31)) AS x) x,
+                   (SELECT unnest(generate_series(0, 23)) AS y) y
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(2304 AS BIGINT) AS n_px,
+                   CAST(3*SUM(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY media_id""",
         # G.711 decode magnitudes from the ITU-T bit-field math alone:
         # μ-law (even ids): u = 255-c; mag = (((u&15)*8+132) << ((u>>4)&7)) - 132
         # A-law (odd ids):  a = c XOR 85; seg = (a>>4)&7; m = a&15;

@@ -660,6 +660,202 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     return out, fps
 
 
+# -------------------------------------------------------------- GIF
+# GIF89a with REAL LZW (the third mainstream image compression after
+# PNG's DEFLATE and JPEG's DCT+Huffman, and the format of animated web
+# corpora). Grayscale 256-entry global palette on encode; decode
+# handles any global/local palette, multi-frame (full-size frames),
+# variable-width LSB-first codes with dictionary reset. Interlace and
+# partial-frame composition raise (rare; need PIL). GIF is LOSSLESS,
+# so fixtures decode to exactly their generating formula — the oracle
+# needs no closed-form trick.
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """Variable-width LSB-first LZW (GIF flavor: clear/end codes,
+    width grows at dict size 2^width, capped at 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total:
+        i = bitpos >> 3
+        val = int.from_bytes(data[i: i + 4], "little") >> (bitpos & 7)
+        code = val & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Inverse of _lzw_decode (emits clear up-front and on dict-full,
+    end at EOF) — real compression, not the clear-code-spam trick."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    w_str = b""
+    for b in indices:
+        wk = w_str + bytes([b])
+        if wk in table:
+            w_str = wk
+            continue
+        emit(table[w_str], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dict full: reset (decoder mirrors on the clear code)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = end + 1
+        w_str = bytes([b])
+    if w_str:
+        emit(table[w_str], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Package bytes as GIF data sub-blocks (≤255 + length prefix)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i: i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: np.ndarray, delay_ms: int = 100) -> bytes:
+    """uint8 (h, w) or (n, h, w) gray → GIF89a bytes (256-gray global
+    palette, real LZW, one GCE per frame when animated)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 2:
+        frames = frames[None]
+    n, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-entry
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()
+    for f in range(n):
+        if n > 1:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0,
+                               max(1, delay_ms // 10), 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        out += _sub_blocks(_lzw_encode(8, frames[f].tobytes()))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → frames (n, h, w, 3) RGB uint8. Full-size frames
+    only (each image descriptor must cover the logical screen);
+    interlaced streams raise."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    g_pal = None
+    if flags & 0x80:
+        n_ent = 2 << (flags & 0x07)
+        g_pal = np.frombuffer(
+            data[pos: pos + 3 * n_ent], np.uint8
+        ).reshape(n_ent, 3)
+        pos += 3 * n_ent
+    frames = []
+
+    def skip_sub_blocks(p: int) -> int:
+        while data[p]:
+            p += 1 + data[p]
+        return p + 1
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = skip_sub_blocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        pal = g_pal
+        if iflags & 0x80:
+            n_ent = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                data[pos: pos + 3 * n_ent], np.uint8
+            ).reshape(n_ent, 3)
+            pos += 3 * n_ent
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF needs PIL")
+        if (left, top, fw, fh) != (0, 0, w, h):
+            raise NotImplementedError(
+                "partial-frame GIF composition needs PIL"
+            )
+        if pal is None:
+            raise ValueError("GIF image with no palette")
+        mcs = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(mcs, bytes(comp)), np.uint8)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame short of pixels")
+        frames.append(pal[idx[: fw * fh]].reshape(fh, fw, 3))
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return np.stack(frames)
+
+
 # ------------------------------------------------------------- JPEG
 # Baseline sequential DCT, grayscale (ITU T.81 / JFIF): real markers,
 # real Huffman entropy coding, real 8×8 DCT — the compressed-image

@@ -96,8 +96,14 @@ class ImageFeatures:
             from .codecs import decode_jpeg_gray
 
             return decode_jpeg_gray(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL offline decode path: pure-Python LZW GIF; image
+            # features read the first frame
+            from .codecs import decode_gif
+
+            return decode_gif(payload)[0]
         raise NotImplementedError(
-            "only PNG and grayscale baseline JPEG decode offline "
+            "only PNG, grayscale baseline JPEG, and GIF decode offline "
             "(pure-Python paths); other formats need PIL — pass "
             "fake=True for the deterministic test decoder"
         )
@@ -195,6 +201,29 @@ def synthesize_jpeg_media_table(n: int = 24, width: int = 32,
         rows["kind"].append("image")
         rows["payload"].append(encode_jpeg_gray(arr))
         rows["mime"].append("image/jpeg")
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def synthesize_gif_media_table(n: int = 24, width: int = 32,
+                               height: int = 24) -> pa.Table:
+    """Media corpus of REAL GIF payloads (LZW-compressed, gray
+    palette): pixel (x, y) of item i is ``(i*31 + x*7 + y*3) % 256``.
+    GIF is LOSSLESS, so the oracle recomputes the decoded pixel sum
+    from the formula directly (×3: the palette replicates gray into
+    RGB)."""
+    from .codecs import encode_gif
+
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        y, x = np.mgrid[0:height, 0:width]
+        arr = ((i * 31 + x * 7 + y * 3) % 256).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_gif(arr))
+        rows["mime"].append("image/gif")
         rows["width"].append(width)
         rows["height"].append(height)
         rows["duration_ms"].append(0)

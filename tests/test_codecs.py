@@ -391,3 +391,77 @@ def test_mjpeg_avi_rgb_input_uses_luma():
     out, _ = decode_avi(encode_avi(rgb, fps=4, codec="mjpeg"))
     q = np.floor((120.0 - 128) / 2 + 0.5)
     assert np.all(out == np.clip(2 * q + 128, 0, 255))
+
+
+# -------------------------------------------------------------- GIF
+
+
+def test_lzw_roundtrip_and_dict_reset():
+    from beats_ray.dataops.codecs import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(0)
+    cases = [
+        bytes(rng.randint(0, 256, 5000, dtype=np.uint8)),  # incompressible
+        bytes([7]) * 10000,                                # max repetition
+        bytes(range(256)) * 30,                            # cyclic
+        b"\x00",                                           # single byte
+        bytes(rng.randint(0, 4, 30000, dtype=np.uint8)),   # forces 12-bit
+    ]
+    for data in cases:
+        assert _lzw_decode(8, _lzw_encode(8, data)) == data
+
+
+def test_gif_roundtrip_lossless_single_and_animated():
+    from beats_ray.dataops.codecs import decode_gif, encode_gif
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = ((x * 5 + y * 7) % 256).astype(np.uint8)
+    out = decode_gif(encode_gif(img))
+    assert out.shape == (1, 24, 32, 3)
+    assert np.array_equal(out[0, :, :, 0], img)
+    assert np.array_equal(out[0, :, :, 0], out[0, :, :, 2])  # gray pal
+    frames = np.stack(
+        [((x * 5 + y * 7 + f * 13) % 256).astype(np.uint8) for f in range(5)]
+    )
+    out = decode_gif(encode_gif(frames, delay_ms=200))
+    assert out.shape == (5, 24, 32, 3)
+    assert np.array_equal(out[..., 0], frames)
+
+
+def test_gif_large_random_crosses_dict_full_reset():
+    from beats_ray.dataops.codecs import decode_gif, encode_gif
+
+    big = np.random.RandomState(3).randint(0, 256, (200, 300), dtype=np.uint8)
+    out = decode_gif(encode_gif(big))
+    assert np.array_equal(out[0, :, :, 0], big)
+
+
+def test_gif_rejects_garbage_and_unsupported():
+    from beats_ray.dataops.codecs import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    # interlaced image descriptor -> honest NotImplementedError
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+           + bytes(2 * 3))  # 2-entry palette
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0x40)
+    with pytest.raises(NotImplementedError):
+        decode_gif(hdr + img + b"\x02\x00\x3b")
+
+
+def test_gif_through_image_feature_stage(ray_session):
+    import ray.data as rd
+
+    from beats_ray.dataops.multimodal import (
+        image_features,
+        synthesize_gif_media_table,
+    )
+
+    out = image_features(
+        rd.from_arrow(synthesize_gif_media_table(6)), fake=False
+    ).to_pandas().set_index("media_id").sort_index()
+    y, x = np.mgrid[0:24, 0:32]
+    for i in range(6):
+        want = int((((i * 31 + x * 7 + y * 3) % 256).sum()) * 3)
+        assert out.loc[i, "px_sum"] == want
+        assert out.loc[i, "n_px"] == 24 * 32 * 3
