@@ -791,6 +791,36 @@ def encode_gif(frames: np.ndarray, delay_ms: int = 100) -> bytes:
     return bytes(out)
 
 
+def gif_delays_cs(data: bytes) -> list[int]:
+    """Per-frame delays (centiseconds) from the Graphic Control
+    Extensions, in stream order — empty for a non-animated GIF."""
+    out = []
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 << (data[10] & 0x07))
+    while pos < len(data) and data[pos] != 0x3B:
+        if data[pos] == 0x21:
+            if data[pos + 1] == 0xF9:
+                (delay,) = struct.unpack_from("<H", data, pos + 4)
+                out.append(delay)
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif data[pos] == 0x2C:
+            _, _, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1  # LZW min code size
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            break
+    return out
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → frames (n, h, w, 3) RGB uint8. Full-size frames
     only (each image descriptor must cover the logical screen);

@@ -404,10 +404,11 @@ def audio_features(media_ds, batch_size: int = 32):
 class FrameSampler:
     """Video frame sampling (one output row per sampled frame —
     flat_map-shaped). ``fake=False`` is a REAL decode path now: the
-    payload parses as an uncompressed AVI (dataops/codecs.decode_avi)
-    and the frame id is the md5 of the decoded frame's RGB bytes.
-    ``fake=True`` keeps the deterministic pseudo-frame path whose hash
-    the SQL oracle replays without a container parser."""
+    payload parses as an AVI (raw DIB or MJPEG) or an animated GIF
+    (frame rate from the first Graphic Control delay), and the frame
+    id is the md5 of the decoded frame's RGB bytes. ``fake=True``
+    keeps the deterministic pseudo-frame path whose hash the SQL
+    oracle replays without a container parser."""
 
     def __init__(self, every_ms: int = 500, fake: bool = True):
         self.every_ms = every_ms
@@ -415,7 +416,7 @@ class FrameSampler:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if not self.fake:
-            from .codecs import decode_avi
+            from .codecs import decode_avi, decode_gif, gif_delays_cs
 
         out = {"media_id": [], "frame_ms": [], "frame_hash": []}
         for mid, dur, payload in zip(
@@ -433,7 +434,13 @@ class FrameSampler:
                     out["frame_ms"].append(t)
                     out["frame_hash"].append(h)
                 continue
-            frames, fps = decode_avi(payload)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                frames = decode_gif(payload)
+                delays = gif_delays_cs(payload)
+                fps = (max(1, round(100 / max(1, delays[0])))
+                       if delays else 10)
+            else:
+                frames, fps = decode_avi(payload)
             n = frames.shape[0]
             for t in range(0, int(n * 1000 // fps), self.every_ms):
                 f = min(n - 1, t * fps // 1000)

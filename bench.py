@@ -107,10 +107,12 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/beats_ray_bench/out_{NUM_CPUS}"
 
-    # best-of-N (default 3): first trial pays worker/page-cache warmup,
-    # and this VM has intermittent external load; steady-state
-    # throughput is what the scaling criterion compares
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    # best-of-N (default 6): first trial pays worker/page-cache warmup,
+    # and this VM has intermittent external load (measured headline
+    # spread 1.3-5.1 s across back-to-back trials at idle loadavg);
+    # min-of-6 costs ~10 s and makes the recorded number reflect
+    # steady-state compute rather than neighbor noise
+    trials = int(os.environ.get("BENCH_TRIALS", "6"))
     # ~4 blocks per core: large enough to amortize per-task overhead
     # (plasma put + scheduling ≈ 80ms vs ~115ms UDF per 37k-row block),
     # small enough to keep the executor saturated

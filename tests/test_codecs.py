@@ -465,3 +465,28 @@ def test_gif_through_image_feature_stage(ray_session):
         want = int((((i * 31 + x * 7 + y * 3) % 256).sum()) * 3)
         assert out.loc[i, "px_sum"] == want
         assert out.loc[i, "n_px"] == 24 * 32 * 3
+
+
+def test_frame_sampler_real_path_decodes_animated_gif():
+    import hashlib
+
+    import pandas as pd
+
+    from beats_ray.dataops.codecs import encode_gif
+    from beats_ray.dataops.multimodal import FrameSampler
+
+    fr = np.stack([
+        ((np.arange(6 * 8).reshape(6, 8) + f * 31) % 256).astype(np.uint8)
+        for f in range(4)
+    ])
+    payload = encode_gif(fr, delay_ms=100)  # 10 fps → 400 ms
+    df = pd.DataFrame(
+        {"media_id": [9], "duration_ms": [400], "payload": [payload]}
+    )
+    out = FrameSampler(every_ms=200, fake=False)(df)
+    assert out["frame_ms"].tolist() == [0, 200]
+    rgb = np.repeat(fr[..., None], 3, axis=3)
+    assert out["frame_hash"].tolist() == [
+        hashlib.md5(rgb[0].tobytes()).hexdigest()[:16],
+        hashlib.md5(rgb[2].tobytes()).hexdigest()[:16],
+    ]
