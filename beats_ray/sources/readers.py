@@ -131,7 +131,9 @@ def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
     """Stream ONE file as line tables with BOUNDED memory: chunked
     reads + an incremental charset decoder (multi-byte sequences and
     terminators split across chunk boundaries decode correctly), lines
-    emitted every ``rows_per_batch``. A strict shadow decoder detects
+    emitted every ``rows_per_batch``. gzip-rotated files (magic 1f 8b)
+    stream through an incremental decompressor first — gzip → charset
+    → lines, every layer O(chunk). A strict shadow decoder detects
     invalid input without disturbing the replace-mode stream — from the
     first bad chunk on, lines carrying U+FFFD are tagged via
     error.message (EncodeReader semantics: substitute and keep flowing,
@@ -139,10 +141,26 @@ def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
     O(chunk_bytes), not O(file)."""
     import codecs as _codecs
 
+    import zlib
+
     bad_all = False
     with open(path, "rb") as f:
         head = f.read(4)
+        gz = None
+        if head[:2] == b"\x1f\x8b":
+            # gzip-rotated log: stream through an incremental
+            # decompressor — still O(chunk) memory per task, and the
+            # charset decoder below sees plain bytes (gzip → charset →
+            # lines, each layer incremental). wbits=47 auto-detects
+            # gzip/zlib wrappers.
+            gz = zlib.decompressobj(wbits=47)
+            head = gz.decompress(head)
         if isinstance(bom, tuple):
+            while gz is not None and len(head) < 4 and not gz.eof:
+                raw = f.read(chunk_bytes)
+                if not raw:
+                    break
+                head += gz.decompress(raw)
             resolved, head, bad_all = _sniff_bom(head, bom)
             codec = resolved or "utf-8"
         dec = _codecs.getincrementaldecoder(codec)("replace")
@@ -174,8 +192,15 @@ def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
 
         final = False
         while not final:
-            chunk = head if head else f.read(chunk_bytes)
-            head = b""
+            if head:
+                chunk = head
+                head = b""
+            else:
+                chunk = f.read(chunk_bytes)
+                if gz is not None and chunk:
+                    chunk = gz.decompress(chunk)
+                    if not chunk and not gz.eof:
+                        continue  # compressed bytes consumed, none out yet
             final = not chunk
             if strict is not None:
                 try:

@@ -158,3 +158,43 @@ def test_roundtrip_any_chunk_boundary(tmp_path_factory, data):
         got += tbl["text"].to_pylist()
         assert tbl["error.message"].null_count == len(tbl)
     assert got == lines
+
+
+def test_gzip_rotated_log_streams_and_decodes(ray_session, tmp_path):
+    """gzip → charset → lines, all incremental: a .gz latin-1 log
+    decodes identically to its plain twin, via magic sniff (no
+    extension contract)."""
+    import gzip
+
+    lines = ["café au lait", "naïve résumé", "plain ascii"]
+    payload = ("\n".join(lines) + "\n").encode("iso8859-1")
+    (tmp_path / "log.gz").write_bytes(gzip.compress(payload))
+    df = read_log_lines(str(tmp_path / "log.gz"),
+                        encoding="iso8859-1").to_pandas()
+    assert df["text"].tolist() == lines
+    assert df["error.message"].isna().all()
+
+
+def test_gzip_with_utf16_bom_policy(ray_session, tmp_path):
+    import gzip
+
+    lines = ["utf sixteen", "ånother line"]
+    payload = "﻿" + "\n".join(lines) + "\n"
+    (tmp_path / "u16.gz").write_bytes(
+        gzip.compress(payload.encode("utf-16-le"))
+    )
+    df = read_log_lines(str(tmp_path / "u16.gz"),
+                        encoding="utf-16-bom").to_pandas()
+    assert df["text"].tolist() == lines
+
+
+def test_gzip_large_file_chunked(ray_session, tmp_path):
+    """A multi-chunk gz file (content ≫ chunk) reassembles exactly."""
+    import gzip
+
+    lines = [f"line-{i}-" + "x" * (i % 97) for i in range(20000)]
+    (tmp_path / "big.gz").write_bytes(
+        gzip.compress(("\n".join(lines) + "\n").encode())
+    )
+    df = read_log_lines(str(tmp_path / "big.gz")).to_pandas()
+    assert df["text"].tolist() == lines
