@@ -282,12 +282,16 @@ def read_log_lines(paths: list[str] | str, max_bytes: int = 10 * 1024 * 1024,
 
 
 def read_ndjson_logs(paths: list[str] | str, expected: dict[str, str],
-                     max_bytes: int = 10 * 1024 * 1024):
+                     max_bytes: int = 10 * 1024 * 1024,
+                     encoding: str = "plain"):
     """NDJSON source: log lines → typed columns via the ndjson parser
-    (reader/readjson/json.go semantics; schema pinned by ``expected``)."""
+    (reader/readjson/json.go semantics; schema pinned by ``expected``).
+    ``encoding`` threads through to the line reader (gzip-rotated files
+    are sniffed by magic either way)."""
     from ..processors import build_processor
 
-    ds = read_log_lines(paths, max_bytes=max_bytes, include_path=True)
+    ds = read_log_lines(paths, max_bytes=max_bytes, include_path=True,
+                        encoding=encoding)
     proc = build_processor(
         {
             "decode_json_fields": {
