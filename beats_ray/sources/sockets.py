@@ -72,6 +72,7 @@ class _Wal:
         )
         self.epoch = (existing[-1] + 1) if existing else 0
         self._f = None
+        self._io_lock = threading.Lock()
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.dir, f"seg-{epoch:08d}.wal")
@@ -103,26 +104,35 @@ class _Wal:
         return out
 
     def append(self, text: str, addr: str, ts: int) -> None:
-        if self._f is None:
-            self._f = open(self._path(self.epoch), "ab")
         tb, ab = text.encode(), addr.encode()
-        self._f.write(
-            struct.pack("<I", len(tb)) + tb
-            + struct.pack("<H", len(ab)) + ab + struct.pack("<q", ts)
-        )
-        self._f.flush()
-        if self.fsync:
-            os.fsync(self._f.fileno())
+        rec = (struct.pack("<I", len(tb)) + tb
+               + struct.pack("<H", len(ab)) + ab + struct.pack("<q", ts))
+        with self._io_lock:
+            if self._f is None:
+                self._f = open(self._path(self.epoch), "ab")
+            self._f.write(rec)
+            # flush PER RECORD: "received ⇒ on disk" is the contract a
+            # raw socket needs (there is no producer-ack channel to
+            # defer durability through, unlike the reference's queue
+            # producer callbacks). Measured cost on 37-byte messages:
+            # ~2× vs no WAL (tools/scale_probe.py socket_wal) — real
+            # log lines are 5-30× larger, shrinking the relative tax.
+            # fsync=True additionally hardens against HOST crashes.
+            self._f.flush()
+            if self.fsync:
+                os.fsync(self._f.fileno())
 
     def seal(self) -> int:
-        """Close the current segment; subsequent appends open the next.
-        Returns the sealed epoch (the ack handle for this drain)."""
-        sealed = self.epoch
-        if self._f is not None:
-            self._f.close()
-            self._f = None
-        self.epoch += 1
-        return sealed
+        """Close the current segment (flushing any buffered tail);
+        subsequent appends open the next. Returns the sealed epoch
+        (the ack handle for this drain)."""
+        with self._io_lock:
+            sealed = self.epoch
+            if self._f is not None:
+                self._f.close()
+                self._f = None
+            self.epoch += 1
+            return sealed
 
     def ack(self, up_to_epoch: int) -> int:
         """Delete sealed segments ≤ epoch; returns how many."""

@@ -495,6 +495,46 @@ def probe_cc_scale() -> dict:
     }
 
 
+def probe_socket_wal() -> dict:
+    """Durable-ingestion cost: TCP listener throughput with and
+    without the write-ahead log (100k messages, one sender, loopback).
+    The WAL's append is buffered through the OS file cache, so the
+    expected tax is one write syscall per message — this probe pins
+    the actual number."""
+    import shutil
+    import socket as _socket
+    import tempfile
+    import time as _time
+
+    from beats_ray.sources.sockets import SocketListener
+
+    n_msgs = 100_000
+    payload = b"".join(
+        b"msg-%06d some log line payload here\n" % i for i in range(n_msgs)
+    )
+    out = {"probe": "socket_wal", "n_msgs": n_msgs}
+    for label, wal_dir in [("plain", None),
+                           ("wal", tempfile.mkdtemp(prefix="walprobe"))]:
+        lis = SocketListener.remote(proto="tcp", wal_dir=wal_dir)
+        addr = ray.get(lis.address.remote())
+        t0 = _time.perf_counter()
+        s = _socket.create_connection(addr)
+        s.sendall(payload)
+        s.close()
+        while ray.get(lis.pending.remote()) < n_msgs:
+            _time.sleep(0.02)
+        wall = _time.perf_counter() - t0
+        out[f"{label}_msgs_per_s"] = round(n_msgs / wall)
+        ray.get(lis.close.remote())
+        ray.kill(lis)
+        if wal_dir:
+            shutil.rmtree(wal_dir, ignore_errors=True)
+    out["wal_tax"] = round(
+        1 - out["wal_msgs_per_s"] / out["plain_msgs_per_s"], 3
+    )
+    return out
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
@@ -503,6 +543,7 @@ PROBES = {
     "stream_long_chain": probe_stream_long_chain,
     "ann_recall": probe_ann_recall,
     "cc_scale": probe_cc_scale,
+    "socket_wal": probe_socket_wal,
 }
 
 
