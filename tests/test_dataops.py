@@ -1062,3 +1062,46 @@ def test_connected_components_random_vs_union_find(ray_session):
         )
         got = dict(zip(out["id"].astype(int), out["cluster_id"].astype(int)))
         assert got == want, trial
+
+
+@pytest.mark.parametrize("trial", [1, 2, 3])  # the adversarial kinds;
+# kind-0 uniform is already covered by the fixed-seed exactness test
+def test_embed_dup_pairs_exact_across_geometries(ray_session, trial):
+    """The centroid-bound pruning must hold on adversarial geometry,
+    not just the fixture corpus: uniform clouds, tight clusters,
+    antipodal + near-zero-norm vectors, near-duplicate-heavy — across
+    thresholds, cluster counts, and dimensionalities. Ground truth is
+    brute-force all-pairs numpy."""
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+
+    rng = np.random.RandomState(trial)
+    n, d = 200, int(rng.choice([4, 8, 32]))
+    kind = trial % 4
+    if kind == 0:
+        vecs = rng.randn(n, d)
+    elif kind == 1:
+        cents = rng.randn(8, d) * 3
+        vecs = cents[rng.randint(0, 8, n)] + 0.1 * rng.randn(n, d)
+    elif kind == 2:
+        vecs = rng.randn(n, d)
+        vecs[50:100] = -vecs[:50] * rng.uniform(0.001, 2, (50, 1))
+        vecs[100:110] *= 1e-6  # near-zero norms keep their direction
+    else:
+        base = rng.randn(30, d)
+        vecs = base[rng.randint(0, 30, n)] + 0.02 * rng.randn(n, d)
+    thr = [0.35, 0.8, 0.95, 0.5][trial % 4]
+    nc = int(rng.choice([2, 4, 8, 16]))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    )
+    got_ds = embedding_cosine_dup_pairs(ds, threshold=thr, n_clusters=nc)
+    got_df = got_ds.to_pandas()
+    # Ray's to_pandas drops columns on a zero-block result; schema()
+    # still carries them (the q_embed_dup_pairs empty guard exists for
+    # exactly this)
+    got = (set() if got_df.empty
+           else set(map(tuple, got_df[["a", "b"]].values)))
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = set(map(tuple, np.argwhere(np.triu(sims >= thr, k=1))))
+    assert got == want
