@@ -126,14 +126,35 @@ def _sniff_bom(head: bytes, bom) -> tuple[str | None, bytes, bool]:
     return None, head, True
 
 
+def _sniff_decompressor(head: bytes):
+    """Magic-sniff a compressed rotated log → incremental decompressor
+    (or None for plain). gzip/bz2/xz — the archive formats log rotation
+    tools actually emit; each streams O(chunk), and the charset decoder
+    downstream sees plain bytes (compress → charset → lines, every
+    layer incremental)."""
+    if head[:2] == b"\x1f\x8b":
+        import zlib
+
+        return zlib.decompressobj(wbits=47)  # auto gzip/zlib wrapper
+    if head[:3] == b"BZh":
+        import bz2
+
+        return bz2.BZ2Decompressor()
+    if head[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.LZMADecompressor()
+    return None
+
+
 def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
                            rows_per_batch: int = 65536):
     """Stream ONE file as line tables with BOUNDED memory: chunked
     reads + an incremental charset decoder (multi-byte sequences and
     terminators split across chunk boundaries decode correctly), lines
-    emitted every ``rows_per_batch``. gzip-rotated files (magic 1f 8b)
-    stream through an incremental decompressor first — gzip → charset
-    → lines, every layer O(chunk). A strict shadow decoder detects
+    emitted every ``rows_per_batch``. gzip/bz2/xz-rotated files
+    (magic-sniffed) stream through an incremental decompressor first —
+    decompress → charset → lines, every layer O(chunk). A strict shadow decoder detects
     invalid input without disturbing the replace-mode stream — from the
     first bad chunk on, lines carrying U+FFFD are tagged via
     error.message (EncodeReader semantics: substitute and keep flowing,
@@ -141,19 +162,11 @@ def _iter_file_line_tables(path: str, codec: str, bom, chunk_bytes: int,
     O(chunk_bytes), not O(file)."""
     import codecs as _codecs
 
-    import zlib
-
     bad_all = False
     with open(path, "rb") as f:
-        head = f.read(4)
-        gz = None
-        if head[:2] == b"\x1f\x8b":
-            # gzip-rotated log: stream through an incremental
-            # decompressor — still O(chunk) memory per task, and the
-            # charset decoder below sees plain bytes (gzip → charset →
-            # lines, each layer incremental). wbits=47 auto-detects
-            # gzip/zlib wrappers.
-            gz = zlib.decompressobj(wbits=47)
+        head = f.read(6)
+        gz = _sniff_decompressor(head)
+        if gz is not None:
             head = gz.decompress(head)
         if isinstance(bom, tuple):
             while gz is not None and len(head) < 4 and not gz.eof:

@@ -198,3 +198,19 @@ def test_gzip_large_file_chunked(ray_session, tmp_path):
     )
     df = read_log_lines(str(tmp_path / "big.gz")).to_pandas()
     assert df["text"].tolist() == lines
+
+
+def test_bz2_and_xz_rotated_logs(ray_session, tmp_path):
+    """bz2/xz archives (the other formats logrotate emits) stream
+    through the same incremental path as gzip — magic-sniffed."""
+    import bz2
+    import lzma
+
+    lines = ["alpha", "beta מֿ unicode", "gamma"]
+    payload = ("\n".join(lines) + "\n").encode()
+    (tmp_path / "a.bz2").write_bytes(bz2.compress(payload))
+    (tmp_path / "b.xz").write_bytes(lzma.compress(payload))
+    for name in ("a.bz2", "b.xz"):
+        df = read_log_lines(str(tmp_path / name)).to_pandas()
+        assert df["text"].tolist() == lines, name
+        assert df["error.message"].isna().all()
