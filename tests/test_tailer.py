@@ -1,0 +1,122 @@
+"""FileTailer — the filestream harvester loop: append-only reads from
+per-inode offsets, rotation/truncation handling, write-then-commit
+crash ordering (registry semantics of filebeat's filestream input)."""
+
+import os
+
+import pytest
+
+from beats_ray.sources.tailer import FileTailer
+
+
+def _texts(ds):
+    df = ds.to_pandas()
+    return df["text"].tolist() if "text" in df.columns else []
+
+
+def _tailer(tmp_path, **kw):
+    return FileTailer(str(tmp_path / "logs" / "*.log"),
+                      str(tmp_path / "state"), **kw)
+
+
+def _append(tmp_path, name, text):
+    d = tmp_path / "logs"
+    d.mkdir(exist_ok=True)
+    with open(d / name, "a", encoding="utf-8") as f:
+        f.write(text)
+
+
+def test_poll_reads_only_appended_bytes(ray_session, tmp_path):
+    _append(tmp_path, "a.log", "one\ntwo\n")
+    t = _tailer(tmp_path)
+    assert _texts(t.poll()) == ["one", "two"]
+    t.commit()
+    assert _texts(t.poll()) == []  # nothing new
+    t.commit()
+    _append(tmp_path, "a.log", "three\n")
+    assert _texts(t.poll()) == ["three"]
+
+
+def test_unterminated_tail_waits_for_newline(ray_session, tmp_path):
+    _append(tmp_path, "a.log", "done\npart")
+    t = _tailer(tmp_path)
+    assert _texts(t.poll()) == ["done"]
+    t.commit()
+    _append(tmp_path, "a.log", "ial\n")
+    assert _texts(t.poll()) == ["partial"]  # reassembled at the cut
+
+
+def test_per_line_offsets_match_file_positions(ray_session, tmp_path):
+    _append(tmp_path, "a.log", "aa\nbbbb\nc\n")
+    t = _tailer(tmp_path)
+    df = t.poll().to_pandas().sort_values("log.offset")
+    assert df["log.offset"].tolist() == [0, 3, 8]
+    assert df["text"].tolist() == ["aa", "bbbb", "c"]
+
+
+def test_rotation_keeps_offset_with_inode(ray_session, tmp_path):
+    """Rename a.log -> a.log.1 and create a fresh a.log: the rotated
+    file's remainder is still read under its inode, the fresh file
+    starts at 0 (filestream prospector identity semantics)."""
+    _append(tmp_path, "a.log", "before-rotate\n")
+    t = FileTailer(str(tmp_path / "logs" / "a.log*"),
+                   str(tmp_path / "state"))
+    assert _texts(t.poll()) == ["before-rotate"]
+    t.commit()
+    _append(tmp_path, "a.log", "tail-of-old\n")
+    os.rename(tmp_path / "logs" / "a.log", tmp_path / "logs" / "a.log.1")
+    _append(tmp_path, "a.log", "first-of-new\n")
+    got = sorted(_texts(t.poll()))
+    assert got == ["first-of-new", "tail-of-old"]
+
+
+def test_truncation_restarts_at_zero(ray_session, tmp_path):
+    _append(tmp_path, "a.log", "long line number one\n")
+    t = _tailer(tmp_path)
+    t.poll()
+    t.commit()
+    # copytruncate-style rotation: same inode, size drops below offset
+    with open(tmp_path / "logs" / "a.log", "w", encoding="utf-8") as f:
+        f.write("fresh\n")
+    assert _texts(t.poll()) == ["fresh"]
+
+
+def test_crash_before_commit_redelivers(ray_session, tmp_path):
+    """Poll-then-crash (no commit): a new tailer over the same state
+    dir re-reads the window — at-least-once, like the socket WAL."""
+    _append(tmp_path, "a.log", "w1\nw2\n")
+    t = _tailer(tmp_path)
+    assert _texts(t.poll()) == ["w1", "w2"]
+    # no commit — simulate a crash by just abandoning the instance
+    t2 = _tailer(tmp_path)
+    assert _texts(t2.poll()) == ["w1", "w2"]
+    t2.commit()
+    t3 = _tailer(tmp_path)
+    assert _texts(t3.poll()) == []
+
+
+def test_poll_window_to_parquet_write_then_commit(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    _append(tmp_path, "a.log", "x\ny\n")
+    t = _tailer(tmp_path)
+    out = str(tmp_path / "out")
+    assert t.poll_window_to_parquet(out, 1) == 2
+    _append(tmp_path, "a.log", "z\n")
+    assert t.poll_window_to_parquet(out, 2) == 1
+    texts = []
+    for f in sorted(glob.glob(out + "/window-*/*.parquet")):
+        texts += pq.read_table(f, columns=["text"])["text"].to_pylist()
+    assert sorted(texts) == ["x", "y", "z"]
+
+
+def test_latin1_tailing_and_utf16_rejected(ray_session, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_bytes("caf\xe9\n".encode("latin-1"))
+    t = _tailer(tmp_path, encoding="iso8859-1")
+    assert _texts(t.poll()) == ["café"]
+    with pytest.raises(ValueError, match="utf-16"):
+        _tailer(tmp_path, encoding="utf-16le")
