@@ -199,3 +199,36 @@ class FileTailer:
             )
         self.commit()
         return n
+
+
+def tail_pipeline(tailer: FileTailer, out_dir: str, window_id: int,
+                  processors: list[dict] | None = None,
+                  rules: list[dict] | None = None) -> int:
+    """One full filebeat-equivalent cycle: poll appended lines →
+    ordered processor chain (dissect/syslog/ndjson/... — any registered
+    processor spec) → selector routing → per-sink parquet partitions →
+    commit offsets. Write-then-commit ordering end to end: a crash
+    anywhere re-polls the window (at-least-once). Processor and rule
+    configs validate EAGERLY on the driver before any file is read.
+    Returns rows written."""
+    from ..processors import build_processor
+    from ..routing import Router
+
+    chain = [build_processor(spec) for spec in (processors or [])]
+    router = Router(rules) if rules else None
+
+    ds = tailer.poll()
+    for proc in chain:
+        ds = ds.map_batches(proc, batch_format="pyarrow", batch_size=None)
+    if router is not None:
+        ds = ds.map_batches(router, batch_format="pyarrow",
+                            batch_size=None)
+    ds = ds.materialize()
+    n = ds.count()
+    if n:
+        ds.write_parquet(
+            os.path.join(out_dir, f"window-{window_id:06d}"),
+            partition_cols=["sink"] if router is not None else None,
+        )
+    tailer.commit()
+    return n

@@ -120,3 +120,39 @@ def test_latin1_tailing_and_utf16_rejected(ray_session, tmp_path):
     assert _texts(t.poll()) == ["café"]
     with pytest.raises(ValueError, match="utf-16"):
         _tailer(tmp_path, encoding="utf-16le")
+
+
+def test_tail_pipeline_end_to_end_syslog_routing(ray_session, tmp_path):
+    """The full filebeat-equivalent loop: tail → syslog parse → route
+    by severity → per-sink parquet → offset commit, across two poll
+    windows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from beats_ray.sources.tailer import tail_pipeline
+
+    _append(tmp_path, "sys.log",
+            "<11>May  1 00:00:01 h1 app: disk failing\n"   # sev 3 err
+            "<30>May  1 00:00:02 h2 cron: job done\n")     # sev 6 info
+    t = _tailer(tmp_path)
+    out = str(tmp_path / "out")
+    processors = [{"syslog": {}}]
+    rules = [
+        {"name": "alerts", "when": {"range": {"syslog.severity": {"lte": 3}}}},
+        {"name": "archive", "default": "archive"},
+    ]
+    assert tail_pipeline(t, out, 1, processors, rules) == 2
+    _append(tmp_path, "sys.log",
+            "<10>May  1 00:00:03 h1 app: oom killed\n")    # sev 2 crit
+    assert tail_pipeline(t, out, 2, processors, rules) == 1
+    # crash-free third cycle: nothing new
+    assert tail_pipeline(t, out, 3, processors, rules) == 0
+
+    by_sink = {}
+    for f in glob.glob(out + "/window-*/**/*.parquet", recursive=True):
+        sink = [p for p in f.split("/") if p.startswith("sink=")][0][5:]
+        tb = pq.read_table(f, columns=["syslog.msg"])
+        by_sink.setdefault(sink, []).extend(tb["syslog.msg"].to_pylist())
+    assert sorted(by_sink["alerts"]) == ["disk failing", "oom killed"]
+    assert by_sink["archive"] == ["job done"]
