@@ -660,6 +660,49 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     return out, fps
 
 
+# -------------------------------------------------------------- BMP
+# Uncompressed 24-bit BMP — the same bottom-up padded BGR DIB rows as
+# the raw-AVI frames, in a standalone file header. Trivial but real
+# (screenshots/exports ship it), and it makes the DIB row logic a
+# shared, twice-tested path.
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → 24-bit BMP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    h, w, _ = arr.shape
+    stride = _stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
+    pixels = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixels), 0, 0, 0, 0)
+    off = 14 + len(dib)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    return hdr + dib + pixels
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) RGB uint8."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    _, w, bh, _, bits, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if comp != 0 or bits != 24:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decodes offline"
+        )
+    h, top_down = abs(bh), bh < 0
+    stride = _stride(w)
+    rows = np.frombuffer(
+        data, np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    bgr = rows[:, : 3 * w].reshape(h, w, 3)
+    return (bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]).copy()
+
+
 # -------------------------------------------------------------- GIF
 # GIF89a with REAL LZW (the third mainstream image compression after
 # PNG's DEFLATE and JPEG's DCT+Huffman, and the format of animated web

@@ -102,10 +102,14 @@ class ImageFeatures:
             from .codecs import decode_gif
 
             return decode_gif(payload)[0]
+        if payload[:2] == b"BM":
+            from .codecs import decode_bmp
+
+            return decode_bmp(payload)
         raise NotImplementedError(
-            "only PNG, grayscale baseline JPEG, and GIF decode offline "
-            "(pure-Python paths); other formats need PIL — pass "
-            "fake=True for the deterministic test decoder"
+            "only PNG, grayscale baseline JPEG, GIF, and 24-bit BMP "
+            "decode offline (pure-Python paths); other formats need "
+            "PIL — pass fake=True for the deterministic test decoder"
         )
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

@@ -490,3 +490,39 @@ def test_frame_sampler_real_path_decodes_animated_gif():
         hashlib.md5(rgb[0].tobytes()).hexdigest()[:16],
         hashlib.md5(rgb[2].tobytes()).hexdigest()[:16],
     ]
+
+
+# -------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_gray_rgb_and_stride_padding():
+    from beats_ray.dataops.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(5)
+    for shape in [(7, 9), (24, 32, 3), (1, 1), (3, 5, 3)]:
+        arr = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_bmp(encode_bmp(arr))
+        want = np.repeat(arr[..., None], 3, axis=2) if arr.ndim == 2 else arr
+        assert np.array_equal(out, want), shape
+
+
+def test_bmp_rejects_garbage_and_compressed():
+    from beats_ray.dataops.codecs import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XXnotabmp")
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + dib)
+
+
+def test_bmp_through_image_feature_decode():
+    from beats_ray.dataops.codecs import encode_bmp
+    from beats_ray.dataops.multimodal import ImageFeatures
+
+    y, x = np.mgrid[0:8, 0:16]
+    arr = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    px = ImageFeatures(fake=False).decode(encode_bmp(arr), 16, 8)
+    assert px.shape == (8, 16, 3)
+    assert np.array_equal(px[..., 0], arr)
