@@ -100,6 +100,7 @@ class FileTailer:
                 # a rotated-away file keeps its offset under its inode;
                 # the fresh file under the old path is a NEW inode → 0
                 "offset": int(self.registry.get(ident, 0)),
+                "size": st.st_size,
             })
         return items
 
@@ -111,6 +112,16 @@ class FileTailer:
         import ray.data as rd
 
         items = self._plan()
+        # steady-state skip: a file whose size equals its committed
+        # offset has nothing new — no Ray task for it (a mostly-idle
+        # tail loop polls every second; size < offset = truncation and
+        # MUST be read). Unchanged files keep their stored offset.
+        changed = [i for i in items if i["size"] != i["offset"]]
+        unchanged_pending = {
+            i["ident"]: i["offset"] for i in items
+            if i["size"] == i["offset"]
+        }
+        items = changed
         codec, max_bytes = self.codec, self.max_bytes
 
         def read_ranges(t: pa.Table):
@@ -153,7 +164,7 @@ class FileTailer:
                 })
 
         if not items:
-            self._pending = {}
+            self._pending = unchanged_pending
             empty = pa.table({
                 "text": pa.array([], pa.string()),
                 "log.file.path": pa.array([], pa.string()),
@@ -186,6 +197,7 @@ class FileTailer:
         self._pending = {
             i["ident"]: ends.get(i["ident"], i["offset"]) for i in items
         }
+        self._pending.update(unchanged_pending)
         lines = out.drop_columns(["_ident", "_end"])
         return line_reader_chain(lines, max_bytes=self.max_bytes)
 
