@@ -286,10 +286,24 @@ class SocketListener:
                  line_delimiter: str = "\n", framing: str = "delimiter",
                  max_message_size: int = 20 * 1024 * 1024,
                  max_buffer: int = 1_000_000,
-                 wal_dir: str | None = None, wal_fsync: bool = False):
+                 wal_dir: str | None = None, wal_fsync: bool = False,
+                 ssl_certfile: str | None = None,
+                 ssl_keyfile: str | None = None):
         if framing not in ("delimiter", "rfc6587"):
             raise ValueError(f"unknown framing {framing!r}")
         self.proto = proto
+        self._ssl = None
+        if ssl_certfile:
+            # filebeat tcp input `ssl:` parity (inputsource/tcp +
+            # libbeat/common/transport/tlscommon): TLS server on the
+            # stream listener; handshake runs on the per-connection
+            # thread so a slow client never blocks accept
+            import ssl as _sslmod
+
+            if proto != "tcp":
+                raise ValueError("ssl is supported on tcp listeners only")
+            self._ssl = _sslmod.SSLContext(_sslmod.PROTOCOL_TLS_SERVER)
+            self._ssl.load_cert_chain(ssl_certfile, ssl_keyfile)
         wal = _Wal(wal_dir, fsync=wal_fsync) if wal_dir else None
         self.buf = _Buffer(max_buffer, wal=wal)
         self._sealed = -1  # last drained-but-unacked WAL epoch
@@ -329,11 +343,25 @@ class SocketListener:
             addr = (f"{peer[0]}:{peer[1]}" if isinstance(peer, tuple)
                     else str(self.addr[0]))
             threading.Thread(
-                target=_frame_stream,
-                args=(self.buf, conn, addr, self.delim, self.framing,
-                      self.max_msg),
-                daemon=True,
+                target=self._serve_conn, args=(conn, addr), daemon=True,
             ).start()
+
+    def _serve_conn(self, conn, addr: str) -> None:
+        if self._ssl is not None:
+            try:
+                conn = self._ssl.wrap_socket(conn, server_side=True)
+            except (OSError, ValueError):
+                # failed handshake (plaintext client, bad cipher):
+                # count and drop the CONNECTION, never the listener
+                with self.buf.lock:
+                    self.buf.dropped += 1
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
+        _frame_stream(self.buf, conn, addr, self.delim, self.framing,
+                      self.max_msg)
 
     def _udp_loop(self) -> None:
         while not self._closing:

@@ -295,3 +295,77 @@ def test_drain_window_write_then_ack_ordering(ray_session, tmp_path):
     for f in files:
         texts += pq.read_table(f, columns=["text"])["text"].to_pylist()
     assert sorted(texts) == ["w1-a", "w1-b", "w2-a"]  # no loss
+
+
+def _self_signed(tmp_path):
+    """Self-signed localhost cert via the cryptography lib."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .sign(key, hashes.SHA256())
+    )
+    certf = tmp_path / "cert.pem"
+    keyf = tmp_path / "key.pem"
+    certf.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyf.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption(),
+    ))
+    return str(certf), str(keyf)
+
+
+def test_tls_tcp_listener(ray_session, tmp_path):
+    """filebeat tcp input `ssl:` parity: TLS clients stream framed
+    lines; a plaintext client is dropped without killing the listener."""
+    import ssl
+
+    pytest.importorskip("cryptography")
+    from beats_ray.sources.sockets import SocketListener, drain_to_dataset
+
+    certf, keyf = _self_signed(tmp_path)
+    lis = SocketListener.remote(
+        proto="tcp", ssl_certfile=certf, ssl_keyfile=keyf
+    )
+    addr = ray.get(lis.address.remote())
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    raw = socket.create_connection(addr)
+    s = ctx.wrap_socket(raw)
+    s.sendall(b"secure one\nsecure two\n")
+    s.close()
+    _wait_pending(lis, 2)
+
+    # plaintext client: handshake fails, connection dropped, listener
+    # keeps serving
+    p = socket.create_connection(addr)
+    p.sendall(b"not tls\n")
+    p.close()
+    time.sleep(0.3)
+
+    s2 = ctx.wrap_socket(socket.create_connection(addr))
+    s2.sendall(b"still alive\n")
+    s2.close()
+    _wait_pending(lis, 3)
+
+    df = drain_to_dataset(lis).to_pandas()
+    assert sorted(df["text"]) == ["secure one", "secure two", "still alive"]
+    ray.get(lis.close.remote())
