@@ -850,6 +850,10 @@ def q_embed_dup_clusters(sf_dir: str):
 
     emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
     edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
+    # second scan is DELIBERATE and thin: lazy datasets re-execute per
+    # consumer, and re-reading just the pruned int64 vec_id column is
+    # cheaper at scale than materializing the full embedding dataset
+    # to share it between the pair join and the node list
     nodes = _table(sf_dir, "embeddings", ["vec_id"])
     out = connected_components(edges, nodes, node_col="vec_id")
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
@@ -871,6 +875,10 @@ def q_semantic_dedup_keep(sf_dir: str):
 
     emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
     edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
+    # second scan is DELIBERATE and thin: lazy datasets re-execute per
+    # consumer, and re-reading just the pruned int64 vec_id column is
+    # cheaper at scale than materializing the full embedding dataset
+    # to share it between the pair join and the node list
     nodes = _table(sf_dir, "embeddings", ["vec_id"])
     keep = dup_cluster_survivors(edges, nodes, node_col="vec_id")
     keep = keep.map_batches(

@@ -54,6 +54,13 @@ def bytes_and_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     ].astype(np.int64)
     data = (np.frombuffer(data_buf, dtype=np.uint8)
             if data_buf is not None else np.zeros(0, np.uint8))
+    # a zero-copy SLICE shares the full values buffer: window it to the
+    # slice's own bytes and rebase the offsets to 0, so no kernel ever
+    # scans (or run-continues into) bytes belonging to rows outside the
+    # slice — both views stay zero-copy
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(data)):
+        data = data[offsets[0]: offsets[-1]]
+        offsets = offsets - offsets[0]
     return data, offsets
 
 

@@ -1024,10 +1024,18 @@ class _BitWriter:
                 self.buf.append(0x00)  # byte stuffing
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def raw_marker(self, byte2: int) -> None:
+        """Append an FF xx marker pair verbatim (markers are never
+        byte-stuffed); call align() first."""
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -1044,8 +1052,11 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(arr: np.ndarray) -> bytes:
-    """uint8 (h, w) → baseline JFIF bytes (grayscale, one scan)."""
+def encode_jpeg_gray(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) → baseline JFIF bytes (grayscale, one scan).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (libjpeg's robustness convention), resetting
+    the DC predictor — exercised round-trip by the decoder tests."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape
     ph, pw = -h % 8, -w % 8
@@ -1067,7 +1078,13 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    rst_seg = 0
+    for bi, blk in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.align()
+            bw.raw_marker(0xD0 + (rst_seg % 8))
+            rst_seg += 1
+            prev_dc = 0  # RST resets the DC predictor
         diff = int(blk[0]) - prev_dc
         prev_dc = int(blk[0])
         cat = _category(diff)
@@ -1105,6 +1122,8 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
                 + bytes([1, 0x11, 0]))  # SOF0: 1 component, no subsample
     out += _seg(0xFFC4, dht_dc) + _seg(0xFFC4, dht_ac)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -1120,16 +1139,39 @@ class _BitReader:
 
     def take(self, n: int) -> int:
         while self.nbits < n:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:  # unstuff
-                self.pos += 1  # skip the 0x00
+            b = 0
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                if b == 0xFF:
+                    nxt = (self.data[self.pos + 1]
+                           if self.pos + 1 < len(self.data) else 0xD9)
+                    if nxt == 0x00:
+                        self.pos += 2  # byte-stuffed data FF
+                    else:
+                        # a real marker (RSTn/EOI): entropy data ends
+                        # here — feed zero bits (libjpeg's convention)
+                        # and stay put; restart() consumes the marker
+                        b = 0
+                else:
+                    self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (FFD0-FFD7): pad bits
+        buffered past the previous MCU row are discarded, per spec."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn restart marker")
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
@@ -1144,6 +1186,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
     scan_start = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker sync")
@@ -1185,6 +1228,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                     k += 1
                 code <<= 1
             huff[(cls_id >> 4, cls_id & 0x0F)] = table
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             scan_start = pos
             break
@@ -1212,6 +1257,9 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     zz = np.zeros((nblocks, 64), dtype=np.int64)
     prev_dc = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            br.restart()
+            prev_dc = 0  # RSTn resets the DC predictor
         cat = read_symbol(dc_tab)
         diff = extend(br.take(cat), cat) if cat else 0
         prev_dc += diff

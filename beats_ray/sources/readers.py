@@ -126,24 +126,65 @@ def _sniff_bom(head: bytes, bom) -> tuple[str | None, bytes, bool]:
     return None, head, True
 
 
+class _MultiStream:
+    """Incremental decompressor that restarts across concatenated
+    members: RFC 1952 allows a .gz file to be several gzip members
+    back-to-back (``cat a.gz b.gz``, logrotate append modes), and bz2 /
+    xz have the same multi-stream convention. A raw decompressobj stops
+    at the first member's end and silently strands the rest in
+    ``unused_data`` — stdlib ``gzip.open`` restarts, so do we. Trailing
+    bytes that do not parse as a new member (e.g. logrotate's zero
+    padding) end the stream, matching ``gzip``'s own tolerance."""
+
+    def __init__(self, factory):
+        self._factory = factory
+        self._d = factory()
+        self._done = False
+
+    def decompress(self, data: bytes) -> bytes:
+        if self._done:
+            return b""
+        out = []
+        while True:
+            try:
+                out.append(self._d.decompress(data))
+            except Exception:
+                # bad header on a restarted member: trailing garbage,
+                # not a member boundary — stop like stdlib gzip does
+                self._done = True
+                break
+            if not self._d.eof:
+                break
+            data = self._d.unused_data
+            if not data:
+                break
+            self._d = self._factory()
+        return b"".join(out)
+
+    @property
+    def eof(self) -> bool:
+        return self._done or self._d.eof
+
+
 def _sniff_decompressor(head: bytes):
     """Magic-sniff a compressed rotated log → incremental decompressor
     (or None for plain). gzip/bz2/xz — the archive formats log rotation
     tools actually emit; each streams O(chunk), and the charset decoder
     downstream sees plain bytes (compress → charset → lines, every
-    layer incremental)."""
+    layer incremental). Multi-member archives restart mid-stream via
+    _MultiStream."""
     if head[:2] == b"\x1f\x8b":
         import zlib
 
-        return zlib.decompressobj(wbits=47)  # auto gzip/zlib wrapper
+        return _MultiStream(lambda: zlib.decompressobj(wbits=47))
     if head[:3] == b"BZh":
         import bz2
 
-        return bz2.BZ2Decompressor()
+        return _MultiStream(bz2.BZ2Decompressor)
     if head[:6] == b"\xfd7zXZ\x00":
         import lzma
 
-        return lzma.LZMADecompressor()
+        return _MultiStream(lzma.LZMADecompressor)
     return None
 
 

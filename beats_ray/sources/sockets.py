@@ -209,6 +209,10 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
     never dropped (the engine's tag-don't-drop rule)."""
     pending = b""
     skip = 0  # remaining bytes of an over-long counted frame to discard
+    # True while discarding the tail of an over-long DELIMITED message:
+    # its truncated head was already emitted, so bytes are dropped until
+    # the next delimiter re-synchronizes the stream
+    discard_to_delim = False
     while True:
         try:
             chunk = conn.recv(65536)
@@ -224,6 +228,16 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
             if skip:
                 continue
         while True:
+            if discard_to_delim:
+                j = pending.find(delimiter)
+                if j < 0:
+                    # keep only enough tail to catch a delimiter split
+                    # across chunk boundaries — the buffer stays O(1)
+                    pending = (pending[-(len(delimiter) - 1):]
+                               if len(delimiter) > 1 else b"")
+                    break
+                pending = pending[j + len(delimiter):]
+                discard_to_delim = False
             # RFC6587 octet counting applies iff the frame starts with
             # a 1-10 digit length and a space ("123 <bytes>"); anything
             # else uses non-transparent (delimiter) framing — both may
@@ -258,6 +272,20 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
             else:
                 i = pending.find(delimiter)
                 if i < 0:
+                    if len(pending) > max_message_size:
+                        # delimiter-less flood: cap the buffer exactly
+                        # like the over-long counted path — emit the
+                        # truncated head now, discard until the next
+                        # delimiter (filebeat's line scanner caps its
+                        # buffer at max_message_size the same way)
+                        with buf.lock:
+                            buf.truncated += 1
+                        buf.put(
+                            pending[:max_message_size].decode(
+                                "utf-8", "replace"),
+                            addr, block=True)
+                        pending = b""
+                        discard_to_delim = True
                     break
                 msg = pending[:i]
                 pending = pending[i + len(delimiter):]
@@ -266,7 +294,9 @@ def _frame_stream(buf: _Buffer, conn, addr: str, delimiter: bytes,
                 with buf.lock:
                     buf.truncated += 1
             buf.put(msg.decode("utf-8", "replace"), addr, block=True)
-    if pending:  # EOF flushes a trailing unterminated message
+    if pending and not discard_to_delim:
+        # EOF flushes a trailing unterminated message (a discard tail is
+        # the remainder of an already-emitted truncated message)
         buf.put(pending[:max_message_size].decode("utf-8", "replace"),
                 addr, block=True)
     try:
@@ -323,6 +353,7 @@ class SocketListener:
             self.sock.bind(path)
             self.sock.listen(64)
             self.addr = (path, 0)
+            self._unix_path = path
             target = self._accept_loop
         elif proto == "udp":
             self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -416,6 +447,15 @@ class SocketListener:
             self.sock.close()
         except OSError:
             pass
+        # a unix socket leaves its filesystem node behind; without the
+        # unlink a restarted listener on the same path (the WAL crash-
+        # recovery flow) fails with EADDRINUSE
+        path = getattr(self, "_unix_path", None)
+        if path is not None:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def drain_to_dataset(listener, max_bytes: int = 10 * 1024 * 1024):

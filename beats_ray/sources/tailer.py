@@ -21,8 +21,9 @@ file-set per node; no cross-node state.
 
 Charsets: any single-byte or UTF-8 ``encoding:`` works (the cut point
 is a ``\\n`` byte, which never occurs inside a multi-byte UTF-8
-sequence). UTF-16 tailing raises — its terminator is two bytes and a
-byte-offset cut could shear a code unit.
+sequence; GBK/Big5/Shift-JIS trail bytes are all ≥0x40). UTF-16 tailing
+raises — its terminator is two bytes and a byte-offset cut could shear
+a code unit — and so do the EBCDIC charmaps, whose LF byte is 0x25.
 """
 
 from __future__ import annotations
@@ -55,6 +56,14 @@ def _read_appended(path: str, offset: int,
         f.seek(offset)
         data = f.read(min(st.st_size - offset, limit))
     cut = data.rfind(b"\n") + 1  # leave the unterminated tail in place
+    if cut == 0 and len(data) >= limit:
+        # a single line longer than the whole poll window: with no
+        # forced cut the offset never advances and this file is wedged
+        # forever, re-reading the same window each poll. Emit the window
+        # as one oversized unterminated line — downstream
+        # line_reader_chain tags it ``truncated`` at max_bytes, the
+        # reference line scanner's own rule for over-long lines.
+        cut = len(data)
     return data[:cut], offset, offset + cut
 
 
@@ -63,7 +72,8 @@ class FileTailer:
 
     def __init__(self, pattern: str, state_dir: str,
                  encoding: str = "plain",
-                 max_bytes: int = 10 * 1024 * 1024):
+                 max_bytes: int = 10 * 1024 * 1024,
+                 max_poll_bytes: int = _MAX_POLL_BYTES):
         codec, bom = resolve_encoding(encoding)
         if isinstance(bom, tuple) or codec.startswith("utf-16"):
             raise ValueError(
@@ -71,9 +81,19 @@ class FileTailer:
                 "shear at byte-offset cuts); use a single-byte or utf-8 "
                 "encoding"
             )
+        if "\n".encode(codec) != b"\n":
+            # EBCDIC charmaps encode LF as 0x25: a 0x0A byte-offset cut
+            # would never find a line boundary and the tail would
+            # silently emit nothing forever
+            raise ValueError(
+                f"encoding {encoding!r} does not terminate lines with "
+                "the 0x0A byte, so byte-offset tailing cannot find line "
+                "boundaries; read such files whole via read_log_lines"
+            )
         self.pattern = pattern
         self.codec = codec
         self.max_bytes = max_bytes
+        self.max_poll_bytes = max_poll_bytes
         self.state = Path(state_dir)
         self.state.mkdir(parents=True, exist_ok=True)
         self._reg_path = self.state / "registry.json"
@@ -123,6 +143,7 @@ class FileTailer:
         }
         items = changed
         codec, max_bytes = self.codec, self.max_bytes
+        poll_limit = self.max_poll_bytes
 
         def read_ranges(t: pa.Table):
             for path, ident, offset in zip(
@@ -130,7 +151,8 @@ class FileTailer:
                 t["offset"].to_pylist(),
             ):
                 try:
-                    data, start, end = _read_appended(path, offset)
+                    data, start, end = _read_appended(path, offset,
+                                                      poll_limit)
                 except OSError:
                     continue  # unlinked mid-poll: next cycle catches up
                 if not data:
@@ -142,7 +164,12 @@ class FileTailer:
                         "_end": pa.array([], pa.int64()),
                     })
                     continue
-                lines = data.decode(codec, "replace").split("\n")[:-1]
+                parts = data.decode(codec, "replace").split("\n")
+                if parts[-1] == "":
+                    parts.pop()  # normal case: terminator-ended window
+                # else: the force-cut oversized line (no newline in a
+                # full poll window) rides as the final unterminated row
+                lines = parts
                 # per-line byte offsets (reference log.offset): start of
                 # each line — exact for single-byte/utf-8 content; one
                 # numpy newline scan, no per-line Python
@@ -151,10 +178,10 @@ class FileTailer:
                 nl = np.flatnonzero(
                     np.frombuffer(data, np.uint8) == 0x0A
                 )
-                offs = np.empty(len(nl), np.int64)
-                offs[0] = start
-                offs[1:] = start + nl[:-1] + 1
                 n = len(lines)
+                offs = np.empty(n, np.int64)
+                offs[0] = start
+                offs[1:] = start + nl[: n - 1] + 1
                 yield pa.table({
                     "text": pa.array(lines, pa.string()),
                     "log.file.path": pa.array([path] * n, pa.string()),

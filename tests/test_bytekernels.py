@@ -100,3 +100,56 @@ def test_trailing_empty_rows_do_not_truncate_previous_row():
     # all-empty batch
     toks, rows = word_tokens(pa.array(["", ""]))
     assert len(toks) == 0 and len(rows) == 0
+
+
+def test_sliced_arrays_stay_exact():
+    """Regression: a zero-copy slice shares the full values buffer; the
+    kernels previously let the last reduceat segment (and word-run
+    markers) scan bytes belonging to rows OUTSIDE the slice — wrong
+    counts and a shape crash in word_tokens."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from beats_ray.dataops.bytekernels import (
+        bpe_token_count,
+        punct_count,
+        word_tokens,
+        ws_token_count,
+    )
+
+    arr = pa.array(["aa bb cc", "dd ee", "ff gg hh ii"])
+    assert ws_token_count(arr.slice(0, 2)).tolist() == [3, 2]
+    assert ws_token_count(arr.slice(1, 2)).tolist() == [2, 4]
+    toks, rows = word_tokens(arr.slice(0, 2))
+    assert toks.to_pylist() == [b"aa", b"bb", b"cc", b"dd", b"ee"]
+    assert rows.tolist() == [0, 0, 0, 1, 1]
+    assert punct_count(pa.array(["a.b.", ""]).slice(0, 1)).tolist() == [2]
+
+    rng = np.random.default_rng(7)
+    alphabet = list("ab .,\tà9")
+    texts = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 20)))
+        for _ in range(120)
+    ]
+    big = pa.array(texts)
+    for _ in range(30):
+        i = int(rng.integers(0, len(texts)))
+        n = int(rng.integers(0, len(texts) - i))
+        s = big.slice(i, n)
+        window = texts[i: i + n]
+        exp_ws = [len(re.findall(r"[^ \t\n\f\r]+", t)) for t in window]
+        assert ws_token_count(s).tolist() == exp_ws
+        exp_bpe = [
+            len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]", t))
+            for t in window
+        ]
+        assert bpe_token_count(s).tolist() == exp_bpe
+        tk, rid = word_tokens(s)
+        expected = [
+            (j, m.encode())
+            for j, t in enumerate(window)
+            for m in re.findall(r"[a-zà-ÿ]+", t.lower())
+        ]
+        assert list(zip(rid.tolist(), tk.to_pylist())) == expected

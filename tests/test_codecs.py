@@ -526,3 +526,24 @@ def test_bmp_through_image_feature_decode():
     px = ImageFeatures(fake=False).decode(encode_bmp(arr), 16, 8)
     assert px.shape == (8, 16, 3)
     assert np.array_equal(px[..., 0], arr)
+
+
+def test_jpeg_restart_markers_round_trip():
+    """Regression: the entropy BitReader treated every 0xFF as byte
+    stuffing, so RSTn markers in a DRI-using baseline file were
+    consumed as data and the DC predictor never reset — silent
+    corruption. Restart-interval encodes must now decode exactly."""
+    import numpy as np
+
+    from beats_ray.dataops.codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (24, 40), (17, 31)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg_gray(encode_jpeg_gray(img))
+        for ri in (1, 2, 7):
+            dec = decode_jpeg_gray(
+                encode_jpeg_gray(img, restart_interval=ri))
+            assert (dec == base).all(), (shape, ri)
+    # DRI header is present only when asked
+    assert b"\xff\xdd" in encode_jpeg_gray(img, restart_interval=2)

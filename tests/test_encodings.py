@@ -214,3 +214,45 @@ def test_bz2_and_xz_rotated_logs(ray_session, tmp_path):
         df = read_log_lines(str(tmp_path / name)).to_pandas()
         assert df["text"].tolist() == lines, name
         assert df["error.message"].isna().all()
+
+
+def test_multi_member_gzip_reads_every_member(tmp_path):
+    """Regression: concatenated gzip members (RFC 1952 — what
+    ``cat a.gz b.gz`` and logrotate append modes produce) previously
+    ended the read at the first member's eof, silently dropping the
+    rest of the file. bz2 and xz multi-stream files likewise."""
+    import bz2
+    import gzip
+    import lzma
+
+    from beats_ray.sources.readers import (
+        _iter_file_line_tables,
+        resolve_encoding,
+    )
+
+    codec, bom = resolve_encoding("plain")
+
+    def read_all(path):
+        out = []
+        for t in _iter_file_line_tables(str(path), codec, bom, 8 << 20):
+            out += t["text"].to_pylist()
+        return out
+
+    p = tmp_path / "multi.gz"
+    p.write_bytes(gzip.compress(b"line1\nline2\n")
+                  + gzip.compress(b"line3\nline4\n"))
+    assert read_all(p) == ["line1", "line2", "line3", "line4"]
+
+    p = tmp_path / "multi.bz2"
+    p.write_bytes(bz2.compress(b"a\nb\n") + bz2.compress(b"c\n"))
+    assert read_all(p) == ["a", "b", "c"]
+
+    p = tmp_path / "multi.xz"
+    p.write_bytes(lzma.compress(b"x\n") + lzma.compress(b"y\n"))
+    assert read_all(p) == ["x", "y"]
+
+    # logrotate-style trailing zero padding ends the stream cleanly
+    # (stdlib gzip's own tolerance), it is not a member
+    p = tmp_path / "padded.gz"
+    p.write_bytes(gzip.compress(b"p1\np2\n") + b"\x00" * 512)
+    assert read_all(p) == ["p1", "p2"]

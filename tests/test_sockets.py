@@ -369,3 +369,70 @@ def test_tls_tcp_listener(ray_session, tmp_path):
     df = drain_to_dataset(lis).to_pandas()
     assert sorted(df["text"]) == ["secure one", "secure two", "still alive"]
     ray.get(lis.close.remote())
+
+
+def test_delimiterless_flood_is_capped(ray_session):
+    """Regression: a delimiter-less sender previously grew ``pending``
+    without bound (max_message_size was only enforced AFTER a delimiter
+    arrived). The buffer must cap at max_message_size: truncated head
+    emitted, remainder discarded, stream resyncs at the next
+    delimiter."""
+    from beats_ray.sources.sockets import SocketListener
+
+    lis = SocketListener.remote(proto="tcp", max_message_size=1000)
+    addr = ray.get(lis.address.remote())
+    with socket.create_connection(addr) as s:
+        s.sendall(b"x" * 50_000)     # no delimiter anywhere
+        s.sendall(b"\nafter\n")      # resync, then a normal message
+    _wait_pending(lis, 2)
+    t = ray.get(lis.drain.remote())
+    texts = t["text"].to_pylist()
+    assert texts[0] == "x" * 1000
+    assert texts[-1] == "after"
+    stats = ray.get(lis.stats.remote())
+    assert stats["truncated"] >= 1
+    ray.get(lis.close.remote())
+
+
+def test_flood_resync_with_multibyte_delimiter(ray_session):
+    """The discard path must catch a multi-byte delimiter split across
+    recv chunks."""
+    from beats_ray.sources.sockets import SocketListener
+
+    lis = SocketListener.remote(
+        proto="tcp", max_message_size=100, line_delimiter="<|>")
+    addr = ray.get(lis.address.remote())
+    with socket.create_connection(addr) as s:
+        s.sendall(b"a" * 5000)
+        time.sleep(0.05)
+        s.sendall(b"<")              # delimiter split across sends
+        time.sleep(0.05)
+        s.sendall(b"|>rest<|>")
+    _wait_pending(lis, 2)
+    t = ray.get(lis.drain.remote())
+    assert t["text"].to_pylist() == ["a" * 100, "rest"]
+    ray.get(lis.close.remote())
+
+
+def test_unix_listener_close_unlinks_socket_path(ray_session, tmp_path):
+    """Regression: close() left the unix socket file behind, so a
+    restarted listener on the same path (the WAL crash-recovery flow)
+    failed with EADDRINUSE."""
+    import os
+
+    from beats_ray.sources.sockets import SocketListener
+
+    p = str(tmp_path / "events.sock")
+    lis = SocketListener.remote(proto="unix", path=p)
+    ray.get(lis.address.remote())
+    assert os.path.exists(p)
+    ray.get(lis.close.remote())
+    for _ in range(100):
+        if not os.path.exists(p):
+            break
+        time.sleep(0.02)
+    assert not os.path.exists(p)
+    # the restart the WAL recovery flow performs must now succeed
+    lis2 = SocketListener.remote(proto="unix", path=p)
+    ray.get(lis2.address.remote())
+    ray.get(lis2.close.remote())

@@ -156,3 +156,59 @@ def test_tail_pipeline_end_to_end_syslog_routing(ray_session, tmp_path):
         by_sink.setdefault(sink, []).extend(tb["syslog.msg"].to_pylist())
     assert sorted(by_sink["alerts"]) == ["disk failing", "oom killed"]
     assert by_sink["archive"] == ["job done"]
+
+
+def test_over_window_line_forces_progress(tmp_path):
+    """Regression: a single line longer than the poll window left the
+    offset wedged at the same position forever (cut=0 each poll). The
+    window is now force-cut into oversized rows so the tail always
+    advances."""
+    from beats_ray.sources.tailer import _read_appended
+
+    p = tmp_path / "big.log"
+    p.write_bytes(b"x" * 100 + b"\nnext\n")
+    data, start, end = _read_appended(str(p), 0, limit=50)
+    assert data == b"x" * 50 and end == 50
+    data, _, end = _read_appended(str(p), 50, limit=50)
+    assert data == b"x" * 50 and end == 100
+    data, _, end = _read_appended(str(p), 100, limit=50)
+    assert data == b"\nnext\n" and end == 106
+    # a normal unterminated tail below the limit still waits
+    with open(p, "ab") as f:
+        f.write(b"partial")
+    data, _, end = _read_appended(str(p), 106, limit=50)
+    assert data == b"" and end == 106
+
+
+def test_over_window_line_rides_through_poll(ray_session, tmp_path):
+    """The force-cut window flows through poll() as ordinary rows with
+    correct offsets (no terminator on the final forced row)."""
+    from beats_ray.sources.tailer import FileTailer
+
+    p = tmp_path / "wedge.log"
+    p.write_bytes(b"y" * 70 + b"\ntail\n")
+    t = FileTailer(str(p), str(tmp_path / "state"), max_poll_bytes=40)
+    rows = t.poll().to_pandas().sort_values("log.offset")
+    t.commit()
+    assert rows["text"].tolist()[0] == "y" * 40
+    assert rows["log.offset"].tolist()[0] == 0
+    # the next poll drains the rest of the wedged line AND "tail"
+    rows2 = t.poll().to_pandas().sort_values("log.offset")
+    t.commit()
+    assert rows2["text"].tolist() == ["y" * 30, "tail"]
+    # fully drained: the steady-state poll is empty
+    assert t.poll().count() == 0
+
+
+def test_ebcdic_tailing_rejected(tmp_path):
+    """Regression: EBCDIC charmaps encode LF as 0x25 — a 0x0A
+    byte-offset cut never finds a boundary, so the tailer silently
+    emitted nothing forever. It must refuse the config instead."""
+    import pytest
+
+    from beats_ray.sources.tailer import FileTailer
+
+    p = tmp_path / "host.log"
+    p.write_bytes("two\nlines\n".encode("cp037"))
+    with pytest.raises(ValueError, match="0x0A"):
+        FileTailer(str(p), str(tmp_path / "state"), encoding="ebcdic-037")
