@@ -1248,6 +1248,70 @@ def q_source_ndjson_counts(sf_dir: str):
     return grouped_count(ds.select_columns(["role"]), ["role"])
 
 
+def _journal_export_ds(sf_dir: str):
+    from beats_ray.sources import read_journal_export, write_journal_export_fixture
+
+    d = write_journal_export_fixture(sf_from_dir(sf_dir))
+    return read_journal_export(sorted(glob.glob(d + "/*.export")))
+
+
+def q_journald_messages(sf_dir: str):
+    """journald input round-trip: the corpus exported as
+    ``journalctl -o export`` journals (binary framing for multiline
+    texts), re-read through the export scanner + the journalfield
+    converter (filebeat/input/journald/pkg/journalfield/conv.go), custom
+    fields surfaced as typed columns. Per-turn text AND timestamp
+    equality — the north rule's row invariant through the journald
+    surface."""
+    import pyarrow.compute as pc
+
+    from beats_ray.sources import journald_conv
+
+    ds = journald_conv(
+        _journal_export_ds(sf_dir),
+        custom_columns=["conv_id", "turn_idx"],
+        custom_json=False,  # only the typed custom columns are consumed
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["journald.custom.conv_id"],
+                "turn_idx": pc.cast(t["journald.custom.turn_idx"], pa.int64()),
+                "message": t["message"],
+                "ts": t["ts"],
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_journald_unit_counts(sf_dir: str):
+    """journald conversion + journalctl-style filtering: include_matches
+    given in ECS vocabulary ('+' = OR-group separator, matcher.go Build
+    translates names back to journal keys) keep journal-transport
+    entries OR bash-identified ones; counts per (systemd unit, syslog
+    priority)."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.sources import journald_conv
+
+    ds = journald_conv(
+        _journal_export_ds(sf_dir),
+        include_matches=[
+            "systemd.transport=journal", "+", "log.syslog.appname=bash",
+        ],
+        custom_json=False,  # only unit+priority are consumed
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"unit": t["systemd.unit"], "priority": t["log.syslog.priority"]}
+        )
+
+    return grouped_count(
+        ds.map_batches(pick, batch_format="pyarrow"), ["unit", "priority"]
+    )
+
 
 def q_mask_pii_rows(sf_dir: str):
     """PII masking chain (email/IP/phone/SSN regex substitution) over
@@ -1489,6 +1553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": q_conv_stats,
         "unique_tools": q_unique_tools,
         "source_ndjson_counts": q_source_ndjson_counts,
+        "journald_messages": q_journald_messages,
+        "journald_unit_counts": q_journald_unit_counts,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -2017,6 +2083,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, COUNT(*) AS n
             FROM read_json_auto('{ndjson_dir}/*.log', format='newline_delimited')
             GROUP BY role""",
+        # replay of write_journal_export_fixture's mapping: per-turn text
+        # + timestamp equality through export framing + journald_conv
+        "journald_messages": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   text AS message, ts
+            FROM read_parquet('{path}')""",
+        "journald_unit_counts": f"""
+            SELECT tool || '.service' AS unit,
+                   CAST(CASE role WHEN 'user' THEN 6 WHEN 'assistant' THEN 5
+                        WHEN 'tool' THEN 4 ELSE 3 END AS BIGINT) AS priority,
+                   COUNT(*) AS n
+            FROM read_parquet('{path}')
+            WHERE (CASE WHEN role='tool' THEN 'stdout' ELSE 'journal' END)
+                    = 'journal'
+               OR tool = 'bash'
+            GROUP BY unit, priority""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

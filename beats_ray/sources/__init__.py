@@ -1,3 +1,8 @@
+from .journald import (  # noqa: F401
+    journald_conv,
+    read_journal_export,
+    write_journal_export_fixture,
+)
 from .readers import (  # noqa: F401
     line_reader_chain,
     read_log_lines,
