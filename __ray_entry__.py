@@ -1313,6 +1313,68 @@ def q_journald_unit_counts(sf_dir: str):
     )
 
 
+def _winlog_xml_ds(sf_dir: str):
+    from beats_ray.sources import read_winlog_xml, write_winlog_xml_fixture
+
+    d = write_winlog_xml_fixture(sf_from_dir(sf_dir))
+    return read_winlog_xml(sorted(glob.glob(d + "/*.xml")))
+
+
+def q_winlog_messages(sf_dir: str):
+    """winlog input round-trip: the corpus exported as event XML
+    (``wevtutil /f:xml`` interchange format), re-read through the
+    exported-XML scanner + the winevent decode/ToEvent mapping
+    (winlogbeat/eventlog/eventlog.go:71-103).  Per-turn message AND
+    timestamp equality — the north rule's row invariant through the
+    winlog surface (empty texts decode to null: AddOptional skips
+    zero values)."""
+    import pyarrow.compute as pc
+
+    from beats_ray.sources import winlog_events
+
+    ds = winlog_events(
+        _winlog_xml_ds(sf_dir), event_data_columns=["ConvId", "TurnIdx"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["winlog.event_data.ConvId"],
+                "turn_idx": pc.cast(t["winlog.event_data.TurnIdx"],
+                                    pa.int64()),
+                "message": t["message"],
+                "ts": t["ts"],
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_winlog_eventid_counts(sf_dir: str):
+    """winlog recordFilter semantics (record_filter.go:78-120): event_id
+    include ranges with a '-' exclusion, 'information,error' level
+    aliasing (info = raw 0 OR 4), then counts per (provider,
+    event.code)."""
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.sources import winlog_events
+
+    ds = winlog_events(
+        _winlog_xml_ds(sf_dir),
+        event_id="1000-1007,-1003",
+        level="information,error",
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"provider": t["event.provider"], "event_code": t["event.code"]}
+        )
+
+    return grouped_count(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        ["provider", "event_code"],
+    )
+
+
 def q_mask_pii_rows(sf_dir: str):
     """PII masking chain (email/IP/phone/SSN regex substitution) over
     turn text — vectorized replace kernels, oracle = the identical
@@ -1555,6 +1617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ndjson_counts": q_source_ndjson_counts,
         "journald_messages": q_journald_messages,
         "journald_unit_counts": q_journald_unit_counts,
+        "winlog_messages": q_winlog_messages,
+        "winlog_eventid_counts": q_winlog_eventid_counts,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -2099,6 +2163,27 @@ def oracle_sql() -> dict[str, str]:
                     = 'journal'
                OR tool = 'bash'
             GROUP BY unit, priority""",
+        # replay of write_winlog_xml_fixture's mapping: empty texts
+        # decode to NULL message (AddOptional skips zero values); the
+        # corpus has no \r\n / trailing newlines for the line-ending
+        # normalization to touch (asserted in tests/test_winlog.py)
+        "winlog_messages": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   NULLIF(text, '') AS message, ts
+            FROM read_parquet('{path}')""",
+        # level filter 'information,error' = raw {{0,4,2}} = roles
+        # user/assistant/system; event_id '1000-1007,-1003' over
+        # EventID = 1000 + turn_idx % 16, exclusion wins
+        "winlog_eventid_counts": f"""
+            SELECT tool AS provider,
+                   CAST(1000 + turn_idx % 16 AS VARCHAR) AS event_code,
+                   COUNT(*) AS n
+            FROM read_parquet('{path}')
+            WHERE (CASE role WHEN 'user' THEN 4 WHEN 'assistant' THEN 0
+                   WHEN 'tool' THEN 5 ELSE 2 END) IN (0, 2, 4)
+              AND (1000 + turn_idx % 16) BETWEEN 1000 AND 1007
+              AND (1000 + turn_idx % 16) <> 1003
+            GROUP BY provider, event_code""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

@@ -1,3 +1,8 @@
+from .winlog import (  # noqa: F401
+    read_winlog_xml,
+    winlog_events,
+    write_winlog_xml_fixture,
+)
 from .journald import (  # noqa: F401
     journald_conv,
     read_journal_export,

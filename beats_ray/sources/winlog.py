@@ -1,0 +1,440 @@
+"""winlog (Windows Event Log) input re-expressed over Ray Data.
+
+The reference's winlogbeat reads channels through the Windows Event Log
+API (winlogbeat/eventlog/wineventlog.go), renders each record to event
+XML, decodes it (sys/winevent/event.go UnmarshalXML → Fields), filters
+it (eventlog/record_filter.go) and maps it to a beat event
+(eventlog/eventlog.go:71-103 Record.ToEvent).  There is no Windows API
+in a batch engine, so the Ray-native seam is the log's *interchange*
+format: exported event XML — the stream ``wevtutil qe Channel /f:xml``
+or "save as XML" in Event Viewer produces (concatenated ``<Event
+xmlns=...>…</Event>`` elements, optionally under an ``<Events>``
+wrapper).  ``.evtx`` binary files are an undocumented on-disk format
+and stay out of scope; export them to XML first.
+
+Pipeline shape mirrors the journald input module:
+
+- :func:`read_winlog_xml` — file-parallel scanner, one task per
+  exported file (the per-channel reader model), emitting one row per
+  ``<Event>`` element.
+- :func:`winlog_events` — one vectorized map_batches stage doing the
+  full decode (the SAME ``decode_winevent`` kernel the
+  ``decode_xml_wineventlog`` processor uses — winevent Fields + ECS
+  projection), the beat-event mapping of Record.ToEvent (@timestamp =
+  TimeCreated/SystemTime, winlog map as a canonical JSON column,
+  event.code/kind/provider + renamed outcome/level/message), and the
+  record filter (provider / level / event_id include+exclude ranges —
+  record_filter.go:78-120 semantics, including the "-" exclusion
+  prefix and the info→{0,4} level aliasing of parseLevels).
+
+The XML parse is per-event by nature (each record is a distinct XML
+document — the reference also renders+decodes per record); everything
+after decode is Arrow-vectorized, and filters are applied batch-wide.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "read_winlog_xml",
+    "split_winlog_xml",
+    "winlog_events",
+    "parse_event_id_ranges",
+    "parse_levels",
+]
+
+
+# ---------------------------------------------------------------------------
+# Exported-XML scanner
+# ---------------------------------------------------------------------------
+
+# an <Event> element start: "<Event" followed by whitespace or ">", NOT
+# <EventData>/<EventID>/<EventRecordID>
+_EVENT_OPEN = re.compile(rb"<Event[\s>]")
+_EVENT_CLOSE = b"</Event>"
+
+
+def split_winlog_xml(data: bytes, path: str = "") -> pa.Table:
+    """Split one exported-XML file into one row per ``<Event>`` element.
+
+    Tolerates an XML prolog, an ``<Events>`` wrapper, BOM, CRLF and
+    inter-event whitespace (all present in real ``wevtutil``/Event
+    Viewer exports).  A truncated trailing event (no ``</Event>``) is
+    dropped — the scanner only emits complete elements, like the
+    export reader only emits complete records.
+    """
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _EVENT_OPEN.search(data, pos)
+        if m is None:
+            break
+        start = m.start()
+        end = data.find(_EVENT_CLOSE, start)
+        if end < 0:
+            break  # truncated trailing event
+        end += len(_EVENT_CLOSE)
+        out.append(data[start:end].decode("utf-8", "replace"))
+        pos = end
+    cols = {"xml": pa.array(out, pa.string())}
+    if path:
+        cols["log.file.path"] = pa.array([path] * len(out), pa.string())
+    return pa.table(cols)
+
+
+def read_winlog_xml(paths: list[str] | str, include_path: bool = True):
+    """Read exported event-XML files as a Dataset of raw per-event XML —
+    file-parallel (one scanner task per file; the reference runs one
+    reader per channel/file, eventlog/runner.go)."""
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def parse(batch: dict) -> pa.Table:
+        tables = [
+            split_winlog_xml(bytes(data), path if include_path else "")
+            for data, path in zip(batch["bytes"], batch["path"])
+        ]
+        if not tables:  # schema-stable empty table
+            return split_winlog_xml(b"", "-" if include_path else "")
+        return pa.concat_tables(tables)
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# recordFilter expression parsers (record_filter.go:118-220)
+# ---------------------------------------------------------------------------
+
+_LEVEL_ALIASES = {
+    "verbose": (5,), "5": (5,),
+    "information": (0, 4), "info": (0, 4), "4": (0, 4),
+    "warning": (3,), "warn": (3,), "3": (3,),
+    "error": (2,), "err": (2,), "2": (2,),
+    "critical": (1,), "crit": (1,), "1": (1,),
+    "0": (0,),
+}
+
+
+def parse_levels(raw: str) -> set[int]:
+    """parseLevels (record_filter.go:118-148): comma list of names or
+    digits; 'information' means raw level 0 OR 4."""
+    levels: set[int] = set()
+    for expr in raw.split(","):
+        expr = expr.strip().lower()
+        try:
+            levels.update(_LEVEL_ALIASES[expr])
+        except KeyError:
+            raise ValueError(f"invalid level ('{raw}') for query") from None
+    return levels
+
+
+def _parse_one_id(tok: str, original: str) -> int:
+    tok = tok.strip()
+    if not tok.isdigit() or int(tok) >= 1 << 32:
+        raise ValueError(f"invalid event ID query component ('{original}')")
+    return int(tok)
+
+
+def parse_event_id_ranges(raw: str):
+    """parseEventIDRanges (record_filter.go:151-185): comma-separated
+    components, each ``N`` or ``N-M``; a leading ``-`` marks an
+    exclusion.  Returns (includes, excludes) as (start, end) pairs."""
+    if not raw or not raw.strip():
+        return [], []
+    includes: list[tuple[int, int]] = []
+    excludes: list[tuple[int, int]] = []
+    for component in raw.split(","):
+        component = component.strip()
+        if not component:
+            raise ValueError(
+                f"invalid event ID query component ('{component}')"
+            )
+        exclude = component.startswith("-")
+        body = component[1:].strip() if exclude else component
+        parts = body.split("-")
+        if len(parts) == 1:
+            v = _parse_one_id(parts[0], component)
+            rng = (v, v)
+        elif len(parts) == 2:
+            start = _parse_one_id(parts[0], component)
+            end = _parse_one_id(parts[1], component)
+            if start >= end:
+                raise ValueError(f"event ID range '{component}' is invalid")
+            rng = (start, end)
+        else:
+            raise ValueError(
+                f"invalid event ID query component ('{component}')"
+            )
+        (excludes if exclude else includes).append(rng)
+    return includes, excludes
+
+
+def _ranges_mask(ids: pa.Array, ranges) -> pa.Array:
+    """Vectorized eventIDRange.contains over a column: OR of
+    (start <= id <= end)."""
+    mask = None
+    valid = pc.is_valid(ids)
+    for start, end in ranges:
+        m = pc.and_(pc.greater_equal(ids, start), pc.less_equal(ids, end))
+        mask = m if mask is None else pc.or_(mask, m)
+    return pc.and_(valid, pc.fill_null(mask, False))
+
+
+# ---------------------------------------------------------------------------
+# The decode + map + filter stage
+# ---------------------------------------------------------------------------
+
+_ECS_COLS = ("event.code", "event.kind", "event.provider", "event.action",
+             "host.name", "event.outcome", "log.level", "message")
+
+_LEVEL_RAW_RE = re.compile(r"<Level>(\d+)</Level>")
+
+
+def winlog_events(ds, *, event_id: str = "", level: str = "",
+                  provider: list[str] | None = None,
+                  event_data_columns: list[str] | None = None,
+                  include_xml: bool = False):
+    """Exported-XML rows -> winlogbeat events, one vectorized
+    map_batches stage.
+
+    Per row: ``decode_winevent`` (the shared winevent-Fields kernel) +
+    the Record.ToEvent mapping (eventlog.go:71-103): ``@timestamp`` =
+    TimeCreated/SystemTime (null when absent — there is no wall clock
+    in a deterministic engine, so event.created is omitted), the full
+    winlog map as canonical-JSON column ``winlog``, ECS columns
+    event.code/kind/provider + the renamed outcome/level/message, and
+    ``event.original`` when ``include_xml`` (config.go:61
+    ``include_xml``).  Rows that fail to parse are kept with
+    ``error.message`` set (tag-and-keep, the engine-wide error
+    contract).
+
+    Filters replicate recordFilter.match (record_filter.go:78-120):
+    ``provider`` exact names, ``level`` via :func:`parse_levels` over
+    the RAW System/Level byte, ``event_id`` include/exclude ranges via
+    :func:`parse_event_id_ranges` — exclusions always win; no includes
+    means include-all.  ``ignore_older`` is wall-clock-relative in the
+    reference and therefore not reproducible here: filter on the
+    ``ts`` column downstream instead.
+
+    ``event_data_columns`` surfaces chosen EventData params as real
+    ``winlog.event_data.<Name>`` string columns (the typed-column path,
+    like journald's ``custom_columns``).
+    """
+    from ..processors.extras import decode_winevent
+
+    includes, excludes = parse_event_id_ranges(event_id)
+    levels = parse_levels(level) if level else set()
+    providers = {p for p in (provider or ()) if p}
+    ed_cols = list(event_data_columns or ())
+
+    def conv(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        xmls = t["xml"].to_pylist()
+        win_json: list[str | None] = []
+        ecs_out: dict[str, list] = {c: [] for c in _ECS_COLS}
+        ts_out: list[str | None] = []
+        level_raw: list[int | None] = []
+        record_id: list[int | None] = []
+        ed_out: dict[str, list] = {c: [] for c in ed_cols}
+        err: list[str | None] = []
+
+        for x in xmls:
+            try:
+                win, ecs = decode_winevent(x)
+            except ET.ParseError:
+                win_json.append(None)
+                for c in _ECS_COLS:
+                    ecs_out[c].append(None)
+                ts_out.append(None)
+                level_raw.append(None)
+                record_id.append(None)
+                for c in ed_cols:
+                    ed_out[c].append(None)
+                err.append("failed to decode xml")
+                continue
+            win_json.append(json.dumps(win, sort_keys=True))
+            for c in _ECS_COLS:
+                ecs_out[c].append(ecs.get(c))
+            tc = win.get("time_created") or None
+            ts_out.append(tc)
+            m = _LEVEL_RAW_RE.search(x)
+            level_raw.append(int(m.group(1)) if m else None)
+            record_id.append(win.get("record_id"))
+            ed = win.get("event_data") or {}
+            for c in ed_cols:
+                ed_out[c].append(ed.get(c))
+            err.append(None)
+
+        cols: dict[str, object] = {}
+        if include_xml:
+            cols["event.original"] = t["xml"].combine_chunks()
+        cols["winlog"] = pa.array(win_json, pa.string())
+        for c in _ECS_COLS:
+            cols[c] = pa.array(ecs_out[c], pa.string())
+        cols["winlog.record_id"] = pa.array(record_id, pa.int64())
+        cols["winlog.level_raw"] = pa.array(level_raw, pa.int64())
+        for c in ed_cols:
+            cols[f"winlog.event_data.{c}"] = pa.array(ed_out[c], pa.string())
+        # TimeCreated/@SystemTime is RFC3339 with fractional seconds and
+        # a zone suffix; parse through a UTC-typed timestamp (the direct
+        # cast to a naive type rejects the 'Z'), then drop the zone —
+        # the engine's ts columns are naive-UTC throughout.
+        cols["ts"] = pc.cast(
+            pc.cast(pa.array(ts_out, pa.string()),
+                    # Windows stamps carry 100ns (7-digit) fractions: the
+                    # string parser only accepts them at ns resolution
+                    pa.timestamp("ns", "UTC"), safe=False),
+            pa.timestamp("us"), safe=False,
+        )
+        if "log.file.path" in t.column_names:
+            cols["log.file.path"] = t["log.file.path"].combine_chunks()
+        cols["error.message"] = pa.array(err, pa.string())
+
+        out = pa.table(cols)
+
+        # --- recordFilter.match, vectorized (parse failures pass
+        # through unfiltered: they have no fields to match on and the
+        # error contract is tag-and-keep) ---
+        mask = pc.is_valid(out["error.message"])  # keep errored rows
+        keep = None
+
+        def and_(a, b):
+            return b if a is None else pc.and_(a, b)
+
+        if providers:
+            keep = and_(keep, pc.fill_null(pc.is_in(
+                out["event.provider"],
+                value_set=pa.array(sorted(providers), pa.string()),
+            ), False))
+        if levels:
+            # a record without <Level> has LevelRaw 0 (uint8 zero value)
+            keep = and_(keep, pc.is_in(
+                pc.fill_null(out["winlog.level_raw"], 0),
+                value_set=pa.array(sorted(levels), pa.int64()),
+            ))
+        if includes or excludes:
+            # EventIdentifier.ID is uint32: absent/non-numeric -> 0
+            code = out["event.code"]
+            digits = pc.fill_null(
+                pc.match_substring_regex(code, r"^[0-9]{1,10}$"), False
+            )
+            ids = pc.fill_null(pc.cast(
+                pc.if_else(digits, code, None), pa.int64(), safe=False
+            ), 0)
+            if excludes:
+                keep = and_(keep, pc.invert(_ranges_mask(ids, excludes)))
+            if includes:
+                keep = and_(keep, _ranges_mask(ids, includes))
+        if keep is not None:
+            out = out.filter(pc.or_(mask, keep))
+        return out
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture: the transcript corpus as exported event XML
+# ---------------------------------------------------------------------------
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+# role -> raw System/Level byte; exercises the info→{0,4} aliasing
+_ROLE_LEVEL = {"user": 4, "assistant": 0, "tool": 5, "system": 2}
+_LEVEL_TEXT = {4: "Information", 0: "Information", 5: "Verbose",
+               2: "Error"}
+
+
+def write_winlog_xml_fixture(sf: float,
+                             root: str = "/tmp/beats_ray_fixtures") -> str:
+    """Materialize the transcript corpus as exported event-XML files
+    (one per hash partition — each file plays one channel export).
+    Deterministic & cached; the mapping is replayed 1:1 by the winlog
+    oracle SQL:
+
+    - EventID        = 1000 + turn_idx % 16
+    - Provider Name  = tool;  Computer = 'host-' || (turn_idx % 4)
+    - Level (raw)    = role: user 4, assistant 0, tool 5, system 2
+    - EventRecordID  = turn_idx;  TimeCreated = ts (RFC3339, µs)
+    - EventData Data Name=ConvId/TurnIdx = conv_id / turn_idx
+    - RenderingInfo/Message = text (multiline texts stay multiline —
+      XML escaping covers them; decode strips trailing newlines)
+    """
+    import glob as _glob
+    import os
+    import pathlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_transcripts
+
+    src_dir = ensure_transcripts(sf, root)
+    out = pathlib.Path(root) / f"sf{sf:g}" / "winlog_xml"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    tmp = out.with_name(out.name + f".tmp-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
+
+    files = sorted(_glob.glob(src_dir + "/part-*.parquet"))
+    for f in files:
+        tbl = pq.read_table(
+            f, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        stem = pathlib.Path(f).stem
+        parts = ["﻿<?xml version=\"1.0\" encoding=\"utf-8\"?>\n",
+                 "<Events>\n"]
+        for r in tbl.to_pylist():
+            turn = r["turn_idx"]
+            lvl = _ROLE_LEVEL[r["role"]]
+            ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+            text = _xml_escape(r["text"] or "")
+            parts.append(
+                "<Event xmlns=\"http://schemas.microsoft.com/win/2004/08/"
+                "events/event\">"
+                "<System>"
+                f"<Provider Name=\"{_xml_escape(r['tool'])}\"/>"
+                f"<EventID>{1000 + turn % 16}</EventID>"
+                f"<Version>1</Version><Level>{lvl}</Level>"
+                "<Task>0</Task><Opcode>0</Opcode>"
+                "<Keywords>0x8000000000000000</Keywords>"
+                f"<TimeCreated SystemTime=\"{ts}\"/>"
+                f"<EventRecordID>{turn}</EventRecordID>"
+                f"<Execution ProcessID=\"{1000 + turn}\" ThreadID=\"4\"/>"
+                "<Channel>Application</Channel>"
+                f"<Computer>host-{turn % 4}</Computer>"
+                "<Security/>"
+                "</System>"
+                "<EventData>"
+                f"<Data Name=\"ConvId\">{_xml_escape(r['conv_id'])}</Data>"
+                f"<Data Name=\"TurnIdx\">{turn}</Data>"
+                "</EventData>"
+                "<RenderingInfo Culture=\"en-US\">"
+                f"<Message>{text}</Message>"
+                f"<Level>{_LEVEL_TEXT[lvl]}</Level>"
+                "<Task></Task><Opcode>Info</Opcode>"
+                "<Keywords><Keyword>Classic</Keyword></Keywords>"
+                "</RenderingInfo>"
+                "</Event>\n"
+            )
+        parts.append("</Events>\n")
+        (tmp / f"{stem}.xml").write_text("".join(parts), encoding="utf-8")
+    (tmp / "_DONE").write_text("ok")
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return str(out)
