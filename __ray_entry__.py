@@ -1375,6 +1375,108 @@ def q_winlog_eventid_counts(sf_dir: str):
     )
 
 
+def _kafka_ds(sf_dir: str, topics, isolation_level="read_uncommitted"):
+    from beats_ray.sources import (
+        read_kafka_segments,
+        write_kafka_segments_fixture,
+    )
+
+    d = write_kafka_segments_fixture(sf_from_dir(sf_dir))
+    return read_kafka_segments(d, topics,
+                               isolation_level=isolation_level)
+
+
+def q_kafka_messages(sf_dir: str):
+    """kafka input round-trip over the broker's public on-disk segment
+    format (RecordBatch v2, KIP-98) at isolation_level=read_committed:
+    CRC32C-checked batches (alternating gzip codec), control batches
+    skipped, aborted transactions (the fixture's role='system' turns)
+    dropped, event mapping per input.go:436-470 (message=value,
+    kafka.{partition,offset,key,headers}, ts=CreateTime).  Per-record
+    message+ts+offset+partition equality — committed offsets are dense
+    0..n-1 in (conv_id, turn_idx) order, so SQL replays them with
+    ROW_NUMBER."""
+    import pyarrow.compute as pc
+
+    ds = _kafka_ds(sf_dir, ["transcripts"], "read_committed")
+
+    def pick(t: pa.Table) -> pa.Table:
+        hdr0 = pc.list_element(t["kafka.headers"], 0)  # "turn_idx: N"
+        turn = pc.cast(pc.utf8_slice_codeunits(hdr0, 10, 99), pa.int64())
+        return pa.table({
+            "conv_id": t["kafka.key"],
+            "turn_idx": turn,
+            "partition": pc.cast(t["kafka.partition"], pa.int64()),
+            "offset": t["kafka.offset"],
+            "message": t["message"],
+            "ts": t["ts"],
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_kafka_partition_offsets(sf_dir: str):
+    """kafka segment scan at isolation_level=read_uncommitted: aborted
+    transactional records ARE delivered (sarama only ever hides control
+    batches), and offset assignment around the abort markers (which
+    consume offsets but carry no event) is checked in aggregate: per
+    partition, event count and the offset checksum."""
+    from ray.data.aggregate import Sum
+
+    ds = _kafka_ds(sf_dir, ["transcripts"], "read_uncommitted")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = (pa.table({
+            "partition": pc.cast(t["kafka.partition"], pa.int64()),
+            "offset": t["kafka.offset"],
+        }).group_by(["partition"])
+           .aggregate([("offset", "count"), ("offset", "sum")]))
+        return g.rename_columns(["partition", "n", "sum_offset"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("partition")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_offset", alias_name="sum_offset")))
+
+
+def q_kafka_expanded_turns(sf_dir: str):
+    """expand_event_list_from_field (input.go:369-434): the 'bundles'
+    topic carries one azure-fileset-shaped record per conversation
+    ({"records": [...]}); each array element is re-emitted as its own
+    message with the record's kafka metadata repeated, then JSON-parsed
+    back to typed columns (pyarrow's C++ JSON reader per batch)."""
+    from beats_ray.sources import kafka_events
+
+    ds = kafka_events(_kafka_ds(sf_dir, ["bundles"]),
+                      expand_event_list_from_field="records")
+
+    def pick(t: pa.Table) -> pa.Table:
+        from pyarrow import json as pajson
+
+        msgs = t["message"]
+        if len(msgs) == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "message": pa.array([], pa.string()),
+                "key": pa.array([], pa.string()),
+            })
+        blob = "\n".join(msgs.to_pylist()).encode()
+        parsed = pajson.read_json(pa.BufferReader(blob))
+        return pa.table({
+            "conv_id": parsed["conv_id"],
+            "turn_idx": parsed["turn_idx"],
+            "role": parsed["role"],
+            "message": parsed["text"],
+            "key": t["kafka.key"],
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_mask_pii_rows(sf_dir: str):
     """PII masking chain (email/IP/phone/SSN regex substitution) over
     turn text — vectorized replace kernels, oracle = the identical
@@ -1619,6 +1721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journald_unit_counts": q_journald_unit_counts,
         "winlog_messages": q_winlog_messages,
         "winlog_eventid_counts": q_winlog_eventid_counts,
+        "kafka_messages": q_kafka_messages,
+        "kafka_partition_offsets": q_kafka_partition_offsets,
+        "kafka_expanded_turns": q_kafka_expanded_turns,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -2184,6 +2289,39 @@ def oracle_sql() -> dict[str, str]:
               AND (1000 + turn_idx % 16) BETWEEN 1000 AND 1007
               AND (1000 + turn_idx % 16) <> 1003
             GROUP BY provider, event_code""",
+        # replay of write_kafka_segments_fixture's mapping: partition =
+        # numeric conv_id suffix % 4; committed log order = (conv_id,
+        # turn_idx) per partition so offsets are ROW_NUMBER-1;
+        # role='system' turns ride in aborted transactions (dropped at
+        # read_committed)
+        "kafka_messages": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(SUBSTR(conv_id, 6) AS BIGINT) % 4 AS partition,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY CAST(SUBSTR(conv_id, 6) AS BIGINT) % 4
+                     ORDER BY conv_id, turn_idx) - 1 AS offset,
+                   text AS message, ts
+            FROM read_parquet('{path}')
+            WHERE role <> 'system'""",
+        # read_uncommitted sees aborted records too; each abort's
+        # control marker consumes one offset at the partition tail, so
+        # sum(offset) = committed run 0..n-1 + tail data entries at
+        # n_norm, n_norm+2, ... (markers at the odd slots)
+        "kafka_partition_offsets": f"""
+            WITH agg AS (
+              SELECT CAST(SUBSTR(conv_id, 6) AS BIGINT) % 4 AS partition,
+                     COUNT(*) FILTER (WHERE role <> 'system') AS n_norm,
+                     COUNT(*) FILTER (WHERE role = 'system') AS n_ab
+              FROM read_parquet('{path}') GROUP BY partition)
+            SELECT partition, n_norm + n_ab AS n,
+                   CAST(n_norm * (n_norm - 1) / 2
+                        + n_ab * n_norm + n_ab * (n_ab - 1)
+                        AS BIGINT) AS sum_offset
+            FROM agg""",
+        "kafka_expanded_turns": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+                   text AS message, conv_id AS key
+            FROM read_parquet('{path}')""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

@@ -1,3 +1,10 @@
+from .kafka import (  # noqa: F401
+    kafka_events,
+    kafka_segment_paths,
+    read_kafka_segments,
+    scan_kafka_segment,
+    write_kafka_segments_fixture,
+)
 from .winlog import (  # noqa: F401
     read_winlog_xml,
     winlog_events,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "embed_dup_clusters",
     "ngram_dup_clusters",
     "journald_messages",
+    "winlog_messages",
+    "kafka_messages",
 ]
 
 
@@ -97,9 +99,15 @@ def run_bench() -> dict:
     sf = sf_from_dir(SF_DIR)
     tr_dir = ensure_transcripts(sf)  # untimed (cached fixture synthesis)
     if not os.environ.get("BENCH_SKIP_QUERIES"):
-        from beats_ray.sources import write_journal_export_fixture
+        from beats_ray.sources import (
+            write_journal_export_fixture,
+            write_kafka_segments_fixture,
+            write_winlog_xml_fixture,
+        )
 
         write_journal_export_fixture(sf)  # untimed (cached fixture synthesis)
+        write_winlog_xml_fixture(sf)  # untimed (cached fixture synthesis)
+        write_kafka_segments_fixture(sf)  # untimed (cached fixture synthesis)
 
     # BENCH_REPEAT replicates the input file list to amortize fixed
     # startup (actor pool spin-up ~1.5s) — used by --scaling so the
