@@ -1333,7 +1333,8 @@ def q_winlog_messages(sf_dir: str):
     from beats_ray.sources import winlog_events
 
     ds = winlog_events(
-        _winlog_xml_ds(sf_dir), event_data_columns=["ConvId", "TurnIdx"]
+        _winlog_xml_ds(sf_dir), event_data_columns=["ConvId", "TurnIdx"],
+        winlog_json=False,  # JSON map unused -> all-Arrow decode path
     )
 
     def pick(t: pa.Table) -> pa.Table:
@@ -1362,6 +1363,7 @@ def q_winlog_eventid_counts(sf_dir: str):
         _winlog_xml_ds(sf_dir),
         event_id="1000-1007,-1003",
         level="information,error",
+        winlog_json=False,  # JSON map unused -> all-Arrow decode path
     )
 
     def pick(t: pa.Table) -> pa.Table:

@@ -38,6 +38,7 @@ import json
 import re
 import xml.etree.ElementTree as ET
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -198,11 +199,65 @@ _ECS_COLS = ("event.code", "event.kind", "event.provider", "event.action",
 
 _LEVEL_RAW_RE = re.compile(r"<Level>(\d+)</Level>")
 
+# --- vectorized (winlog_json=False) decode helpers -------------------------
+
+# named XML entities; numeric (&#...;) rows take the ET fallback.  &amp;
+# is replaced LAST so "&amp;lt;" unescapes to "&lt;" and no further.
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+             ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _unescape(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    if not pc.any(pc.match_substring(pc.fill_null(col, ""), "&")).as_py():
+        return col
+    for ent, ch in _ENTITIES:
+        col = pc.replace_substring(col, ent, ch)
+    return col
+
+
+def _null_if_empty(col):
+    """AddOptional semantics (winevent): empty string == absent."""
+    return pc.if_else(pc.equal(pc.fill_null(col, ""), ""),
+                      pa.scalar(None, pa.string()), col)
+
+
+def _ext(col, pattern: str):
+    """First-match single-group regex extract; null when no match."""
+    return pc.struct_field(pc.extract_regex(col, pattern), "g")
+
+
+def _outcome_from_keywords(kw_col) -> pa.Array:
+    """System/Keywords hex mask -> success/failure/null
+    (event.go:139-147) — per-UNIQUE-mask Python over a dictionary
+    encoding (a channel uses a handful of masks)."""
+    enc = pc.dictionary_encode(pc.fill_null(kw_col, ""))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    outcomes = []
+    for raw in enc.dictionary.to_pylist():
+        raw = raw.strip()
+        try:
+            bits = int(raw, 16) if raw else 0
+        except ValueError:
+            bits = 0
+        if bits & _KEYWORD_AUDIT_FAILURE:
+            outcomes.append("failure")
+        elif bits & _KEYWORD_AUDIT_SUCCESS:
+            outcomes.append("success")
+        else:
+            outcomes.append(None)
+    return pc.cast(pa.DictionaryArray.from_arrays(
+        enc.indices, pa.array(outcomes, pa.string())), pa.string())
+
+
+_KEYWORD_AUDIT_FAILURE = 0x10000000000000
+_KEYWORD_AUDIT_SUCCESS = 0x20000000000000
+
 
 def winlog_events(ds, *, event_id: str = "", level: str = "",
                   provider: list[str] | None = None,
                   event_data_columns: list[str] | None = None,
-                  include_xml: bool = False):
+                  include_xml: bool = False, winlog_json: bool = True):
     """Exported-XML rows -> winlogbeat events, one vectorized
     map_batches stage.
 
@@ -228,6 +283,22 @@ def winlog_events(ds, *, event_id: str = "", level: str = "",
     ``event_data_columns`` surfaces chosen EventData params as real
     ``winlog.event_data.<Name>`` string columns (the typed-column path,
     like journald's ``custom_columns``).
+
+    ``winlog_json=False`` prunes the canonical-JSON ``winlog`` column
+    and switches the decode to the VECTORIZED path: section extraction
+    (System / RenderingInfo / EventData) and every emitted field are
+    RE2 kernels (``pc.extract_regex``) + an Arrow entity-unescape
+    chain, with outcome bits computed per-unique-keywords-mask.  Rows
+    the regex grammar can't decode exactly — numeric character
+    references, ``<UserData>``, comments/CDATA, self-closing or
+    duplicate-name ``<Data>`` params, anything not a complete
+    ``<Event>…</Event>`` span — take the per-row ET path, so both
+    modes emit identical columns (cross-checked in tests).  Residual
+    boundary: an element that is well-delimited but has mismatched
+    INTERIOR tags decodes best-effort here where the ET path would
+    error-tag it — the scanner never emits such rows.  Use this mode
+    whenever the JSON map isn't consumed downstream: the ET decode is
+    ~98 µs/event; this path is ~28 µs and all Arrow-kernel.
     """
     from ..processors.extras import decode_winevent
 
@@ -237,6 +308,9 @@ def winlog_events(ds, *, event_id: str = "", level: str = "",
     ed_cols = list(event_data_columns or ())
 
     def conv(t: pa.Table) -> pa.Table:
+        return apply_filters(conv_unfiltered(t))
+
+    def conv_unfiltered(t: pa.Table) -> pa.Table:
         n = t.num_rows
         xmls = t["xml"].to_pylist()
         win_json: list[str | None] = []
@@ -299,8 +373,9 @@ def winlog_events(ds, *, event_id: str = "", level: str = "",
             cols["log.file.path"] = t["log.file.path"].combine_chunks()
         cols["error.message"] = pa.array(err, pa.string())
 
-        out = pa.table(cols)
+        return pa.table(cols)
 
+    def apply_filters(out: pa.Table) -> pa.Table:
         # --- recordFilter.match, vectorized (parse failures pass
         # through unfiltered: they have no fields to match on and the
         # error contract is tag-and-keep) ---
@@ -338,7 +413,102 @@ def winlog_events(ds, *, event_id: str = "", level: str = "",
             out = out.filter(pc.or_(mask, keep))
         return out
 
-    return ds.map_batches(conv, batch_format="pyarrow")
+    def conv_fast(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        xmls = t["xml"].combine_chunks()
+        filled = pc.fill_null(xmls, "")
+
+        # guard rows the regex grammar can't decode exactly -> ET path
+        fb = pc.or_(pc.is_null(xmls), pc.match_substring_regex(
+            filled, r"&#|<UserData|<!|<Data\b[^>]*/>"))
+        fb = pc.or_(fb, pc.invert(pc.match_substring_regex(
+            filled, r"(?s)^<Event[\s>].*</Event>\s*$")))
+        for c in ed_cols:
+            fb = pc.or_(fb, pc.greater(pc.count_substring_regex(
+                filled, rf"<Data\b[^>]*?\bName=\"{re.escape(c)}\""), 1))
+
+        # RenderingInfo tail: the section is the last child, and
+        # "<RenderingInfo" can't occur in content (it's XML-escaped),
+        # so split+rejoin isolates it ~5x cheaper than a (?s) section
+        # regex.  Tag names needing rend scope: Level/Task (System has
+        # same-named children); every System field is extracted off
+        # the full string (its tags are unique event-wide, and
+        # escaping keeps them out of text content).
+        rendt = pc.binary_join(
+            pc.list_slice(pc.split_pattern(filled, "<RenderingInfo"),
+                          1, 1 << 30), "<RenderingInfo")
+
+        cols: dict[str, object] = {}
+        if include_xml:
+            cols["event.original"] = xmls
+        cols["event.code"] = _null_if_empty(pc.utf8_trim_whitespace(
+            pc.fill_null(_ext(
+                filled, r"<EventID(?:\s[^>]*)?>(?P<g>[^<]*)</EventID>"), "")))
+        cols["event.kind"] = pa.array(["event"] * n, pa.string())
+        cols["event.provider"] = _null_if_empty(_unescape(
+            _ext(filled, r"<Provider\b[^>]*?\bName=\"(?P<g>[^\"]*)\"")))
+        cols["event.action"] = _null_if_empty(_unescape(
+            _ext(rendt, r"(?s)<Task[^>]*>(?P<g>.*?)</Task>")))
+        cols["host.name"] = _null_if_empty(_unescape(
+            _ext(filled, r"<Computer>(?P<g>[^<]*)</Computer>")))
+        # first <Keywords> with text content is System's (rend's holds
+        # <Keyword> children, which [^<]* can't match)
+        cols["event.outcome"] = _outcome_from_keywords(
+            _ext(filled, r"<Keywords>(?P<g>[^<]*)</Keywords>"))
+        cols["log.level"] = _null_if_empty(pc.utf8_lower(pc.fill_null(
+            _ext(rendt, r"<Level>(?P<g>[^<]*)</Level>"), "")))
+        # RemoveWindowsLineEndings + trailing-newline strip
+        cols["message"] = _null_if_empty(pc.utf8_rtrim(
+            pc.replace_substring(pc.fill_null(_unescape(_ext(
+                rendt, r"(?s)<Message[^>]*>(?P<g>.*?)</Message>")), ""),
+                "\r\n", "\n"), "\n"))
+        rid = pc.utf8_trim_whitespace(pc.fill_null(_ext(
+            filled, r"<EventRecordID>(?P<g>[^<]*)</EventRecordID>"), ""))
+        rid_num = pc.if_else(
+            pc.match_substring_regex(rid, r"^[0-9]+$"),
+            pc.cast(pc.if_else(pc.match_substring_regex(
+                rid, r"^[0-9]{1,18}$"), rid, None), pa.int64(),
+                safe=False),
+            pa.scalar(0, pa.int64()))
+        cols["winlog.record_id"] = pc.if_else(  # zero value == absent
+            pc.equal(pc.fill_null(rid_num, 0), 0),
+            pa.scalar(None, pa.int64()), rid_num)
+        cols["winlog.level_raw"] = pc.cast(_ext(
+            filled, r"<Level>(?P<g>\d+)</Level>"), pa.int64(), safe=False)
+        for c in ed_cols:
+            cols[f"winlog.event_data.{c}"] = _unescape(_ext(
+                filled,
+                rf"<Data\b[^>]*?\bName=\"{re.escape(c)}\""
+                rf"[^>]*>(?P<g>[^<]*)</Data>"))
+        cols["ts"] = pc.cast(
+            pc.cast(_null_if_empty(_ext(
+                filled,
+                r"<TimeCreated\b[^>]*?\bSystemTime=\"(?P<g>[^\"]*)\"")),
+                pa.timestamp("ns", "UTC"), safe=False),
+            pa.timestamp("us"), safe=False)
+        if "log.file.path" in t.column_names:
+            cols["log.file.path"] = t["log.file.path"].combine_chunks()
+        cols["error.message"] = pa.array([None] * n, pa.string())
+
+        if pc.any(fb).as_py():  # exact per-row ET path for guarded rows
+            fb_np = np.asarray(pc.fill_null(fb, True), dtype=bool)
+            idx = np.flatnonzero(fb_np)
+            sub = conv_unfiltered(t.take(pa.array(idx, pa.int64())))
+            fbm = pa.array(fb_np)
+            for name in cols:
+                full = [None] * n
+                col_sub = sub[name].to_pylist() if name in sub.column_names \
+                    else [None] * len(idx)
+                for j, i in enumerate(idx):
+                    full[i] = col_sub[j]
+                typ = (cols[name].type if hasattr(cols[name], "type")
+                       else pa.string())
+                cols[name] = pc.if_else(fbm, pa.array(full, typ), cols[name])
+        return apply_filters(pa.table(cols))
+
+    if winlog_json:
+        return ds.map_batches(conv, batch_format="pyarrow")
+    return ds.map_batches(conv_fast, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

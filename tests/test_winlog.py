@@ -12,6 +12,7 @@ import os
 
 import pandas as pd
 import pytest
+import ray
 
 from beats_ray.sources.winlog import (
     parse_event_id_ranges,
@@ -218,3 +219,68 @@ def test_winlog_roundtrip_text_equality(ray_session, sf0001_dir):
     pd.testing.assert_frame_equal(got, want)
     # the corpus' multiline turns really exercised XML escaping
     assert got["message"].str.contains("\n").any()
+
+
+def test_fast_path_matches_et_path(ray_session, sf0001_dir):
+    """winlog_json=False (all-Arrow regex decode) must emit EXACTLY the
+    ET path's columns — over the fixture corpus (multiline texts, XML
+    escapes) AND an adversarial corpus hitting every fallback guard:
+    named+numeric entities, CRLF, empty message/level, absent sections,
+    UserData, audit keyword masks, self-closing / duplicate Data
+    params, incomplete elements."""
+    import glob as g
+
+    import pyarrow as pa
+
+    d = write_winlog_xml_fixture(0.001)
+    files = sorted(g.glob(d + "/*.xml"))[:2]
+    key = ["winlog.event_data.ConvId", "winlog.record_id"]
+    slow = winlog_events(
+        read_winlog_xml(files), event_data_columns=["ConvId", "TurnIdx"]
+    ).to_pandas().sort_values(key).reset_index(drop=True)
+    fast = winlog_events(
+        read_winlog_xml(files), event_data_columns=["ConvId", "TurnIdx"],
+        winlog_json=False,
+    ).to_pandas().sort_values(key).reset_index(drop=True)
+    for col in fast.columns:
+        pd.testing.assert_series_equal(slow[col], fast[col], check_names=False)
+
+    adv = [
+        '<Event xmlns="x"><System><Provider Name="a&amp;b &lt;x&gt;"/>'
+        "<EventID>5</EventID><Level>2</Level>"
+        "<Keywords>0x10000000000000</Keywords>"
+        '<TimeCreated SystemTime="2024-01-02T03:04:05.1234567Z"/>'
+        "<EventRecordID>9</EventRecordID><Computer>c&quot;1</Computer>"
+        '<Security UserID="S-1-5-18"/></System>'
+        '<EventData><Data Name="K">v&apos;1</Data></EventData>'
+        '<RenderingInfo Culture="en-US"><Message>line1\r\nline2\n\n'
+        "</Message><Level>Error</Level><Task>T&amp;sk</Task>"
+        "</RenderingInfo></Event>",
+        "<Event><System><EventID>7</EventID>"
+        "<Keywords>0x20000000000000</Keywords></System></Event>",
+        '<Event><System><Provider Guid="{g}" Name="p2"/>'
+        "<EventID> 8 </EventID></System><RenderingInfo><Message></Message>"
+        "<Level></Level></RenderingInfo></Event>",
+        "<Event><System><EventID>9</EventID></System><EventData>"
+        '<Data Name="K">&#65;num</Data></EventData></Event>',
+        "<Event><System><EventID>10</EventID></System>"
+        "<UserData><Inner><A>1</A></Inner></UserData></Event>",
+        "<Event><System><EventID>11</EventID></System>"
+        '<EventData><Data Name="K"/></EventData></Event>',
+        "<Event><System><EventID>12</EventID></System><EventData>"
+        '<Data Name="K">one</Data><Data Name="K">two</Data>'
+        "</EventData></Event>",
+        "<Event><System><EventID>13</EventID><Task>0</Task>"
+        "<Level>4</Level></System><RenderingInfo><Keywords>"
+        "<Keyword>Classic</Keyword></Keywords></RenderingInfo></Event>",
+        "<Event><broken",
+    ]
+    t = pa.table({"xml": pa.array(adv, pa.string())})
+    ds = ray.data.from_arrow(t)
+    s = winlog_events(ds, event_data_columns=["K"]).to_pandas()
+    f = winlog_events(ds, event_data_columns=["K"],
+                      winlog_json=False).to_pandas()
+    for col in f.columns:
+        pd.testing.assert_series_equal(s[col], f[col], check_names=False)
+    # the malformed element really went down the error path in BOTH
+    assert s["error.message"].notna().sum() == 1
