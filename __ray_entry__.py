@@ -1479,6 +1479,59 @@ def q_kafka_expanded_turns(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def _redis_slowlog_ds(sf_dir: str):
+    """Spin the deterministic 4-host scripted RESP fleet (the stand-in
+    for live redis, like the reference's mocked-conn input tests),
+    harvest it over real localhost TCP with the pipelined SLOWLOG
+    GET/RESET/ROLE cycle, and return the materialized event table —
+    a SLOWLOG is a small bounded buffer per host (slowlog-max-len), so
+    materializing the harvest is a bounded collect by construction;
+    the scale axis is the host fan-out inside read_redis_slowlog."""
+    from beats_ray.sources import read_redis_slowlog, start_scripted_redis
+
+    servers, addrs = start_scripted_redis(sf_from_dir(sf_dir))
+    try:
+        return read_redis_slowlog(addrs).materialize()
+    finally:
+        for s in servers:
+            s.close()
+
+
+def q_redis_slowlog_events(sf_dir: str):
+    """redis input round-trip (filebeat/input/redis harvester.go): the
+    full pipelined SLOWLOG GET + RESET + ROLE exchange over real RESP2
+    TCP against the scripted fleet, 4-field (pre-6.0, hosts 2-3) and
+    6-field (6.0+, hosts 0-1) entry shapes, args->cmd/key split, and
+    the event mapping (message = args joined, redis.slowlog.*,
+    @timestamp = the entry's unix seconds).  Oracle replays the
+    deterministic fixture mapping documented at
+    scripted_slowlog_entries."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["redis.slowlog.args"])  # list col: pytest-only
+
+    return _redis_slowlog_ds(sf_dir).map_batches(
+        pick, batch_format="pyarrow")
+
+
+def q_redis_cmd_durations(sf_dir: str):
+    """Slowlog events composed with the ordinary aggregate tier:
+    total duration and count per command across the whole fleet."""
+    from ray.data.aggregate import Count, Sum
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cmd": t["redis.slowlog.cmd"],
+            "dur": t["redis.slowlog.duration.us"],
+        })
+
+    return (_redis_slowlog_ds(sf_dir)
+            .map_batches(pick, batch_format="pyarrow")
+            .groupby("cmd")
+            .aggregate(Count(alias_name="n"),
+                       Sum("dur", alias_name="total_us")))
+
+
 def q_mask_pii_rows(sf_dir: str):
     """PII masking chain (email/IP/phone/SSN regex substitution) over
     turn text — vectorized replace kernels, oracle = the identical
@@ -1726,6 +1779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_messages": q_kafka_messages,
         "kafka_partition_offsets": q_kafka_partition_offsets,
         "kafka_expanded_turns": q_kafka_expanded_turns,
+        "redis_slowlog_events": q_redis_slowlog_events,
+        "redis_cmd_durations": q_redis_cmd_durations,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -2324,6 +2379,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
                    text AS message, conv_id AS key
             FROM read_parquet('{path}')""",
+        # replay of scripted_slowlog_entries' mapping: host = numeric
+        # conv_id suffix % 4 over turns with turn_idx % 8 = 0; slowlog
+        # id = per-host append order (conv_id, turn_idx); hosts 0-1
+        # serve the redis>=6.0 6-field shape (client fields), 2-3 the
+        # pre-6.0 4-field shape (client fields null); host 0 is master
+        "redis_slowlog_events": f"""
+            WITH e AS (
+              SELECT conv_id, turn_idx, role, text, ts,
+                     CAST(SUBSTR(conv_id, 6) AS BIGINT) AS convnum,
+                     CAST(SUBSTR(conv_id, 6) AS BIGINT) % 4 AS h,
+                     CASE WHEN tool <> 'none' THEN upper(tool)
+                          ELSE 'GET' END AS cmd
+              FROM read_parquet('{path}')
+              WHERE turn_idx % 8 = 0)
+            SELECT 'redis-' || h AS host,
+                   cmd || ' ' || conv_id || ' '
+                       || CAST(turn_idx AS VARCHAR) AS message,
+                   CAST(to_timestamp(CAST(epoch(ts) AS BIGINT))
+                        AS TIMESTAMP) AS ts,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                     ORDER BY conv_id, turn_idx) - 1 AS "redis.slowlog.id",
+                   cmd AS "redis.slowlog.cmd",
+                   conv_id AS "redis.slowlog.key",
+                   CAST(length(text) * 10 + turn_idx AS BIGINT)
+                       AS "redis.slowlog.duration.us",
+                   CASE WHEN h = 0 THEN 'master' ELSE 'slave' END
+                       AS "redis.slowlog.role",
+                   CASE WHEN h < 2 THEN '10.0.0.' || (convnum % 200 + 1)
+                        || ':' || (40000 + turn_idx) END
+                       AS "redis.slowlog.clientAddr",
+                   CASE WHEN h < 2 THEN role END
+                       AS "redis.slowlog.clientName"
+            FROM e""",
+        "redis_cmd_durations": f"""
+            SELECT CASE WHEN tool <> 'none' THEN upper(tool)
+                        ELSE 'GET' END AS cmd,
+                   COUNT(*) AS n,
+                   CAST(SUM(length(text) * 10 + turn_idx) AS BIGINT)
+                       AS total_us
+            FROM read_parquet('{path}')
+            WHERE turn_idx % 8 = 0
+            GROUP BY cmd""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

@@ -1,3 +1,10 @@
+from .redisslow import (  # noqa: F401
+    ScriptedRedisServer,
+    harvest_slowlog,
+    read_redis_slowlog,
+    scripted_slowlog_entries,
+    start_scripted_redis,
+)
 from .kafka import (  # noqa: F401
     kafka_events,
     kafka_segment_paths,
