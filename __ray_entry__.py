@@ -1532,6 +1532,65 @@ def q_redis_cmd_durations(sf_dir: str):
                        Sum("dur", alias_name="total_us")))
 
 
+def _mqtt_ds(sf_dir: str, topics, qos: int = 1):
+    """Spin the deterministic 4-broker scripted fleet, run one full
+    MQTT 3.1.1 session per broker (real localhost TCP, CONNECT/
+    SUBSCRIBE/PUBLISH+acks until broker close) broker-parallel, and
+    return the materialized message table — each script is a bounded
+    per-window replay; the scale axis is the broker fan-out."""
+    from beats_ray.sources import read_mqtt, start_scripted_mqtt
+
+    brokers, addrs = start_scripted_mqtt(sf_from_dir(sf_dir))
+    try:
+        return read_mqtt(addrs, topics, qos=qos).materialize()
+    finally:
+        for b in brokers:
+            b.close()
+
+
+def q_mqtt_messages(sf_dir: str):
+    """mqtt input round-trip (filebeat/input/mqtt input.go:111-135):
+    QoS1 subscriptions to conv/+/user and conv/+/assistant — the '+'
+    single-level wildcard selects two of the four roles at the broker
+    — delivered qos = min(publish qos, granted), packet ids assigned
+    per broker in delivery order of qos>0 messages, retained flag on
+    turn 0.  Oracle replays the scripted_mqtt_messages mapping."""
+    ds = _mqtt_ds(sf_dir, ["conv/+/user", "conv/+/assistant"], qos=1)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "topic": t["mqtt.topic"],
+            "message": t["message"],
+            "qos": t["mqtt.qos"],
+            "retained": t["mqtt.retained"],
+            "message_id": t["mqtt.message_id"],
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_mqtt_topic_counts(sf_dir: str):
+    """The '#' multi-level wildcard (the input's default topics
+    config) + aggregation: per role level of the topic, message count
+    and total payload bytes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _mqtt_ds(sf_dir, ["#"], qos=0)
+
+    def pick(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["mqtt.topic"], "/")
+        return pa.table({
+            "role": pc.list_element(parts, 2),
+            "nbytes": pc.binary_length(t["message"]),
+        })
+
+    return (ds.map_batches(pick, batch_format="pyarrow")
+              .groupby("role")
+              .aggregate(Count(alias_name="n"),
+                         Sum("nbytes", alias_name="total_bytes")))
+
+
 def q_mask_pii_rows(sf_dir: str):
     """PII masking chain (email/IP/phone/SSN regex substitution) over
     turn text — vectorized replace kernels, oracle = the identical
@@ -1781,6 +1840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_expanded_turns": q_kafka_expanded_turns,
         "redis_slowlog_events": q_redis_slowlog_events,
         "redis_cmd_durations": q_redis_cmd_durations,
+        "mqtt_messages": q_mqtt_messages,
+        "mqtt_topic_counts": q_mqtt_topic_counts,
         "text_len_histogram": q_text_len_histogram,
         "hot_conversations": q_hot_conversations,
         "truncate_preview": q_truncate_preview,
@@ -2421,6 +2482,33 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{path}')
             WHERE turn_idx % 8 = 0
             GROUP BY cmd""",
+        # replay of scripted_mqtt_messages + the broker's delivery
+        # rules: broker = conv suffix % 4, delivery order = (conv_id,
+        # turn_idx), delivered qos = min(turn_idx % 3, granted 1),
+        # packet ids count qos>0 deliveries per broker from 1
+        "mqtt_messages": f"""
+            WITH d AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CAST(SUBSTR(conv_id, 6) AS BIGINT) % 4 AS broker,
+                     CASE WHEN turn_idx % 3 = 0 THEN 0 ELSE 1 END AS q
+              FROM read_parquet('{path}')
+              WHERE turn_idx % 4 = 0 AND role IN ('user', 'assistant'))
+            SELECT 'conv/' || conv_id || '/' || role AS topic,
+                   text AS message,
+                   CAST(q AS BIGINT) AS qos,
+                   (turn_idx = 0) AS retained,
+                   CAST(CASE WHEN q > 0 THEN
+                     SUM(q) OVER (PARTITION BY broker
+                       ORDER BY conv_id, turn_idx
+                       ROWS UNBOUNDED PRECEDING)
+                   ELSE 0 END AS BIGINT) AS message_id
+            FROM d""",
+        "mqtt_topic_counts": f"""
+            SELECT role, COUNT(*) AS n,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+            FROM read_parquet('{path}')
+            WHERE turn_idx % 4 = 0
+            GROUP BY role""",
         "text_len_histogram": f"""
             SELECT CAST(length(text) // 20 * 20 AS BIGINT) AS len_bucket,
                    COUNT(*) AS n

@@ -1,3 +1,12 @@
+from .mqtt import (  # noqa: F401
+    MqttError,
+    ScriptedMqttBroker,
+    collect_mqtt,
+    read_mqtt,
+    scripted_mqtt_messages,
+    start_scripted_mqtt,
+    topic_matches,
+)
 from .redisslow import (  # noqa: F401
     ScriptedRedisServer,
     harvest_slowlog,
