@@ -99,11 +99,18 @@ def publish_packet(topic: str, payload: bytes, *, qos: int = 0,
 
 
 class _PacketReader:
-    """Buffered fixed-header/remaining-length framing off a socket."""
+    """Buffered fixed-header/remaining-length framing off a socket.
 
-    def __init__(self, sock: socket.socket):
+    The remaining-length header comes from the PEER and the spec
+    allows up to 256 MB, so it is capped (``max_packet``) BEFORE the
+    body is buffered — a hostile/broken peer can't make the reader
+    allocate its claimed size."""
+
+    def __init__(self, sock: socket.socket, *,
+                 max_packet: int = 16 * 1024 * 1024):
         self.sock = sock
         self.buf = b""
+        self.max_packet = max_packet
 
     def _need(self, n: int) -> bool:
         while len(self.buf) < n:
@@ -129,6 +136,10 @@ class _PacketReader:
                 break
             if shift > 28:
                 raise ValueError("malformed remaining length")
+        if length > self.max_packet:
+            raise ValueError(
+                f"packet length {length} exceeds max_packet "
+                f"{self.max_packet}")
         if not self._need(i + length):
             return None
         head = self.buf[0]

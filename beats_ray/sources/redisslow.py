@@ -86,10 +86,19 @@ def encode_reply(v) -> bytes:
 
 
 class _Reader:
-    """Buffered RESP value reader over a socket."""
+    """Buffered RESP value reader over a socket.
 
-    def __init__(self, sock: socket.socket):
+    Length headers come from the PEER, so both are capped before any
+    allocation (the hostile-header class the RFC6587 socket fix
+    covered): ``max_bulk`` defaults to redis's own proto-max-bulk-len
+    (512 MB) and ``max_array`` far above any real SLOWLOG."""
+
+    def __init__(self, sock: socket.socket, *,
+                 max_bulk: int = 512 * 1024 * 1024,
+                 max_array: int = 1 << 20):
         self.f = sock.makefile("rb")
+        self.max_bulk = max_bulk
+        self.max_array = max_array
 
     def _line(self) -> bytes:
         ln = self.f.readline()
@@ -110,6 +119,8 @@ class _Reader:
             n = int(rest)
             if n == -1:
                 return None
+            if n > self.max_bulk:
+                raise RespError(f"bulk length {n} exceeds max_bulk")
             body = self.f.read(n + 2)
             if len(body) != n + 2:
                 raise ConnectionError("RESP stream closed mid-bulk")
@@ -118,6 +129,8 @@ class _Reader:
             n = int(rest)
             if n == -1:
                 return None
+            if n > self.max_array:
+                raise RespError(f"array length {n} exceeds max_array")
             return [self.read() for _ in range(n)]
         raise RespError(f"unknown RESP type byte {t!r}")
 

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "journald_messages",
     "winlog_messages",
     "kafka_messages",
+    "redis_slowlog_events",
+    "mqtt_messages",
 ]
 
 

@@ -128,3 +128,16 @@ def test_read_mqtt_dataset(ray_session):
         {"user", "assistant"}
     assert (df[df["mqtt.qos"] == 0]["mqtt.message_id"] == 0).all()
     assert (df[df["mqtt.qos"] > 0]["mqtt.message_id"] > 0).all()
+
+
+def test_hostile_remaining_length_capped():
+    """A peer claiming a near-spec-max (256 MB) remaining length must
+    fail fast, before the reader buffers the claimed size."""
+    import socket as _socket
+
+    a, b = _socket.socketpair()
+    a.sendall(bytes([PUBLISH << 4]) + b"\xff\xff\xff\x7f")  # 268435455
+    with pytest.raises(ValueError, match="max_packet"):
+        _PacketReader(b).read()
+    a.close()
+    b.close()

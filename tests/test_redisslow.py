@@ -122,3 +122,20 @@ def test_read_redis_slowlog_dataset(ray_session):
     for h, s in enumerate(scripts):
         ids = sorted(df[df["host"] == f"redis-{h}"]["redis.slowlog.id"])
         assert ids == list(range(len(s)))
+
+
+def test_hostile_length_headers_capped():
+    """A peer claiming a giant bulk/array must fail fast, BEFORE the
+    reader allocates the claimed size (the hostile-header class of
+    the RFC6587 socket fix)."""
+    import socket as _socket
+
+    a, b = _socket.socketpair()
+    a.sendall(b"$9999999999\r\n")
+    with pytest.raises(RespError, match="max_bulk"):
+        _Reader(b).read()
+    a.sendall(b"*9999999999\r\n")
+    with pytest.raises(RespError, match="max_array"):
+        _Reader(b).read()
+    a.close()
+    b.close()
