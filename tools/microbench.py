@@ -213,6 +213,75 @@ def main(n_rows: int = 200_000):
     out["rows_per_sec"]["mjpeg_decode_8f_48x64"] = round(
         len(mjpeg_files) * 8 / dt
     )
+
+    # round-5 input decoders: winlog ET vs vectorized, and the live
+    # wire protocols end-to-end over localhost (server included, so
+    # these are conservative session throughputs, not codec ceilings)
+    from beats_ray.sources.winlog import winlog_events, split_winlog_xml
+    from beats_ray.sources.winlog import write_winlog_xml_fixture
+    import glob as _glob
+
+    class _Fake:
+        def __init__(self, t):
+            self.t = t
+
+        def map_batches(self, fn, **kw):
+            return fn(self.t)
+
+    wd = write_winlog_xml_fixture(0.01)
+    wt = split_winlog_xml(
+        open(sorted(_glob.glob(wd + "/*.xml"))[0], "rb").read())
+    dt = bench(lambda t: winlog_events(
+        _Fake(t), event_data_columns=["ConvId", "TurnIdx"]), wt)
+    out["rows_per_sec"]["winlog_decode_et"] = round(wt.num_rows / dt)
+    dt = bench(lambda t: winlog_events(
+        _Fake(t), event_data_columns=["ConvId", "TurnIdx"],
+        winlog_json=False), wt)
+    out["rows_per_sec"]["winlog_decode_vectorized"] = round(wt.num_rows / dt)
+
+    from beats_ray.sources.redisslow import (
+        ScriptedRedisServer, harvest_slowlog)
+
+    entries = [[i, 1700000000 + i, 10 + i,
+                ["GET", f"conv-{i:06d}", str(i)],
+                f"10.0.0.{i % 200}:40000", "user"]
+               for i in range(20_000)]
+
+    def resp_cycle(_):
+        srv = ScriptedRedisServer(list(entries))
+        try:
+            return harvest_slowlog("127.0.0.1", srv.port)
+        finally:
+            srv.close()
+
+    dt = bench(resp_cycle, None)
+    out["rows_per_sec"]["resp_slowlog_harvest"] = round(len(entries) / dt)
+
+    from beats_ray.sources.mqtt import ScriptedMqttBroker, collect_mqtt
+
+    script = [(f"conv/c{i % 97}/user", b"x" * 120, i % 3, False)
+              for i in range(20_000)]
+
+    def mqtt_cycle(_):
+        b = ScriptedMqttBroker(list(script))
+        try:
+            return collect_mqtt("127.0.0.1", b.port, {"#": 1})
+        finally:
+            b.close()
+
+    dt = bench(mqtt_cycle, None)
+    out["rows_per_sec"]["mqtt_session_msgs"] = round(len(script) / dt)
+
+    from beats_ray.sources.kafka import (
+        scan_kafka_segment, write_kafka_segments_fixture)
+
+    kd = write_kafka_segments_fixture(0.01)
+    seg = open(sorted(_glob.glob(kd + "/transcripts-0/*.log"))[0],
+               "rb").read()
+    kt = scan_kafka_segment(seg, topic="transcripts", partition=0)
+    dt = bench(lambda d: scan_kafka_segment(
+        d, topic="transcripts", partition=0), seg)
+    out["rows_per_sec"]["kafka_segment_scan"] = round(kt.num_rows / dt)
     print(json.dumps(out))
 
 
