@@ -61,7 +61,8 @@ _EVENT_OPEN = re.compile(rb"<Event[\s>]")
 _EVENT_CLOSE = b"</Event>"
 
 
-def split_winlog_xml(data: bytes, path: str = "") -> pa.Table:
+def split_winlog_xml(data: bytes, path: str = "",
+                     start_limit: int | None = None) -> pa.Table:
     """Split one exported-XML file into one row per ``<Event>`` element.
 
     Tolerates an XML prolog, an ``<Events>`` wrapper, BOM, CRLF and
@@ -69,6 +70,10 @@ def split_winlog_xml(data: bytes, path: str = "") -> pa.Table:
     Viewer exports).  A truncated trailing event (no ``</Event>``) is
     dropped — the scanner only emits complete elements, like the
     export reader only emits complete records.
+
+    ``start_limit``: only emit events whose START offset is below it —
+    the range-ownership rule of :func:`scan_winlog_range` (an event is
+    owned by the byte range its ``<Event`` falls in).
     """
     out: list[str] = []
     pos = 0
@@ -77,6 +82,8 @@ def split_winlog_xml(data: bytes, path: str = "") -> pa.Table:
         if m is None:
             break
         start = m.start()
+        if start_limit is not None and start >= start_limit:
+            break
         end = data.find(_EVENT_CLOSE, start)
         if end < 0:
             break  # truncated trailing event
@@ -89,14 +96,87 @@ def split_winlog_xml(data: bytes, path: str = "") -> pa.Table:
     return pa.table(cols)
 
 
-def read_winlog_xml(paths: list[str] | str, include_path: bool = True):
-    """Read exported event-XML files as a Dataset of raw per-event XML —
-    file-parallel (one scanner task per file; the reference runs one
-    reader per channel/file, eventlog/runner.go)."""
+def scan_winlog_range(path: str, start: int, end: int,
+                      include_path: bool = True,
+                      margin: int = 4 * 1024 * 1024) -> pa.Table:
+    """Scan one byte range of an exported-XML file.
+
+    Ownership rule: a range owns every event whose ``<Event`` start
+    falls in ``[start, end)``.  This is unambiguous because ``<`` is
+    XML-escaped in all content, so ``<Event[\\s>]`` can only be a true
+    element start — the same property the vectorized decode relies on.
+    The last owned event may extend past ``end``; the scanner keeps
+    reading ``margin``-sized chunks until its ``</Event>`` closes (or
+    EOF: trailing truncation drops it, like the whole-file scanner).
+    """
+    with open(path, "rb") as f:
+        f.seek(start)
+        limit = end - start
+        # +16 lookahead: an "<Event" whose START is inside [start,end)
+        # may have its pattern bytes span `end`; without the lookahead
+        # neither range would see the full pattern and the event would
+        # vanish (regression-tested at tiny split sizes)
+        data = f.read(limit + 16)
+        # complete the last owned event if it crosses the boundary
+        last = None
+        for m in _EVENT_OPEN.finditer(data):
+            if m.start() >= limit:
+                break
+            last = m
+        if last is not None and data.find(_EVENT_CLOSE,
+                                          last.start()) < 0:
+            while True:
+                chunk = f.read(margin)
+                if not chunk:
+                    break
+                data += chunk
+                if data.find(_EVENT_CLOSE, last.start()) >= 0:
+                    break
+    return split_winlog_xml(data, path if include_path else "",
+                            start_limit=limit)
+
+
+def read_winlog_xml(paths: list[str] | str, include_path: bool = True,
+                    split_bytes: int | None = 8 * 1024 * 1024):
+    """Read exported event-XML files as a Dataset of raw per-event XML.
+
+    With ``split_bytes`` (the default), each file is scanned
+    RANGE-parallel: the file list expands to byte ranges and every
+    range task seeks, reads its window, and emits the events whose
+    ``<Event`` start falls inside it (:func:`scan_winlog_range`) — so a
+    single multi-GB export (real ``wevtutil`` exports of a busy
+    channel) parallelizes across the whole cluster instead of pinning
+    one task.  ``split_bytes=None`` restores the one-task-per-file
+    shape (the reference runs one reader per channel/file,
+    eventlog/runner.go)."""
+    import os
+
     import ray.data
 
     if isinstance(paths, str):
         paths = [paths]
+
+    if split_bytes:
+        items = []
+        for p in paths:
+            size = os.path.getsize(p)
+            for off in range(0, max(size, 1), split_bytes):
+                items.append({"path": p, "start": off,
+                              "end": min(off + split_bytes, size)})
+
+        def parse_ranges(batch: pa.Table) -> pa.Table:
+            tables = [
+                scan_winlog_range(row["path"], int(row["start"]),
+                                  int(row["end"]), include_path)
+                for row in batch.to_pylist()
+            ]
+            if not tables:
+                return split_winlog_xml(b"", "-" if include_path else "")
+            return pa.concat_tables(tables)
+
+        ds = ray.data.from_items(items)
+        return ds.map_batches(parse_ranges, batch_format="pyarrow",
+                              batch_size=1)
 
     def parse(batch: dict) -> pa.Table:
         tables = [

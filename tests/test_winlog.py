@@ -284,3 +284,33 @@ def test_fast_path_matches_et_path(ray_session, sf0001_dir):
         pd.testing.assert_series_equal(s[col], f[col], check_names=False)
     # the malformed element really went down the error path in BOTH
     assert s["error.message"].notna().sum() == 1
+
+
+def test_range_parallel_scan_equals_whole_file(ray_session):
+    """Range ownership (event start in [start,end)) must reproduce the
+    whole-file scan exactly at every split size — including splits that
+    land mid-event, mid-tag, and mid-multibyte text."""
+    import glob as g
+
+    from beats_ray.sources.winlog import scan_winlog_range
+
+    d = write_winlog_xml_fixture(0.001)
+    f = sorted(g.glob(d + "/*.xml"))[0]
+    data = open(f, "rb").read()
+    want = split_winlog_xml(data, f)["xml"].to_pylist()
+    size = len(data)
+    import pyarrow as pa
+
+    for split in (size + 1, size // 2, 100_000, 7_777, 1_003):
+        got = []
+        for off in range(0, size, split):
+            t = scan_winlog_range(f, off, min(off + split, size),
+                                  margin=1 << 16)
+            got.extend(t["xml"].to_pylist())
+        assert got == want, f"split={split}: {len(got)} vs {len(want)}"
+
+    # the Dataset reader with range splitting agrees with file mode
+    a = read_winlog_xml([f], split_bytes=50_000).to_pandas()
+    b = read_winlog_xml([f], split_bytes=None).to_pandas()
+    assert sorted(a["xml"]) == sorted(b["xml"])
+    assert (a["log.file.path"] == f).all()
