@@ -677,6 +677,21 @@ def q_sample_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_stratified_sample(sf_dir: str):
+    """Corpus mixing: per-language sampling rates (down-sample the
+    dominant 'en' to 12.5%, keep half of zh/es, default 25% for the
+    rest) via per-stratum exact hash cutoffs — the language-balancing
+    step of a training-data mix, reproducible at any cluster size."""
+    from beats_ray.dataops.sampling import stratified_sample
+
+    return stratified_sample(
+        _table(sf_dir, "documents", ["doc_id", "lang"]),
+        {"en": 0.125, "zh": 0.5, "es": 0.5},
+        stratum="lang",
+        default_fraction=0.25,
+    ).select_columns(["doc_id", "lang"])
+
+
 def q_split_docs(sf_dir: str):
     """Stable train/val/test split (80/10/10) from cumulative hash
     ranges — every doc in exactly one split, identical across runs and
@@ -1878,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": q_c4_clean_docs,
         "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
+        "stratified_sample": q_stratified_sample,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
         "packed_sequences_text": q_packed_sequences_text,
@@ -2763,6 +2779,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
                     * 4 < 1 * 4294967296""",
+        # per-stratum exact cutoffs: 0.125/0.5/0.25 of 2^32
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x'||substr(md5('stratified:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
+                  < CASE lang WHEN 'en' THEN 536870912
+                              WHEN 'zh' THEN 2147483648
+                              WHEN 'es' THEN 2147483648
+                              ELSE 1073741824 END""",
         "split_docs": """
             WITH h AS (
               SELECT doc_id,

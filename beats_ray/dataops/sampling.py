@@ -66,6 +66,32 @@ def hash_sample(ds, fraction: float, key: str = "doc_id",
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def stratified_sample(ds, rates: dict[str, float], stratum: str,
+                      key: str = "doc_id", salt: str = "stratified",
+                      default_fraction: float = 0.0):
+    """Per-stratum deterministic sampling — the corpus-mixing op
+    (down-sample the dominant language/source, keep more of the rare
+    ones): each stratum value gets its own exact hash cutoff, rows of
+    unlisted strata fall back to ``default_fraction``.  Same
+    content-stable md5 threshold as :func:`hash_sample`, so any worker
+    decides any row independently at any cluster size, and the whole
+    selection is SQL-replayable (a CASE over the same cutoffs)."""
+    def thr_of(f: float) -> np.uint64:
+        p, q = threshold_fraction(f)
+        return np.uint64(min(_lt_threshold(p, q), _HASH_SPACE))
+
+    cuts = {s: thr_of(f) for s, f in rates.items()}
+    dflt = thr_of(default_fraction)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(df[key], salt)
+        cut = (df[stratum].map(cuts).fillna(dflt)
+               .to_numpy(dtype=np.uint64))
+        return df[h < cut]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 def hash_split(ds, ratios: dict[str, float], key: str = "doc_id",
                salt: str = "split"):
     """Assign each row to one named split by cumulative hash ranges.

@@ -1105,3 +1105,39 @@ def test_embed_dup_pairs_exact_across_geometries(ray_session, trial):
     sims = m @ m.T
     want = set(map(tuple, np.argwhere(np.triu(sims >= thr, k=1))))
     assert got == want
+
+
+def test_stratified_sample_per_stratum_rates(docs):
+    """Per-stratum cutoffs: a stratum at rate 1.0 keeps everything, at
+    0.0 keeps nothing, unlisted strata use default_fraction; the
+    selection is the same hash family as hash_sample, so the 'all'
+    stratum's members at rate f are exactly hash_sample(f)'s picks."""
+    import pandas as pd
+
+    from beats_ray.dataops.sampling import hash_sample, stratified_sample
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = df["doc_id"].map(
+            lambda i: ["keep", "drop", "half", "other"][i % 4])
+        return df
+
+    labelled = docs.map_batches(lab, batch_format="pandas")
+    out = stratified_sample(
+        labelled, {"keep": 1.0, "drop": 0.0, "half": 0.5},
+        stratum="grp", default_fraction=0.25,
+    ).to_pandas()
+    assert set(out[out["grp"] == "keep"]["doc_id"]) == set(range(0, 40, 4))
+    assert (out["grp"] != "drop").all()
+    # same hash family: the 'half' stratum's picks == hash_sample(0.5)
+    # restricted to that stratum, with the matching salt
+    ref = set(hash_sample(labelled, 0.5, key="doc_id",
+                          salt="stratified").to_pandas()["doc_id"])
+    assert set(out[out["grp"] == "half"]["doc_id"]) == \
+        ref & set(range(2, 40, 4))
+    # deterministic across runs
+    again = stratified_sample(
+        labelled, {"keep": 1.0, "drop": 0.0, "half": 0.5},
+        stratum="grp", default_fraction=0.25,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
