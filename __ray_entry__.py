@@ -692,6 +692,21 @@ def q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def q_token_budget_docs(sf_dir: str):
+    """Budgeted selection: keep the highest-scoring documents until a
+    token budget (40% of total corpus chars), cut exactly at the
+    cumulative boundary in (score DESC, doc_id ASC) order — resolved
+    by the distributed histogram-refinement loop, never a global sort;
+    oracle = the equivalent SUM() OVER window."""
+    from beats_ray.dataops.selection import take_token_budget
+
+    ds = _table(sf_dir, "documents", ["doc_id", "n_chars"])
+    budget = (ds.sum("n_chars") * 2) // 5
+    return take_token_budget(
+        ds, budget, score="n_chars", tokens="n_chars", key="doc_id"
+    ).select_columns(["doc_id", "n_chars"])
+
+
 def q_split_docs(sf_dir: str):
     """Stable train/val/test split (80/10/10) from cumulative hash
     ranges — every doc in exactly one split, identical across runs and
@@ -1894,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
+        "token_budget_docs": q_token_budget_docs,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
         "packed_sequences_text": q_packed_sequences_text,
@@ -2779,6 +2795,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
                     * 4 < 1 * 4294967296""",
+        "token_budget_docs": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+              FROM documents)
+            WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
         # per-stratum exact cutoffs: 0.125/0.5/0.25 of 2^32
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
