@@ -707,6 +707,58 @@ def q_token_budget_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_chars"])
 
 
+def _mix_corpora_sql() -> str:
+    """Replay of q_mix_corpora at the driver's sf0.01: whole epochs as
+    a range() cross join; the fractional epoch's hash cutoff literals
+    are computed here with the SAME exact-integer math the engine
+    uses (threshold_fraction + _lt_threshold over the per-language
+    counts of the sf0.01 documents table)."""
+    import pyarrow.parquet as pq
+
+    from beats_ray.dataops.dedup import threshold_fraction
+    from beats_ray.dataops.sampling import _lt_threshold
+
+    langs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                          columns=["lang"])["lang"].to_pylist()
+
+    def part(name: str, target: int) -> str:
+        n = langs.count(name)
+        epochs, rem = divmod(target, n)
+        pieces = []
+        if epochs:
+            pieces.append(f"""
+            SELECT doc_id, '{name}' AS source,
+                   CAST(t.e AS BIGINT) AS epoch
+            FROM documents, range(0, {epochs}) t(e)
+            WHERE lang = '{name}'""")
+        if rem:
+            p, q = threshold_fraction(rem / n)
+            pieces.append(f"""
+            SELECT doc_id, '{name}' AS source,
+                   CAST({epochs} AS BIGINT) AS epoch
+            FROM documents WHERE lang = '{name}'
+              AND ('0x'||substr(md5('mix:{name}:'
+                    ||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
+                  < {_lt_threshold(p, q)}""")
+        return " UNION ALL ".join(pieces)
+
+    return " UNION ALL ".join([part("en", 150), part("fr", 200)])
+
+
+def q_mix_corpora(sf_dir: str):
+    """Training-mix assembly: 150 rows of 'en' (a fractional epoch)
+    and 200 rows of 'fr' (3 whole epochs + a hash-sampled fractional
+    one), each row tagged (source, epoch) — deterministic upsampling,
+    replayed in SQL as range() cross-join + the same hash cutoffs."""
+    from beats_ray.dataops.sampling import mix_corpora
+
+    docs = _table(sf_dir, "documents", ["doc_id", "lang"])
+    en = docs.filter(expr="lang == 'en'").select_columns(["doc_id"])
+    fr = docs.filter(expr="lang == 'fr'").select_columns(["doc_id"])
+    mixed = mix_corpora({"en": (en, 150), "fr": (fr, 200)})
+    return mixed.select_columns(["doc_id", "source", "epoch"])
+
+
 def q_split_docs(sf_dir: str):
     """Stable train/val/test split (80/10/10) from cumulative hash
     ranges — every doc in exactly one split, identical across runs and
@@ -1910,6 +1962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "mix_corpora": q_mix_corpora,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
         "packed_sequences_text": q_packed_sequences_text,
@@ -2795,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
                     * 4 < 1 * 4294967296""",
+        "mix_corpora": _mix_corpora_sql(),
         "token_budget_docs": """
             SELECT doc_id, n_chars FROM (
               SELECT doc_id, n_chars,

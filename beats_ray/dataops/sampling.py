@@ -92,6 +92,58 @@ def stratified_sample(ds, rates: dict[str, float], stratum: str,
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def mix_corpora(parts: dict[str, tuple], key: str = "doc_id",
+                salt: str = "mix"):
+    """Weighted corpus mixing with epoch upsampling — the final
+    assembly step of a training mix ("2 epochs of books, 0.3 of web"):
+    ``parts`` maps source name -> (dataset, target_rows).  Each corpus
+    contributes ``target // n`` whole epochs plus a hash-sampled
+    fractional epoch (same md5 family as :func:`hash_sample`, salted
+    per source so fractions are independent), tagged with ``source``
+    and ``epoch`` columns.  Row counts hit the target up to the
+    sampling approximation of the fractional epoch; membership is
+    per-row deterministic, so the whole mix replays in SQL
+    (``range(epochs+1)`` cross join + the hash predicate on the last
+    epoch) and re-runs identically at any cluster size."""
+    import ray.data as rd
+
+    out = []
+    for name, (ds, target) in parts.items():
+        n = ds.count()
+        if n == 0 or target <= 0:
+            continue
+        epochs, rem = divmod(int(target), n)
+        frac = rem / n
+
+        def tag(df: pd.DataFrame, name=name) -> pd.DataFrame:
+            df = df.copy()
+            df["source"] = name
+            return df
+
+        tagged = ds.map_batches(tag, batch_format="pandas")
+        for e in range(epochs):
+            def add_epoch(df: pd.DataFrame, e=e) -> pd.DataFrame:
+                df = df.copy()
+                df["epoch"] = np.int64(e)
+                return df
+
+            out.append(tagged.map_batches(add_epoch,
+                                          batch_format="pandas"))
+        if rem:
+            def add_last(df: pd.DataFrame, e=epochs) -> pd.DataFrame:
+                df = df.copy()
+                df["epoch"] = np.int64(e)
+                return df
+
+            out.append(hash_sample(tagged, frac, key=key,
+                                   salt=f"{salt}:{name}")
+                       .map_batches(add_last, batch_format="pandas"))
+    if not out:
+        raise ValueError("mix_corpora: no non-empty part")
+    ds0 = out[0]
+    return ds0.union(*out[1:]) if len(out) > 1 else ds0
+
+
 def hash_split(ds, ratios: dict[str, float], key: str = "doc_id",
                salt: str = "split"):
     """Assign each row to one named split by cumulative hash ranges.

@@ -1141,3 +1141,27 @@ def test_stratified_sample_per_stratum_rates(docs):
         stratum="grp", default_fraction=0.25,
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_mix_corpora_epochs_and_fraction(docs):
+    """Whole epochs replicate every row; the fractional epoch is the
+    hash_sample of the corpus with the per-source salt; tags (source,
+    epoch) identify each copy."""
+    from beats_ray.dataops.sampling import hash_sample, mix_corpora
+
+    out = mix_corpora({"a": (docs, 100), "b": (docs, 10)}).to_pandas()
+    a = out[out["source"] == "a"]
+    # 100 = 2 full epochs of 40 + a 0.5-epoch sample
+    assert set(a[a["epoch"] == 0]["doc_id"]) == set(range(40))
+    assert set(a[a["epoch"] == 1]["doc_id"]) == set(range(40))
+    frac = set(a[a["epoch"] == 2]["doc_id"])
+    ref = set(hash_sample(docs, 20 / 40, key="doc_id",
+                          salt="mix:a").to_pandas()["doc_id"])
+    assert frac == ref
+    b = out[out["source"] == "b"]
+    assert set(b["epoch"]) == {0}          # fraction-only corpus
+    assert 1 <= len(b) <= 20
+    # deterministic
+    again = mix_corpora({"a": (docs, 100), "b": (docs, 10)}).to_pandas()
+    assert sorted(map(tuple, out[["doc_id", "source", "epoch"]].values.tolist())) == \
+        sorted(map(tuple, again[["doc_id", "source", "epoch"]].values.tolist()))
