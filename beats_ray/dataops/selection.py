@@ -89,7 +89,11 @@ def take_token_budget(ds, budget: int, *, score: str, tokens: str,
     if budget <= 0:
         return _keep(ds, score, key, np.iinfo(np.int64).max, None)
 
-    smin, smax = ds.min(score), ds.max(score)
+    from ray.data.aggregate import Max, Min
+
+    rng = ds.aggregate(Min(score, alias_name="lo"),
+                       Max(score, alias_name="hi"))  # one fused scan
+    smin, smax = rng["lo"], rng["hi"]
     if smin is None:  # empty dataset
         return ds
 
@@ -134,7 +138,11 @@ def take_token_budget(ds, budget: int, *, score: str, tokens: str,
 
 def _tied_key(ds, sub, score, tokens, key, remaining, s_val, nbins,
               resolve_limit):
-    lo, hi = int(sub.min(key)), int(sub.max(key))
+    from ray.data.aggregate import Max, Min
+
+    rng = sub.aggregate(Min(key, alias_name="lo"),
+                        Max(key, alias_name="hi"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
     kmin = lo
     while True:
         width = max(1, (hi - lo + 1 + nbins - 1) // nbins)
