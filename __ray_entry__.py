@@ -707,6 +707,33 @@ def q_token_budget_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_chars"])
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact corpus-length quantiles WITHOUT a global sort: the
+    histogram-refinement rank-select (one shared <=4096-bin scan, then
+    O(log range) shrinking passes per boundary bin — the distributed
+    k-th-order-statistic pattern). Rank rule matches DuckDB
+    quantile_disc (1-based index ceil(q*n)), so the oracle is the
+    literal quantile_disc call."""
+    from beats_ray.dataops.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _table(sf_dir, "documents", ["n_chars"]), "n_chars",
+        [0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+    )
+
+
+def q_lang_len_quantiles(sf_dir: str):
+    """Per-group exact quantiles for MANY small groups (the opposite
+    shape from the global rank-select): hash-bucket co-location, one
+    vectorized sort per group, every rank indexed from it."""
+    from beats_ray.dataops.quantiles import grouped_quantiles
+
+    return grouped_quantiles(
+        _table(sf_dir, "documents", ["lang", "n_chars"]),
+        "n_chars", "lang", [0.5, 0.9, 0.99],
+    )
+
+
 def _mix_corpora_sql() -> str:
     """Replay of q_mix_corpora at the driver's sf0.01: whole epochs as
     a range() cross join; the fractional epoch's hash cutoff literals
@@ -1962,6 +1989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "lang_len_quantiles": q_lang_len_quantiles,
         "mix_corpora": q_mix_corpora,
         "split_docs": q_split_docs,
         "pack_sequences": q_pack_sequences,
@@ -2856,6 +2885,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS c
               FROM documents)
             WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
+        "doc_len_quantiles": " UNION ALL ".join(
+            f"SELECT '{q:g}' AS q, quantile_disc(n_chars, {q!r}) AS value"
+            " FROM documents"
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        ),
+        "lang_len_quantiles": """
+            SELECT lang, quantile_disc(n_chars, 0.5) AS q0_5,
+                   quantile_disc(n_chars, 0.9) AS q0_9,
+                   quantile_disc(n_chars, 0.99) AS q0_99
+            FROM documents GROUP BY lang""",
         # per-stratum exact cutoffs: 0.125/0.5/0.25 of 2^32
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
