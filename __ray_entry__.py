@@ -707,6 +707,19 @@ def q_token_budget_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_chars"])
 
 
+def q_gopher_quality_docs(sf_dir: str):
+    """Gopher-rule quality screen (Rae et al. 2021 heuristics): every
+    metric a pyarrow C++ counting kernel, every rule an integer
+    comparison, evidence counters kept beside the verdict."""
+    from beats_ray.dataops.quality import gopher_rules
+
+    # thresholds tuned to the synthetic corpus (words 10-99, sparse
+    # stopwords) so the verdict SPLITS it; defaults are the canonical
+    # Gopher values
+    return gopher_rules(_table(sf_dir, "documents", ["doc_id", "text"]),
+                        min_words=20, min_stop_hits=1)
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact corpus-length quantiles WITHOUT a global sort: the
     histogram-refinement rank-select (one shared <=4096-bin scan, then
@@ -1989,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "gopher_quality_docs": q_gopher_quality_docs,
         "doc_len_quantiles": q_doc_len_quantiles,
         "lang_len_quantiles": q_lang_len_quantiles,
         "mix_corpora": q_mix_corpora,
@@ -2885,6 +2899,52 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS c
               FROM documents)
             WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
+        # Gopher rules replayed with DuckDB list lambdas; same ASCII
+        # ws class, same non-overlapping '...' count, integer rules
+        "gopher_quality_docs": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                list_filter(string_split_regex(coalesce(text, ''),
+                  '[ \t\n\f\r]+'), x -> x <> '') AS words,
+                string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(text, '[ \t\n\f\r]', '', 'g'))
+                     AS BIGINT) AS n_word_chars,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(words,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                  AS n_alpha_words,
+                CAST(length(text) - length(replace(text, '#', ''))
+                     AS BIGINT) AS n_hash,
+                CAST((length(text) - length(replace(text, '...', ''))) // 3
+                     AS BIGINT) AS n_ellipsis,
+                CAST(len(list_filter(lines,
+                  x -> regexp_matches(x, '^[-*]'))) AS BIGINT) AS n_bullet,
+                CAST(len(list_filter(lines,
+                  x -> regexp_matches(x, '\.\.\.$'))) AS BIGINT) AS n_ell_end,
+                CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS BIGINT)
+                + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS BIGINT)
+                  AS n_stop_hits
+              FROM base)
+            SELECT doc_id, n_words, n_word_chars, n_lines, n_alpha_words,
+                   n_stop_hits,
+                   (n_words BETWEEN 20 AND 100000
+                    AND n_word_chars BETWEEN 3 * n_words AND 10 * n_words
+                    AND 10 * (n_hash + n_ellipsis) <= n_words
+                    AND 10 * n_bullet <= 9 * n_lines
+                    AND 10 * n_ell_end <= 3 * n_lines
+                    AND 5 * n_alpha_words >= 4 * n_words
+                    AND n_stop_hits >= 1) AS gopher_ok
+            FROM m""",
         "doc_len_quantiles": " UNION ALL ".join(
             f"SELECT '{q:g}' AS q, quantile_disc(n_chars, {q!r}) AS value"
             " FROM documents"

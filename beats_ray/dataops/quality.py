@@ -69,6 +69,76 @@ def c4_line_filter(docs, text_col: str = "text", min_words: int = 5):
     return docs.map_batches(clean, batch_format="pandas")
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs, text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_stop_hits: int = 2):
+    """Gopher-style document quality rules (Rae et al. 2021, the
+    public heuristics) — per doc: word count in [min,max], mean word
+    length in [3,10], symbol-to-word ratio ('#'/'...') <= 0.1, <=90% of
+    lines bullet-started, <=30% ellipsis-ended, >=80% of words contain
+    an alphabetic char, >=2 of the 8 required stop words present.
+
+    Every metric is a pyarrow.compute C++ kernel over the raw text —
+    counting kernels, never a tokenize-and-explode — and every rule is
+    an INTEGER comparison (``3*n_words <= n_word_chars`` instead of a
+    float mean), so the SQL oracle compares exactly. Output keeps the
+    evidence counters alongside the verdict (tag-and-keep; filtering is
+    the caller's one-line follow-up)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col].combine_chunks(), "")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_ws = pc.count_substring_regex(
+            text, "[ \t\n\f\r]").to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(
+            text, "[^ \t\n\f\r]+").to_numpy(zero_copy_only=False)
+        # one non-overlapping match per ws-token that contains an
+        # alphabetic char (greedy tails pin matches to token bounds)
+        n_alpha = pc.count_substring_regex(
+            text, "[^ \t\n\f\r]*[A-Za-z][^ \t\n\f\r]*"
+        ).to_numpy(zero_copy_only=False)
+        n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        n_ell = pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+        n_nl = pc.count_substring(text, "\n").to_numpy(zero_copy_only=False)
+        n_bullet = pc.count_substring_regex(
+            text, r"(?m)^[-*]").to_numpy(zero_copy_only=False)
+        n_ell_end = pc.count_substring_regex(
+            text, r"(?m)\.\.\.$").to_numpy(zero_copy_only=False)
+        low = pc.utf8_lower(text)
+        stop_hits = np.zeros(len(text), dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            # presence, not count: ws-delimited exact token match
+            hit = pc.match_substring_regex(
+                low, rf"(?:^|[ \t\n\f\r]){w}(?:[ \t\n\f\r]|$)")
+            stop_hits += hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_word_chars = (n_chars - n_ws).astype(np.int64)
+        n_words = n_words.astype(np.int64)
+        n_lines = (n_nl + 1).astype(np.int64)
+        n_alpha = n_alpha.astype(np.int64)
+        ok = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
+            & (10 * (n_hash + n_ell).astype(np.int64) <= n_words)
+            & (10 * n_bullet.astype(np.int64) <= 9 * n_lines)
+            & (10 * n_ell_end.astype(np.int64) <= 3 * n_lines)
+            & (5 * n_alpha >= 4 * n_words)
+            & (stop_hits >= min_stop_hits)
+        )
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_word_chars": pa.array(n_word_chars, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha, pa.int64()),
+            "n_stop_hits": pa.array(stop_hits, pa.int64()),
+            "gopher_ok": pa.array(ok),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def fit_bigram_model(docs, text_col: str = "text", model_k: int = 10_000):
     """Pass 1: top-``model_k`` corpus bigrams by count (deterministic
     count-desc, bigram-asc tie-break). Distributed: per-batch Arrow
