@@ -707,6 +707,57 @@ def q_token_budget_docs(sf_dir: str):
     ).select_columns(["doc_id", "n_chars"])
 
 
+def _hll_convs_sql() -> str:
+    """Bit-exact HLL replay (sketches.hll_sql) + exact join, at the
+    driver's sf0.01."""
+    from beats_ray.dataops.sketches import hll_sql
+
+    path = transcripts_dir(0.01) + "/part-*.parquet"
+    src = f"read_parquet('{path}')"
+    return f"""
+        WITH approx AS ({hll_sql(src, "conv_id", ["role"])}),
+        exact AS (
+          SELECT role, COUNT(DISTINCT conv_id) AS exact_distinct
+          FROM {src} GROUP BY role)
+        SELECT approx.role, approx_distinct, exact_distinct
+        FROM approx JOIN exact USING (role)"""
+
+
+def q_hll_distinct_convs(sf_dir: str):
+    """Approximate distinct conversations per role via a HyperLogLog
+    sketch: the shuffle moves at most roles × 256 (register, max-rho)
+    rows regardless of corpus size — vs the exact path's every unique
+    pair. Exact count rides beside the estimate as evidence; the
+    oracle replays the sketch bit-for-bit (md5 registers, integer
+    floor-division estimator)."""
+    from ray.data.aggregate import Count
+
+    from beats_ray.dataops.sketches import hll_distinct
+
+    ds = _transcripts(sf_dir, ["conv_id", "role"])
+    approx = hll_distinct(ds, "conv_id", ["role"]).to_pandas()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select(["role", "conv_id"]).group_by(
+            ["role", "conv_id"]).aggregate([])
+
+    # two-level distinct with NO per-group python: batch-local pair
+    # dedup -> one row per pair via grouped Count -> partial-count
+    # combiner per role
+    from beats_ray.dataops.agg import grouped_count
+
+    uniq_pairs = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["role", "conv_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    exact = grouped_count(
+        uniq_pairs.select_columns(["role"]), ["role"], "exact_distinct"
+    ).to_pandas()
+    return (approx.merge(exact, on="role")
+            .sort_values("role").reset_index(drop=True))
+
+
 def q_gopher_quality_docs(sf_dir: str):
     """Gopher-rule quality screen (Rae et al. 2021 heuristics): every
     metric a pyarrow C++ counting kernel, every rule an integer
@@ -2002,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "hll_distinct_convs": q_hll_distinct_convs,
         "gopher_quality_docs": q_gopher_quality_docs,
         "doc_len_quantiles": q_doc_len_quantiles,
         "lang_len_quantiles": q_lang_len_quantiles,
@@ -2899,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS c
               FROM documents)
             WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
+        "hll_distinct_convs": _hll_convs_sql(),
         # Gopher rules replayed with DuckDB list lambdas; same ASCII
         # ws class, same non-overlapping '...' count, integer rules
         "gopher_quality_docs": r"""

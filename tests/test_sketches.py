@@ -1,0 +1,109 @@
+"""HyperLogLog approx-distinct — bit-exact SQL replay identity,
+partition-invariance (sketch union = elementwise max), and accuracy
+within the published error envelope."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from beats_ray.dataops.sketches import (
+    M,
+    RHO_ZERO,
+    _rho_of,
+    estimate_from_registers,
+    hll_distinct,
+    hll_sql,
+)
+
+
+def test_rho_fields():
+    # all-zero tail -> rho 57; high bit set -> rho 1
+    assert _rho_of("00" + "0" * 30) == (0, RHO_ZERO)
+    assert _rho_of("ff" + "f" * 30) == (255, 1)
+    assert _rho_of("0a" + "1" + "0" * 29)[1] == 4  # 0001 -> 3 lz + 1
+
+
+def test_estimate_pure_math():
+    # empty sketch -> linear counting with V = m -> ln(1) -> exactly 0
+    assert estimate_from_registers(np.array([], np.int64)) == 0
+    # saturated sketch (every register rho=1) -> raw path
+    full = np.ones(M, np.int64)
+    raw = (71827 * M * M * (1 << RHO_ZERO)) // (100_000 * (M << (RHO_ZERO - 1)))
+    assert estimate_from_registers(full) == raw
+
+
+def test_duckdb_ln_bitwise_identical():
+    """The linear-counting branch's one float: DuckDB ln/FLOOR must
+    match CPython libm exactly for every possible V."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT v, CAST(FLOOR(256 * ln(256 / CAST(v AS DOUBLE))) AS BIGINT)"
+        " FROM range(1, 257) r(v)").fetchall()
+    for v, got in rows:
+        assert got == math.floor(256 * math.log(256 / v)), v
+
+
+def _reference(values, salt="hll"):
+    regs = np.zeros(M, np.int64)
+    for v in set(values):
+        h = hashlib.md5(f"{salt}:{v}".encode()).hexdigest()
+        r, rho = _rho_of(h)
+        regs[r] = max(regs[r], rho)
+    return estimate_from_registers(regs[regs > 0])
+
+
+@pytest.mark.parametrize("n,parts", [(100, 1), (5000, 7), (20000, 4)])
+def test_partition_invariance_and_accuracy(ray_session, n, parts):
+    import ray.data as rd
+
+    rng = np.random.default_rng(n)
+    # duplicated keys across partitions: true distinct is n
+    keys = [f"conv-{i}" for i in range(n)]
+    rows = pd.DataFrame({
+        "g": ["x"] * (2 * n),
+        "k": keys + list(rng.choice(keys, n)),
+    })
+    got = (hll_distinct(rd.from_pandas(rows).repartition(parts), "k", ["g"])
+           .to_pandas())
+    est = int(got["approx_distinct"].iloc[0])
+    assert est == _reference(rows["k"]), "partitioning changed the sketch"
+    assert abs(est - n) / n < 0.25  # 256 registers: ~6.5% typical error
+
+
+def test_sql_replay_identity(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 3000),
+        "k": [f"u{int(v)}" for v in rng.integers(0, 800, 3000)],
+    })
+    got = (hll_distinct(rd.from_pandas(df).repartition(5), "k", ["g"])
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    ora = con.execute(
+        hll_sql("t", "k", ["g"]) + " ORDER BY g").fetchdf()
+    assert got["g"].tolist() == ora["g"].tolist()
+    assert got["approx_distinct"].tolist() == ora["approx_distinct"].tolist()
+
+
+def test_nulls_dropped_both_sides(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": ["a"] * 4, "k": ["x", None, "y", None]})
+    got = hll_distinct(rd.from_pandas(df), "k", ["g"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    ora = con.execute(hll_sql("t", "k", ["g"])).fetchdf()
+    assert got["approx_distinct"].tolist() == ora["approx_distinct"].tolist()
+    assert int(got["approx_distinct"].iloc[0]) >= 1
