@@ -677,6 +677,15 @@ def q_sample_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_sample_exact_k(sf_dir: str):
+    """Exactly-k deterministic sample (fixed-size eval subset): the
+    k=100 smallest 64-bit content hashes, per-block top-k combiner →
+    tiny global sort — the driver never sees more than k rows."""
+    from beats_ray.dataops.sampling import sample_exact_k
+
+    return sample_exact_k(_table(sf_dir, "documents", ["doc_id"]), 100)
+
+
 def q_stratified_sample(sf_dir: str):
     """Corpus mixing: per-language sampling rates (down-sample the
     dominant 'en' to 12.5%, keep half of zh/es, default 25% for the
@@ -2051,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": q_c4_clean_docs,
         "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
+        "sample_exact_k": q_sample_exact_k,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
         "hll_distinct_convs": q_hll_distinct_convs,
@@ -2943,6 +2953,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x'||substr(md5('sample:'||CAST(doc_id AS VARCHAR)),1,8))::UBIGINT
                     * 4 < 1 * 4294967296""",
+        "sample_exact_k": """
+            SELECT doc_id FROM documents
+            ORDER BY ('0x'||substr(md5('xk:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT,
+                     doc_id
+            LIMIT 100""",
         "mix_corpora": _mix_corpora_sql(),
         "token_budget_docs": """
             SELECT doc_id, n_chars FROM (

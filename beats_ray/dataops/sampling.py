@@ -187,6 +187,29 @@ def hash_split(ds, ratios: dict[str, float], key: str = "doc_id",
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def sample_exact_k(ds, k: int, key: str = "doc_id", salt: str = "xk"):
+    """EXACTLY-k deterministic uniform sample: the k rows with the
+    smallest 64-bit md5 hash of ``salt:key`` (ties broken by key) —
+    the fixed-size eval-subset op that :func:`hash_sample`'s fractional
+    cut can't provide. Distributed as a top-k: each block keeps its own
+    k smallest (the sort's input shrinks to blocks × k rows), then one
+    tiny global sort + limit — the driver never sees more than k rows.
+    64-bit hash, so rank collisions stay negligible past 10^9 rows;
+    SQL-replayable as ``ORDER BY md5-hash, key LIMIT k``."""
+    from .dedup import _stable_hash64
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (_stable_hash64(f"{salt}:{v}") for v in df[key].astype(str)),
+            dtype=np.uint64, count=len(df))
+        out = df.copy()
+        out["_h"] = h
+        return out.sort_values(["_h", key]).head(k)
+
+    return (ds.map_batches(block_topk, batch_format="pandas")
+              .sort(["_h", key]).limit(k).drop_columns(["_h"]))
+
+
 def pack_sequences(docs, budget: int, buckets: int = 16,
                    key: str = "doc_id", text_col: str = "text"):
     """Greedy sequence packing: within each hash bucket (``key %

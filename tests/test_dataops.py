@@ -525,6 +525,30 @@ def test_hash_sample_deterministic_fraction(docs):
     assert set(sub) <= set(a)          # nested thresholds ⇒ nested samples
 
 
+def test_sample_exact_k(docs):
+    import hashlib
+
+    from beats_ray.dataops.sampling import sample_exact_k
+
+    got = sorted(sample_exact_k(docs, 10, key="doc_id")
+                 .to_pandas()["doc_id"])
+    # pandas oracle: smallest-10 by the same 64-bit md5 hash
+    full = docs.to_pandas()
+    h = full["doc_id"].astype(str).map(
+        lambda v: int.from_bytes(
+            hashlib.md5(f"xk:{v}".encode()).digest()[:8], "big"))
+    want = sorted(full.assign(_h=h).sort_values(["_h", "doc_id"])
+                  .head(10)["doc_id"])
+    assert got == want
+    # k > n returns everything, once
+    assert len(sample_exact_k(docs, 10_000, key="doc_id").to_pandas()) \
+        == len(full)
+    # partition-invariant
+    again = sorted(sample_exact_k(docs.repartition(7), 10, key="doc_id")
+                   .to_pandas()["doc_id"])
+    assert again == got
+
+
 def test_hash_split_partition(docs):
     from beats_ray.dataops.sampling import hash_split
 
