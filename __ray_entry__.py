@@ -732,6 +732,18 @@ def _hll_convs_sql() -> str:
         FROM approx JOIN exact USING (role)"""
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top TF-IDF term over a bounded broadcast
+    vocabulary (the 500 most document-frequent terms): fit pass =
+    distinct-fold → grouped df → distributed top-k; score pass =
+    broadcast model, each doc decided inside its own batch row — no
+    shuffle. Integer-scaled idf so the SQL replay compares exactly."""
+    from beats_ray.dataops.quality import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _table(sf_dir, "documents", ["doc_id", "text"]), model_k=500)
+
+
 def q_hll_distinct_convs(sf_dir: str):
     """Approximate distinct conversations per role via a HyperLogLog
     sketch: the shuffle moves at most roles × 256 (register, max-rho)
@@ -2063,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": q_sample_exact_k,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "hll_distinct_convs": q_hll_distinct_convs,
         "gopher_quality_docs": q_gopher_quality_docs,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2967,6 +2980,33 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
         "hll_distinct_convs": _hll_convs_sql(),
+        # fit (top-500 df vocab) + score replay; idf carried as
+        # floor(1e6*ln(N/df)) — integer compare, ln bit-identical
+        "tfidf_top_terms": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), dfm AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY term
+              ORDER BY df DESC, term LIMIT 500
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfm.df,
+                     tf.tf * CAST(FLOOR(1000000 * ln(
+                       CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       / dfm.df)) AS BIGINT) AS score
+              FROM tf JOIN dfm USING (term)
+            )
+            SELECT doc_id, term, tf, df, score FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term) = 1""",
         # Gopher rules replayed with DuckDB list lambdas; same ASCII
         # ws class, same non-overlapping '...' count, integer rules
         "gopher_quality_docs": r"""

@@ -69,6 +69,98 @@ def c4_line_filter(docs, text_col: str = "text", min_words: int = 5):
     return docs.map_batches(clean, batch_format="pandas")
 
 
+IDF_SCALE = 1_000_000
+
+
+def fit_df_model(docs, text_col: str = "text", model_k: int = 10_000):
+    """Document-frequency model: the ``model_k`` most document-frequent
+    lowercased ws-tokens (the CountVectorizer max_features rule).
+    Distributed: per-batch DISTINCT (doc, term) fold → grouped count →
+    top-k (df desc, term asc); the driver holds only the k-row model."""
+    from ray.data.aggregate import Sum
+
+    from .agg import top_k_by
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        # distinct per doc, then per-batch partial df
+        terms: dict[str, int] = {}
+        for ws in words.to_pylist():
+            for w in set(ws):
+                if w:
+                    terms[w] = terms.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(terms), pa.string()),
+                         "df": pa.array(list(terms.values()), pa.int64())})
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    model = top_k_by(counts, "df", "term", model_k).to_pandas()
+    if "term" not in model.columns:
+        model = pd.DataFrame({"term": pd.Series(dtype="string"),
+                              "df": pd.Series(dtype="int64")})
+    return model
+
+
+def tfidf_top_terms(docs, text_col: str = "text", model_k: int = 10_000):
+    """Per-document top TF-IDF term over a bounded broadcast
+    vocabulary — the second fit-then-score archetype beside
+    :func:`bigram_coverage`.  The idf is carried as the INTEGER
+    ``floor(1e6 · ln(N/df))`` so scores compare exactly in SQL (DuckDB
+    ln/FLOOR is bit-identical to CPython libm on this stack — proven
+    exhaustively in the sketch tests); each doc's winner (score desc,
+    term asc tie-break) is decided inside its own batch row, so scoring
+    needs NO shuffle at all: the model ships once via ray.put, documents
+    never move. Output: (doc_id, term, tf, df, score); docs with no
+    in-model term produce no row (the oracle's join does the same)."""
+    import math
+
+    n_docs = int(docs.count())
+    model = fit_df_model(docs, text_col=text_col, model_k=model_k)
+    idf = {
+        t: math.floor(IDF_SCALE * math.log(n_docs / d))
+        for t, d in zip(model["term"], model["df"])
+    }
+    dfs = dict(zip(model["term"], (int(d) for d in model["df"])))
+    ref = ray.put((idf, dfs))
+
+    def score(df: pd.DataFrame, ref) -> pd.DataFrame:
+        from .joins import _resolve_ref
+
+        idf, dfs = _resolve_ref(ref)
+        out = {"doc_id": [], "term": [], "tf": [], "df": [], "score": []}
+        for doc_id, text in zip(df["doc_id"], df[text_col].fillna("")):
+            counts: dict[str, int] = {}
+            for w in ws_tokens(text.lower()):
+                if w in idf:
+                    counts[w] = counts.get(w, 0) + 1
+            if not counts:
+                continue
+            # (score desc, term asc) — deterministic winner
+            best_score = max(c * idf[t] for t, c in counts.items())
+            term = min(t for t, c in counts.items()
+                       if c * idf[t] == best_score)
+            out["doc_id"].append(int(doc_id))
+            out["term"].append(term)
+            out["tf"].append(counts[term])
+            out["df"].append(dfs[term])
+            out["score"].append(counts[term] * idf[term])
+        return pd.DataFrame({
+            "doc_id": pd.array(out["doc_id"], dtype="int64"),
+            "term": pd.array(out["term"], dtype=object),
+            "tf": pd.array(out["tf"], dtype="int64"),
+            "df": pd.array(out["df"], dtype="int64"),
+            "score": pd.array(out["score"], dtype="int64"),
+        })
+
+    return docs.map_batches(score, fn_kwargs={"ref": ref},
+                            batch_format="pandas")
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
