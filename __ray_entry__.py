@@ -732,6 +732,19 @@ def _hll_convs_sql() -> str:
         FROM approx JOIN exact USING (role)"""
 
 
+def q_inverted_index(sf_dir: str):
+    """Retrieval-index build: term → (df, bounded posting list) with
+    document-frequency pruning — one distinct-fold pass over text, one
+    hash-partition shuffle on term, per-bucket vectorized assembly.
+    Postings comma-joined (doc-id asc, capped at 20) so the artifact
+    string-compares with the string_agg oracle."""
+    from beats_ray.dataops.invindex import inverted_index
+
+    return inverted_index(
+        _table(sf_dir, "documents", ["doc_id", "text"]),
+        min_df=2, max_df=400, max_postings=20)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top TF-IDF term over a bounded broadcast
     vocabulary (the 500 most document-frequent terms): fit pass =
@@ -2075,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": q_sample_exact_k,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
+        "inverted_index": q_inverted_index,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hll_distinct_convs": q_hll_distinct_convs,
         "gopher_quality_docs": q_gopher_quality_docs,
@@ -2980,6 +2994,30 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE c <= (SELECT (SUM(n_chars) * 2) // 5 FROM documents)""",
         "hll_distinct_convs": _hll_convs_sql(),
+        "inverted_index": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(
+                    lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS term
+                FROM documents)
+            ), d AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term
+              HAVING COUNT(*) BETWEEN 2 AND 400
+            ), ranked AS (
+              SELECT t.term, t.doc_id,
+                     row_number() OVER (PARTITION BY t.term
+                                        ORDER BY t.doc_id) AS rn
+              FROM tok t JOIN d USING (term)
+            ), posts AS (
+              SELECT term,
+                     string_agg(CAST(doc_id AS VARCHAR), ','
+                                ORDER BY doc_id) AS postings
+              FROM ranked WHERE rn <= 20 GROUP BY term
+            )
+            SELECT d.term, d.df, posts.postings
+            FROM d JOIN posts USING (term)""",
         # fit (top-500 df vocab) + score replay; idf carried as
         # floor(1e6*ln(N/df)) — integer compare, ln bit-identical
         "tfidf_top_terms": r"""
