@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "pack_sequences",
     "embed_dup_clusters",
     "ngram_dup_clusters",
+    "doc_len_quantiles",
+    "gopher_quality_docs",
+    "hll_distinct_convs",
+    "token_budget_docs",
     "journald_messages",
     "winlog_messages",
     "kafka_messages",
