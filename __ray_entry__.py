@@ -1903,6 +1903,18 @@ def q_repetition_score(sf_dir: str):
     return repetition_score(_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_boilerplate_clean_turns(sf_dir: str):
+    """RefinedWeb-style boilerplate-line removal over the transcript
+    corpus: any line present in >= 20 distinct conversations is dropped
+    from every turn (repeated stack frames, nav chrome)."""
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    corpus = _transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    return remove_boilerplate_lines(
+        corpus, keys=("conv_id", "turn_idx"), id_col="conv_id", min_docs=20
+    )
+
+
 def q_contamination_screen(sf_dir: str):
     """Benchmark-overlap screen: 3-gram hits of each doc against a probe
     set built from the first 5 documents (self-probe → those 5 are fully
@@ -2104,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mask_pii_rows": q_mask_pii_rows,
         "normalized_docs": q_normalized_docs,
+        "boilerplate_clean_turns": q_boilerplate_clean_turns,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "top_words": q_top_words,
@@ -3191,6 +3204,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
             FROM documents""",
+        "boilerplate_clean_turns": f"""
+            WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
+            l AS (
+              SELECT conv_id, turn_idx,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS li
+              FROM t
+            ),
+            h AS (
+              SELECT *, ('0x'||substr(md5(line),1,16))::UBIGINT AS lh,
+                     line <> '' AS nb
+              FROM l
+            ),
+            bad AS (
+              SELECT lh FROM h WHERE nb
+              GROUP BY lh HAVING count(DISTINCT conv_id) >= 20
+            ),
+            m AS (SELECT h.*, (h.nb AND h.lh IN (SELECT lh FROM bad)) AS rm FROM h)
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(line, chr(10) ORDER BY li)
+                            FILTER (WHERE NOT rm), '') AS clean_text,
+                   count(*) FILTER (WHERE rm) AS n_removed
+            FROM m GROUP BY conv_id, turn_idx""",
         "repetition_score": r"""
             WITH w AS (
               SELECT doc_id,

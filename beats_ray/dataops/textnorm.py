@@ -140,3 +140,200 @@ def contamination_screen(docs, probe_texts: list[str], k: int = 3,
         return df
 
     return scored.map_batches(flag, batch_format="pandas")
+
+
+# ------------------------------------------------------- boilerplate lines
+#
+# RefinedWeb/CCNet-style boilerplate removal: a LINE (newline-split,
+# raw-byte identity) that occurs in >= ``min_docs`` DISTINCT documents
+# is boilerplate (cookie banners, repeated stack-trace frames, nav
+# chrome); every occurrence is removed from every document. Two passes:
+#
+#   1. count  — (line-hash, doc-id) pairs, ONE co-locating shuffle
+#      bucketed by hash; exactness comes from the per-bucket pair dedup
+#      (a document may span batches, so within-batch dedup is only a
+#      volume optimization, never the correctness mechanism).
+#   2. apply  — the surviving hash set is frequency-bounded
+#      (<= total_lines / min_docs), so it normally broadcasts once via
+#      ``ray.put``; above ``broadcast_limit`` the fully distributed
+#      path explodes to lines, left-joins on the hash (one shuffle) and
+#      regroups per document (one shuffle) — nothing id-sized on the
+#      driver either way.
+#
+# Line hash = first 8 md5 bytes big-endian (``_stable_hash64``), which
+# the SQL oracle reproduces as ('0x'||substr(md5(line),1,16))::UBIGINT —
+# bit-exact parity, collisions identical on both sides.
+
+
+def _hash_lines_once(lines: "pd.Series") -> "pd.Series":
+    """md5-64 each DISTINCT line once per batch, then map back."""
+    import numpy as np
+
+    from .dedup import _stable_hash64
+
+    uniq = pd.unique(lines)
+    lut = {line: _stable_hash64(line) for line in uniq}
+    return lines.map(lut).astype("uint64")
+
+
+def _explode_lines(df: pd.DataFrame, text_col: str, keep_cols: list[str],
+                   with_idx: bool = False) -> pd.DataFrame:
+    """Vectorized doc→line explode keeping ``keep_cols`` (str.split +
+    np.repeat — no Python per row)."""
+    import numpy as np
+
+    texts = df[text_col].fillna("")
+    lines = texts.str.split("\n")
+    lens = lines.str.len().to_numpy()
+    out = pd.DataFrame(
+        {c: np.repeat(df[c].to_numpy(), lens) for c in keep_cols}
+    )
+    out["line"] = lines.explode().to_numpy()
+    if with_idx:
+        # per-row 0..len-1 ordinal, vectorized
+        out["_li"] = np.arange(len(out)) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+    return out
+
+
+def boilerplate_line_hashes(corpus, text_col: str = "text",
+                            id_col: str = "conv_id", min_docs: int = 20,
+                            buckets: int = 64):
+    """Pass 1: Dataset[(lh uint64)] of line hashes present in >=
+    ``min_docs`` distinct documents. Blank lines ('') never qualify."""
+    import numpy as np
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = _explode_lines(df, text_col, [id_col])
+        sub = sub[sub["line"] != ""]
+        sub = sub.drop_duplicates()  # volume only; exact dedup is per bucket
+        out = pd.DataFrame({"_id": sub[id_col].to_numpy()})
+        out["lh"] = _hash_lines_once(sub["line"]).to_numpy()
+        # int64 bucket key — uniform dtype across stages (arrow-stable)
+        out["_bb"] = (out["lh"] % np.uint64(buckets)).astype("int64")
+        return out
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates(["lh", "_id"]).groupby("lh").size()
+        c = c[c >= min_docs]
+        return pd.DataFrame({"lh": c.index.to_numpy(dtype="uint64")})
+
+    tagged = corpus.map_batches(pairs, batch_format="pandas")
+    return tagged.groupby("_bb").map_groups(
+        count_distinct, batch_format="pandas"
+    )
+
+
+class _LineClean:
+    """Broadcast-apply stage (cached task): the sorted boilerplate-hash
+    array resolves once per worker; membership is one vectorized
+    searchsorted over the batch's DISTINCT lines."""
+
+    def __init__(self, bad_ref, text_col: str, keys: tuple):
+        import numpy as np
+
+        arr = ray.get(bad_ref) if isinstance(bad_ref, ray.ObjectRef) else bad_ref
+        self.bad = np.asarray(arr, dtype="uint64")
+        self.text_col = text_col
+        self.keys = list(keys)
+
+    def _members(self, hashes):
+        import numpy as np
+
+        if len(self.bad) == 0:
+            return np.zeros(len(hashes), dtype=bool)
+        idx = np.searchsorted(self.bad, hashes)
+        idx = np.clip(idx, 0, len(self.bad) - 1)
+        return self.bad[idx] == hashes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .dedup import _stable_hash64
+
+        texts = df[self.text_col].fillna("")
+        split = texts.str.split("\n").tolist()
+        # batch-distinct membership: hash each distinct nonblank line
+        # once, one searchsorted for the whole batch
+        uniq = list({l for ls in split for l in ls if l != ""})
+        hs = np.fromiter(
+            (_stable_hash64(l) for l in uniq), dtype="uint64", count=len(uniq)
+        )
+        is_bad = dict(zip(uniq, self._members(hs)))
+        out_text, out_n = [], []
+        for ls in split:
+            kept = [l for l in ls if l == "" or not is_bad[l]]
+            out_text.append("\n".join(kept))
+            out_n.append(len(ls) - len(kept))
+        res = df[self.keys].copy()
+        res["clean_text"] = out_text
+        res["n_removed"] = pd.array(out_n, dtype="int64")
+        return res
+
+
+def remove_boilerplate_lines(corpus, text_col: str = "text",
+                             keys: tuple = ("conv_id", "turn_idx"),
+                             id_col: str = "conv_id", min_docs: int = 20,
+                             broadcast_limit: int = 100_000,
+                             buckets: int = 64):
+    """Remove corpus-wide boilerplate lines from every document. Returns
+    Dataset[(*keys, clean_text, n_removed)] — one row per input row,
+    fully-emptied documents kept with clean_text ''."""
+    import numpy as np
+
+    from .joins import _bucket_of, bucket_hash_join
+    from .stagecache import task_stage
+
+    bad = boilerplate_line_hashes(
+        corpus, text_col=text_col, id_col=id_col,
+        min_docs=min_docs, buckets=buckets,
+    ).materialize()  # frequency-bounded: <= total_lines / min_docs
+    if bad.count() <= broadcast_limit:
+        pdf = bad.to_pandas()
+        arr = np.sort(pdf["lh"].to_numpy(dtype="uint64")) if len(pdf) else (
+            np.empty(0, dtype="uint64")
+        )
+        ref = ray.put(arr)
+        return corpus.map_batches(
+            task_stage(_LineClean, bad_ref=ref, text_col=text_col,
+                       keys=tuple(keys)),
+            batch_format="pandas",
+        )
+
+    # distributed apply: explode → left join on hash → regroup per doc
+    key_cols = list(keys)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = _explode_lines(df, text_col, key_cols, with_idx=True)
+        out["lh"] = _hash_lines_once(out["line"]).to_numpy()
+        # blank lines are never boilerplate: poison their hash so the
+        # join can't mark them (hash 0 could legitimately collide)
+        out.loc[out["line"] == "", "lh"] = np.uint64(0)
+        out["_blank"] = (out["line"] == "").to_numpy()
+        return out
+
+    lines = corpus.map_batches(explode, batch_format="pandas")
+    marks = bad.map_batches(
+        lambda df: df.assign(_bp=np.int64(1)), batch_format="pandas"
+    )
+    flagged = bucket_hash_join(lines, marks, left_on="lh", right_on="lh",
+                               how="left", buckets=buckets)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(key_cols, sort=False):
+            sub = sub.sort_values("_li", kind="mergesort")
+            rm = sub["_bp"].notna() & ~sub["_blank"]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, "\n".join(sub.loc[~rm, "line"]),
+                         int(rm.sum())))
+        return pd.DataFrame(
+            rows, columns=key_cols + ["clean_text", "n_removed"]
+        ).astype({"n_removed": "int64"})
+
+    tagged = flagged.map_batches(
+        lambda df: df.assign(_kb=_bucket_of(df[key_cols[0]], buckets)),
+        batch_format="pandas",
+    )
+    return tagged.groupby("_kb").map_groups(reassemble, batch_format="pandas")

@@ -1189,3 +1189,73 @@ def test_mix_corpora_epochs_and_fraction(docs):
     again = mix_corpora({"a": (docs, 100), "b": (docs, 10)}).to_pandas()
     assert sorted(map(tuple, out[["doc_id", "source", "epoch"]].values.tolist())) == \
         sorted(map(tuple, again[["doc_id", "source", "epoch"]].values.tolist()))
+
+
+# ------------------------------------------------------- boilerplate lines
+
+
+def _bp_corpus():
+    import ray.data as rd
+
+    rows = []
+    # "BANNER" appears in 4 distinct docs (8 occurrences incl. repeats
+    # within a doc); "rare" in 1; blanks everywhere
+    for d in range(4):
+        rows.append({"conv_id": f"c{d}", "turn_idx": 0,
+                     "text": "BANNER\nbody %d\nBANNER" % d})
+        rows.append({"conv_id": f"c{d}", "turn_idx": 1,
+                     "text": "\nBANNER\n"})
+    rows.append({"conv_id": "c9", "turn_idx": 0, "text": "rare\nonly"})
+    rows.append({"conv_id": "c9", "turn_idx": 1, "text": ""})
+    rows.append({"conv_id": "c9", "turn_idx": 2, "text": "BANNER"})
+    return rd.from_items(rows)
+
+
+def _bp_expect():
+    # min_docs=3: BANNER (5 distinct convs) is boilerplate, rare/only not
+    return {
+        ("c0", 0): ("body 0", 2), ("c1", 0): ("body 1", 2),
+        ("c2", 0): ("body 2", 2), ("c3", 0): ("body 3", 2),
+        ("c0", 1): ("\n", 1), ("c1", 1): ("\n", 1),
+        ("c2", 1): ("\n", 1), ("c3", 1): ("\n", 1),
+        ("c9", 0): ("rare\nonly", 0), ("c9", 1): ("", 0),
+        ("c9", 2): ("", 1),
+    }
+
+
+def test_boilerplate_lines_broadcast_path(ray_session):
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(
+        _bp_corpus(), min_docs=3, broadcast_limit=100
+    ).to_pandas()
+    got = {(r.conv_id, r.turn_idx): (r.clean_text, r.n_removed)
+           for r in out.itertuples()}
+    assert got == _bp_expect()
+
+
+def test_boilerplate_lines_distributed_path_matches(ray_session):
+    """broadcast_limit=0 forces the explode→join→regroup scale path;
+    it must agree row-for-row with the broadcast path."""
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    out = remove_boilerplate_lines(
+        _bp_corpus(), min_docs=3, broadcast_limit=0, buckets=5
+    ).to_pandas()
+    got = {(r.conv_id, r.turn_idx): (r.clean_text, int(r.n_removed))
+           for r in out.itertuples()}
+    assert got == _bp_expect()
+
+
+def test_boilerplate_lines_no_boilerplate_is_identity(ray_session):
+    import ray.data as rd
+
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    rows = [{"conv_id": "a", "turn_idx": i, "text": f"unique line {i}"}
+            for i in range(5)]
+    out = remove_boilerplate_lines(
+        rd.from_items(rows), min_docs=2
+    ).to_pandas().sort_values("turn_idx")
+    assert list(out["clean_text"]) == [f"unique line {i}" for i in range(5)]
+    assert out["n_removed"].sum() == 0
