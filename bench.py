@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "gopher_quality_docs",
     "hll_distinct_convs",
     "token_budget_docs",
+    "boilerplate_clean_turns",
     "journald_messages",
     "winlog_messages",
     "kafka_messages",

@@ -118,3 +118,27 @@ def test_sampling_and_quality_family(adversarial_docs):
     assert len(bc) == len(TEXTS)
     assert (bc["n_in_model"] <= bc["n_bigrams"]).all()
     assert (bc["n_in_model"] >= 0).all()
+
+
+def test_boilerplate_lines_adversarial(adversarial_docs):
+    """Both apply paths over the fuzz corpus: unicode/NUL/BOM/100KB
+    lines survive; identical twin rows' lines are NOT boilerplate at
+    min_docs=3 (only 2 docs); at min_docs=2 they vanish from both."""
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    for limit in (100, 0):  # broadcast path, then distributed path
+        out = remove_boilerplate_lines(
+            adversarial_docs, keys=("doc_id",), id_col="doc_id",
+            min_docs=3, broadcast_limit=limit,
+        ).to_pandas().set_index("doc_id").sort_index()
+        assert len(out) == len(TEXTS)
+        assert out["n_removed"].sum() == 0  # nothing repeats across >=3 docs
+        assert out.loc[4, "clean_text"] == "normal text here"
+        assert out.loc[2, "clean_text"] == "\n\n"  # blanks untouched
+    twin = " ".join(f"w{i % 7}x{i}" for i in range(60))
+    out2 = remove_boilerplate_lines(
+        adversarial_docs, keys=("doc_id",), id_col="doc_id", min_docs=2,
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out2.loc[14, "clean_text"] == "" and out2.loc[14, "n_removed"] == 1
+    assert out2.loc[15, "clean_text"] == "" and out2.loc[15, "n_removed"] == 1
+    assert twin not in set(out2["clean_text"])
