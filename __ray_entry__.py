@@ -1903,6 +1903,13 @@ def q_repetition_score(sf_dir: str):
     return repetition_score(_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Type-token ratio inputs: words / distinct words / hapax per doc."""
+    from beats_ray.dataops.textnorm import lexical_diversity
+
+    return lexical_diversity(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_boilerplate_clean_turns(sf_dir: str):
     """RefinedWeb-style boilerplate-line removal over the transcript
     corpus: any line present in >= 20 distinct conversations is dropped
@@ -2116,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "mask_pii_rows": q_mask_pii_rows,
         "normalized_docs": q_normalized_docs,
+        "lexical_diversity": q_lexical_diversity,
         "boilerplate_clean_turns": q_boilerplate_clean_turns,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -3204,6 +3212,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
             FROM documents""",
+        "lexical_diversity": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+              FROM documents
+            ), f AS (SELECT * FROM w WHERE length(w) >= 1),
+            per AS (SELECT doc_id, w, COUNT(*) AS c FROM f GROUP BY doc_id, w)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_words,
+                   CAST(COUNT(per.w) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hapax
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            GROUP BY d.doc_id""",
         "boilerplate_clean_turns": f"""
             WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')),
             l AS (

@@ -86,6 +86,43 @@ def repetition_score(docs, field: str = "text"):
     return docs.map_batches(score, batch_format="pandas")
 
 
+def lexical_diversity(docs, field: str = "text"):
+    """Type-token-ratio inputs per doc: total words, DISTINCT words,
+    and hapax words (frequency exactly 1) — the lexical-diversity
+    quality signal (low distinct/total = TEMPLATED text; high hapax
+    share = natural prose). Same tokenization as repetition_score
+    (lowercased ASCII-\\s split) so the two signals compose; vectorized
+    per batch via explode + double groupby, no Python per row."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        words = df[field].fillna("").str.lower().map(ws_tokens)
+        ridx = np.arange(len(df))
+        lens = words.str.len().to_numpy()
+        exploded = pd.DataFrame(
+            {"_r": np.repeat(ridx, lens),
+             "w": words.explode().dropna().to_numpy()}
+        )
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        cols = ("n_words", "n_distinct", "n_hapax")
+        if exploded.empty:
+            for c in cols:
+                out[c] = pd.array([0] * len(df), dtype="int64")
+            return out
+        per = exploded.groupby(["_r", "w"]).size()
+        g = per.groupby("_r")
+        agg = pd.DataFrame(
+            {"n_words": g.sum(), "n_distinct": g.size(),
+             "n_hapax": per[per == 1].groupby("_r").size()}
+        ).reindex(ridx).fillna(0)
+        for c in cols:
+            out[c] = agg[c].astype("int64").to_numpy()
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 class ContaminationScreen:
     """Probe stage (cached task): the broadcast probe n-gram set
     resolves once per worker."""

@@ -142,3 +142,18 @@ def test_boilerplate_lines_adversarial(adversarial_docs):
     assert out2.loc[14, "clean_text"] == "" and out2.loc[14, "n_removed"] == 1
     assert out2.loc[15, "clean_text"] == "" and out2.loc[15, "n_removed"] == 1
     assert twin not in set(out2["clean_text"])
+
+
+def test_lexical_diversity_adversarial(adversarial_docs):
+    from beats_ray.dataops.textnorm import lexical_diversity
+
+    out = lexical_diversity(adversarial_docs).to_pandas().set_index(
+        "doc_id").sort_index()
+    assert len(out) == len(TEXTS)
+    assert (out["n_distinct"] <= out["n_words"]).all()
+    assert (out["n_hapax"] <= out["n_distinct"]).all()
+    assert out.loc[0, "n_words"] == 0 and out.loc[0, "n_distinct"] == 0
+    assert out.loc[8, "n_words"] == 1 and out.loc[8, "n_hapax"] == 1
+    # "tok " * 5000 → 5000 words, 1 distinct, 0 hapax
+    assert out.loc[9, "n_words"] == 5000
+    assert out.loc[9, "n_distinct"] == 1 and out.loc[9, "n_hapax"] == 0
