@@ -358,16 +358,19 @@ def remove_boilerplate_lines(corpus, text_col: str = "text",
                                how="left", buckets=buckets)
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for kv, sub in g.groupby(key_cols, sort=False):
-            sub = sub.sort_values("_li", kind="mergesort")
-            rm = sub["_bp"].notna() & ~sub["_blank"]
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            rows.append((*kv, "\n".join(sub.loc[~rm, "line"]),
-                         int(rm.sum())))
-        return pd.DataFrame(
-            rows, columns=key_cols + ["clean_text", "n_removed"]
-        ).astype({"n_removed": "int64"})
+        # one bucket-wide sort, then grouped agg — no per-group loop
+        g = g.sort_values([*key_cols, "_li"], kind="mergesort")
+        g = g.assign(_rm=g["_bp"].notna() & ~g["_blank"])
+        grp = g.groupby(key_cols, sort=False)
+        n_rem = grp["_rm"].sum().astype("int64")
+        joined = g.loc[~g["_rm"]].groupby(key_cols, sort=False)["line"].agg(
+            "\n".join
+        )
+        out = n_rem.reset_index(name="n_removed")
+        out["clean_text"] = (
+            joined.reindex(n_rem.index).fillna("").to_numpy()
+        )
+        return out[key_cols + ["clean_text", "n_removed"]]
 
     tagged = flagged.map_batches(
         lambda df: df.assign(_kb=_bucket_of(df[key_cols[0]], buckets)),
