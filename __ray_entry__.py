@@ -677,6 +677,15 @@ def q_sample_docs(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def q_sample_k_per_lang(sf_dir: str):
+    """Balanced subset: exactly 25 docs per language (smallest-hash)."""
+    from beats_ray.dataops.sampling import sample_exact_k_per_group
+
+    return sample_exact_k_per_group(
+        _table(sf_dir, "documents", ["doc_id", "lang"]), 25, group="lang"
+    )
+
+
 def q_sample_exact_k(sf_dir: str):
     """Exactly-k deterministic sample (fixed-size eval subset): the
     k=100 smallest 64-bit content hashes, per-block top-k combiner →
@@ -2105,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
         "sample_exact_k": q_sample_exact_k,
+        "sample_k_per_lang": q_sample_k_per_lang,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
         "inverted_index": q_inverted_index,
@@ -3006,6 +3016,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ('0x'||substr(md5('xk:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT,
                      doc_id
             LIMIT 100""",
+        "sample_k_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x'||substr(md5('xk:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT,
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 25""",
         "mix_corpora": _mix_corpora_sql(),
         "token_budget_docs": """
             SELECT doc_id, n_chars FROM (

@@ -210,6 +210,36 @@ def sample_exact_k(ds, k: int, key: str = "doc_id", salt: str = "xk"):
               .sort(["_h", key]).limit(k).drop_columns(["_h"]))
 
 
+def sample_exact_k_per_group(ds, k: int, group: str, key: str = "doc_id",
+                             salt: str = "xk"):
+    """EXACTLY-k-per-group deterministic sample (the balanced-subset
+    op: k docs per language/source): per group, the k rows with the
+    smallest md5-64 of ``salt:key`` (ties by key). Distributed as a
+    grouped top-k: each block first keeps its own k smallest PER GROUP
+    (the shuffle input shrinks to <= blocks * k rows per group), then
+    one co-locating groupby finishes each group with a tiny sort+head —
+    the full corpus never shuffles. SQL mirror: ``row_number() OVER
+    (PARTITION BY group ORDER BY hash, key) <= k``. Groups smaller
+    than k keep all their rows (same as the SQL)."""
+    from .dedup import _stable_hash64
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (_stable_hash64(f"{salt}:{v}") for v in df[key].astype(str)),
+            dtype=np.uint64, count=len(df))
+        out = df.copy()
+        out["_h"] = h
+        return (out.sort_values(["_h", key], kind="mergesort")
+                   .groupby(group, sort=False).head(k))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_h", key], kind="mergesort").head(k)
+                 .drop(columns=["_h"]))
+
+    return (ds.map_batches(block_topk, batch_format="pandas")
+              .groupby(group).map_groups(finish, batch_format="pandas"))
+
+
 def pack_sequences(docs, budget: int, buckets: int = 16,
                    key: str = "doc_id", text_col: str = "text"):
     """Greedy sequence packing: within each hash bucket (``key %

@@ -1259,3 +1259,24 @@ def test_boilerplate_lines_no_boilerplate_is_identity(ray_session):
     ).to_pandas().sort_values("turn_idx")
     assert list(out["clean_text"]) == [f"unique line {i}" for i in range(5)]
     assert out["n_removed"].sum() == 0
+
+
+def test_sample_exact_k_per_group_block_independence(ray_session):
+    """The grouped top-k must be invariant to block layout, and groups
+    smaller than k keep every row."""
+    import ray.data as rd
+
+    from beats_ray.dataops.sampling import sample_exact_k_per_group
+
+    rows = [{"doc_id": i, "g": "big" if i < 90 else "tiny"}
+            for i in range(100)]
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(blocks)
+        out = sample_exact_k_per_group(ds, 10, group="g").to_pandas()
+        outs.append(out.sort_values(["g", "doc_id"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    assert (got["g"] == "big").sum() == 10
+    assert (got["g"] == "tiny").sum() == 10  # only 10 tiny rows exist
+    assert set(got.loc[got["g"] == "tiny", "doc_id"]) == set(range(90, 100))
