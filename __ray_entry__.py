@@ -773,8 +773,7 @@ def q_hll_distinct_convs(sf_dir: str):
     pair. Exact count rides beside the estimate as evidence; the
     oracle replays the sketch bit-for-bit (md5 registers, integer
     floor-division estimator)."""
-    from ray.data.aggregate import Count
-
+    from beats_ray.dataops.agg import map_buckets
     from beats_ray.dataops.sketches import hll_distinct
 
     ds = _transcripts(sf_dir, ["conv_id", "role"])
@@ -784,18 +783,18 @@ def q_hll_distinct_convs(sf_dir: str):
         return t.select(["role", "conv_id"]).group_by(
             ["role", "conv_id"]).aggregate([])
 
-    # two-level distinct with NO per-group python: batch-local pair
-    # dedup -> one row per pair via grouped Count -> partial-count
-    # combiner per role
-    from beats_ray.dataops.agg import grouped_count
+    # exact side: batch-local pair dedup (Arrow C++), then ONE
+    # role-co-locating shuffle whose task finishes the global dedup +
+    # count — the sort-based groupby chain this replaces cost ~2 s of
+    # pure shuffle scheduling on ~100k partial rows
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("role", as_index=False)["conv_id"].nunique()
+        out = out.rename(columns={"conv_id": "exact_distinct"})
+        return out.astype({"exact_distinct": "int64"})
 
-    uniq_pairs = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["role", "conv_id"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    exact = grouped_count(
-        uniq_pairs.select_columns(["role"]), ["role"], "exact_distinct"
+    exact = map_buckets(
+        ds.map_batches(pairs, batch_format="pyarrow"), "role", nuniq,
+        buckets=8,
     ).to_pandas()
     return (approx.merge(exact, on="role")
             .sort_values("role").reset_index(drop=True))

@@ -69,11 +69,17 @@ def estimate_from_registers(regs: np.ndarray) -> int:
     return raw
 
 
-def hll_distinct(ds, key: str, by: list[str], salt: str = "hll"):
+def hll_distinct(ds, key: str, by: list[str], salt: str = "hll",
+                 buckets: int = 16):
     """Per-group approximate distinct count of ``key``.  Returns a
     Dataset with columns ``by + [approx_distinct]``.  Per-batch fold →
-    (by, reg) max-rho merge → per-group estimate; the md5 is computed
-    once per unique (group, key) pair per batch."""
+    ONE co-locating shuffle on the group key (``map_buckets``; all of a
+    group's registers land in one bucket, so the max-merge AND the
+    estimate run in the same task) — vs two chained sort-based
+    groupbys, whose fixed shuffle cost dominated the tiny partials
+    (5.7 s for 46k partial rows at sf0.1). The md5 is computed once
+    per unique (group, key) pair per batch."""
+    from .agg import map_buckets
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[[*by, key]].dropna(subset=[key]).drop_duplicates()
@@ -87,16 +93,19 @@ def hll_distinct(ds, key: str, by: list[str], salt: str = "hll"):
         out["rho"] = rhos
         return out.groupby([*by, "reg"], as_index=False)["rho"].max()
 
-    merged = (ds.map_batches(fold, batch_format="pandas")
-                .groupby([*by, "reg"]).max("rho"))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        regs = g.groupby([*by, "reg"], as_index=False)["rho"].max()
+        rows = []
+        for kv, sub in regs.groupby(by, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv,
+                         estimate_from_registers(sub["rho"].to_numpy(np.int64))))
+        return pd.DataFrame(rows, columns=[*by, "approx_distinct"]).astype(
+            {"approx_distinct": "int64"}
+        )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        est = estimate_from_registers(g["max(rho)"].to_numpy(np.int64))
-        row = {c: [g[c].iloc[0]] for c in by}
-        row["approx_distinct"] = pd.array([est], dtype="int64")
-        return pd.DataFrame(row)
-
-    return merged.groupby(by).map_groups(per_group, batch_format="pandas")
+    folded = ds.map_batches(fold, batch_format="pandas")
+    return map_buckets(folded, by[0], combine, buckets=buckets)
 
 
 def hll_sql(source_sql: str, key_expr: str, by: list[str],

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "hll_distinct_convs",
     "token_budget_docs",
     "boilerplate_clean_turns",
+    "tfidf_top_terms",
+    "inverted_index",
+    "substring_dup_spans",
+    "semantic_dedup_keep",
     "journald_messages",
     "winlog_messages",
     "kafka_messages",
