@@ -1040,6 +1040,26 @@ def q_ann_lsh_topk(sf_dir: str):
     return _rank_topk(res, sf_dir)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization (IVF-PQ class) machinery driven with a
+    full-coverage re-rank: codebook fit, per-batch encode, ADC lookup
+    scoring and candidate selection all execute, and the exact re-rank
+    over the full pool makes the result provably identical to brute
+    force — what the SQL oracle checks. The approximate regime (small
+    ``rerank``) is covered by the recall test in tests/test_dataops.py
+    and the ann_recall probe."""
+    from beats_ray.dataops.ann import pq_topk
+
+    res = pq_topk(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16),
+        _query_vectors(sf_dir),
+        k=10,
+        n_sub=8,
+        n_codes=32,
+    )
+    return _rank_topk(res, sf_dir)
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """EXACT cosine similarity join (centroid-bound bucket-pair
     pruning, no false negatives) — oracle = the all-pairs SQL."""
@@ -2141,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_dup_clusters": q_embed_dup_clusters,
         "semantic_dedup_keep": q_semantic_dedup_keep,
@@ -3289,6 +3310,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ANN_ORACLE,
         # IVF at full probe is provably exact → same oracle as brute
         "ann_lsh_topk": _ANN_ORACLE,
+        "ann_pq_topk": _ANN_ORACLE,
         "ann_ivf_topk": _ANN_ORACLE,
         # iterative clustering → recursive-CTE transitive closure
         "embed_dup_clusters": """

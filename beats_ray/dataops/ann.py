@@ -336,6 +336,143 @@ def lsh_topk(
     )
 
 
+def kmeans_fit_l2(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                  seed: int = 4242) -> np.ndarray:
+    """Plain-L2 Lloyd's on raw (sub)vectors — the PQ codebook fit
+    (cosine k-means is wrong for subspaces: subvectors are not unit)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cents = sample[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        # argmin ||x-c||^2 == argmax x.c - 0.5||c||^2 (one matmul)
+        score = sample @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        assign = np.argmax(score, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_fit(sample: np.ndarray, n_sub: int = 8, n_codes: int = 32,
+           iters: int = 10) -> np.ndarray:
+    """Product-quantizer codebooks over the NORMALIZED sample: the dim
+    splits into ``n_sub`` subspaces, each L2-k-means'd to ``n_codes``
+    entries. Returns (n_sub, n_codes, dim/n_sub)."""
+    m = _normalize(sample.astype(np.float64))
+    d = m.shape[1]
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    dsub = d // n_sub
+    return np.stack([
+        kmeans_fit_l2(m[:, s * dsub:(s + 1) * dsub], n_codes, iters=iters,
+                      seed=4242 + s)
+        for s in range(n_sub)
+    ])
+
+
+class PQSearcher:
+    """ADC candidate scoring + exact re-rank, per batch. The approx
+    cosine of a vector is the sum of per-subspace lookup-table entries
+    for its codes (one fancy-index per subspace — no per-row Python);
+    the top-``rerank`` candidates per query are then re-scored with the
+    TRUE dot product, and the batch emits its exact top-k among them.
+    ``rerank >= len(batch)`` degenerates to exact brute force — the
+    identity the SQL oracle checks (same pattern as IVF full-probe).
+
+    At 100 TB the point of PQ is MEMORY: an 8-subspace code is 8 bytes
+    per vector vs 256+ for the float payload, so the candidate sweep
+    streams codes while only the re-rank touches real vectors. Here
+    both live in the same batch; the compute shape (table lookups, then
+    a small exact matmul) is the scale shape."""
+
+    def __init__(self, query_ref, books_ref, k: int, rerank: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        b = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) else books_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.books = np.asarray(b, dtype=np.float64)
+        self.k = k
+        self.rerank = rerank
+        n_sub, n_codes, dsub = self.books.shape
+        # lut[qi, s, c] = q_sub(qi, s) . book[s, c]
+        qsub = self.q.reshape(self.q.shape[0], n_sub, dsub)
+        self.lut = np.einsum("qsd,scd->qsc", qsub, self.books)
+        # encode scorer: x_sub . book^T - 0.5||book||^2, argmax
+        self.book_norm2 = (self.books * self.books).sum(axis=2)  # (s, c)
+
+    def _encode(self, m: np.ndarray) -> np.ndarray:
+        n_sub, _, dsub = self.books.shape
+        codes = np.empty((len(m), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            sub = m[:, s * dsub:(s + 1) * dsub]
+            codes[:, s] = np.argmax(
+                sub @ self.books[s].T - 0.5 * self.book_norm2[s], axis=1
+            )
+        return codes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        if len(df) == 0:
+            return pd.DataFrame(out)
+        m = _normalize(_batch_matrix(df))
+        codes = self._encode(m)
+        n_sub = self.books.shape[0]
+        # ADC: approx[qi, i] = sum_s lut[qi, s, codes[i, s]]
+        approx = np.zeros((self.q.shape[0], len(m)))
+        for s in range(n_sub):
+            approx += self.lut[:, s, codes[:, s]]
+        vec_ids = df["vec_id"].to_numpy()
+        r = min(self.rerank, len(m))
+        for qi in range(self.q.shape[0]):
+            # candidate pool by ADC score (vec_id tie-break for
+            # determinism), then exact re-rank inside the pool
+            cand = _topk_tiebreak(approx[qi], vec_ids, r)
+            true = m[cand] @ self.q[qi]
+            idx = _topk_tiebreak(true, vec_ids[cand], self.k)
+            sel = cand[idx]
+            out["query_id"].extend([qi] * len(sel))
+            out["vec_id"].extend(vec_ids[sel])
+            out["sim"].extend(m[sel] @ self.q[qi])
+        return pd.DataFrame(out)
+
+
+def pq_topk(
+    embeddings,
+    queries: np.ndarray,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 32,
+    rerank: int = 1 << 30,
+    sample_n: int = 2048,
+) -> pd.DataFrame:
+    """Approximate top-k via product quantization (ADC) with exact
+    re-rank. Default ``rerank`` covers every batch row = exact (the
+    oracle identity); pass a small ``rerank`` for the approximate
+    regime (recall tests + probe)."""
+    sample, embeddings = _fit_sample_df(embeddings, sample_n)
+    books = pq_fit(_batch_matrix(sample), n_sub=n_sub, n_codes=n_codes)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    bref = ray.put(books)
+    from .stagecache import task_stage
+
+    partials = embeddings.map_batches(
+        task_stage(PQSearcher, query_ref=qref, books_ref=bref, k=k,
+                   rerank=rerank),
+        batch_format="pandas",
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    partials = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    return (
+        partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    )
+
+
 class _AssignWithAngle:
     """Tag each vector with its nearest centroid bucket and its angle
     to that centroid (radians) — the radius input for bucket-pair

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "simhash_pairs",
     "embed_dup_pairs",
     "rate_limit_tokens",

@@ -1280,3 +1280,47 @@ def test_sample_exact_k_per_group_block_independence(ray_session):
     assert (got["g"] == "big").sum() == 10
     assert (got["g"] == "tiny").sum() == 10  # only 10 tiny rows exist
     assert set(got.loc[got["g"] == "tiny", "doc_id"]) == set(range(90, 100))
+
+
+def test_pq_full_rerank_equals_brute(ray_session):
+    """PQ with a full-coverage re-rank must be bit-identical to brute
+    force (the oracle identity), across block layouts."""
+    import ray.data as rd
+
+    from beats_ray.dataops.ann import brute_topk, pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    ).repartition(5)
+    q = vecs[:4].astype(np.float64)
+    exact = brute_topk(ds, q, k=10).reset_index(drop=True)
+    pq = pq_topk(ds, q, k=10, n_sub=4, n_codes=16).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id"]], pq[["query_id", "vec_id"]]
+    )
+
+
+def test_pq_small_rerank_recall_reasonable(ray_session):
+    """The approximate regime: a 40-candidate re-rank pool out of 300
+    rows still recovers most of the true top-10 (ADC ordering is a
+    useful signal, not noise)."""
+    import ray.data as rd
+
+    from beats_ray.dataops.ann import brute_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[:4].astype(np.float64)
+    exact = brute_topk(ds, q, k=10)
+    approx = pq_topk(ds, q, k=10, n_sub=4, n_codes=16, rerank=40)
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6

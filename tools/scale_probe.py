@@ -436,12 +436,23 @@ def probe_ann_recall() -> dict:
         res = lsh_topk(ds, queries, k=k, n_planes=8, n_probe=n_probe)
         lsh_rows.append({"n_probe": n_probe, "recall": recall(res),
                          "wall_s": round(time.time() - t0, 2)})
+    from beats_ray.dataops.ann import pq_topk
+
+    pq_rows = []
+    for rerank in (50, 200, 1000, 1 << 30):
+        t0 = time.time()
+        res = pq_topk(ds, queries, k=k, n_sub=8, n_codes=32, rerank=rerank,
+                      sample_n=4096)
+        pq_rows.append({"rerank": min(rerank, n), "recall": recall(res),
+                        "wall_s": round(time.time() - t0, 2)})
     return {
         "probe": "ann_recall", "n_vectors": n, "dim": dim, "k": k,
         "n_queries": len(qids), "brute_wall_s": brute_wall,
         "ivf_n_clusters_32": ivf_rows, "lsh_n_planes_8": lsh_rows,
+        "pq_8sub_32codes": pq_rows,
         "full_probe_exact": bool(
             ivf_rows[-1]["recall"] == 1.0 and lsh_rows[-1]["recall"] == 1.0
+            and pq_rows[-1]["recall"] == 1.0
         ),
     }
 
