@@ -1324,3 +1324,50 @@ def test_pq_small_rerank_recall_reasonable(ray_session):
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
+
+
+def test_boilerplate_lines_randomized_vs_pandas(ray_session):
+    """Randomized cross-check of BOTH apply paths against a
+    straightforward pandas reference over corpora with repeated lines,
+    blanks, empty docs, and multi-row documents."""
+    import ray.data as rd
+
+    from beats_ray.dataops.textnorm import remove_boilerplate_lines
+
+    rng = np.random.RandomState(1234)
+    pool = [f"line {i}" for i in range(12)] + ["", "  ", "dup dup"]
+    for trial in range(3):
+        rows = []
+        for r in range(120):
+            n = rng.randint(0, 5)
+            text = "\n".join(rng.choice(pool) for _ in range(n))
+            rows.append({"conv_id": f"c{rng.randint(0, 25)}",
+                         "turn_idx": r, "text": text})
+        df = pd.DataFrame(rows)
+        min_docs = int(rng.randint(2, 6))
+
+        # pandas reference: distinct-conv counts per nonblank line
+        ex = df.assign(line=df["text"].str.split("\n")).explode("line")
+        ex = ex[ex["line"].notna()]
+        nb = ex[ex["line"] != ""]
+        bad = set(
+            nb.groupby("line")["conv_id"].nunique()
+            .loc[lambda s: s >= min_docs].index
+        )
+
+        def clean(t):
+            ls = t.split("\n")
+            kept = [l for l in ls if l == "" or l not in bad]
+            return "\n".join(kept), len(ls) - len(kept)
+
+        expect = {
+            (r.conv_id, r.turn_idx): clean(r.text) for r in df.itertuples()
+        }
+        ds = rd.from_pandas(df).repartition(6)
+        for limit in (10_000, 0):
+            out = remove_boilerplate_lines(
+                ds, min_docs=min_docs, broadcast_limit=limit
+            ).to_pandas()
+            got = {(r.conv_id, r.turn_idx): (r.clean_text, int(r.n_removed))
+                   for r in out.itertuples()}
+            assert got == expect, f"trial {trial} limit {limit}"
