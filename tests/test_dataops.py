@@ -1371,3 +1371,35 @@ def test_boilerplate_lines_randomized_vs_pandas(ray_session):
             got = {(r.conv_id, r.turn_idx): (r.clean_text, int(r.n_removed))
                    for r in out.itertuples()}
             assert got == expect, f"trial {trial} limit {limit}"
+
+
+def test_sample_exact_k_per_group_randomized_vs_pandas(ray_session):
+    """Randomized cross-check vs the PARTITION-BY row_number reference
+    (same md5-64 hash), across group skew and block layouts."""
+    import hashlib
+
+    import ray.data as rd
+
+    from beats_ray.dataops.sampling import sample_exact_k_per_group
+
+    rng = np.random.RandomState(99)
+    for trial in range(3):
+        n = 200
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype="int64"),
+            "g": rng.choice(["a", "b", "c", "rare"],
+                            p=[0.6, 0.25, 0.13, 0.02], size=n),
+        })
+        k = int(rng.randint(1, 15))
+        h = df["doc_id"].map(
+            lambda v: int.from_bytes(
+                hashlib.md5(f"xk:{v}".encode()).digest()[:8], "big")
+        )
+        ref = (df.assign(_h=h)
+                 .sort_values(["_h", "doc_id"])
+                 .groupby("g").head(k)[["doc_id", "g"]])
+        expect = set(map(tuple, ref.itertuples(index=False)))
+        ds = rd.from_pandas(df).repartition(int(rng.randint(1, 9)))
+        out = sample_exact_k_per_group(ds, k, group="g").to_pandas()
+        got = set(map(tuple, out[["doc_id", "g"]].itertuples(index=False)))
+        assert got == expect, f"trial {trial} k={k}"
