@@ -800,6 +800,29 @@ def q_hll_distinct_convs(sf_dir: str):
             .sort_values("role").reset_index(drop=True))
 
 
+def q_bloom_contamination(sf_dir: str):
+    """Bloom-filter contamination screen: the probe set (docs 0-4, same
+    as contamination_screen) compresses to a 4096-bit filter that ships
+    once; hits INCLUDE the filter's deterministic false positives, which
+    the oracle reproduces bit-for-bit from the same md5 positions."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.sketches import bloom_contamination_screen
+
+    probe = (
+        _table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()["text"]
+        .tolist()
+    )
+    return bloom_contamination_screen(
+        _table(sf_dir, "documents", ["doc_id", "text"]), probe,
+        k_hashes=4, m_bits=4096,
+    )
+
+
 def q_gopher_quality_docs(sf_dir: str):
     """Gopher-rule quality screen (Rae et al. 2021 heuristics): every
     metric a pyarrow C++ counting kernel, every rule an integer
@@ -2156,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_clean_turns": q_boilerplate_clean_turns,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
+        "bloom_contamination": q_bloom_contamination,
         "top_words": q_top_words,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
@@ -2468,6 +2492,50 @@ FROM (
          unnest(generate_series(0, duration_ms - 1, 500)) AS frame_ms
   FROM media WHERE kind = 'video'
 )
+"""
+
+
+def _bloom_contamination_sql() -> str:
+    # same shingle extraction as _contamination_sql, but membership is
+    # the 4-position Bloom test against the probe's 4096-bit filter —
+    # false positives and all (position math is md5-derived on both
+    # sides, so the bit patterns are identical)
+    pos = ("('0x'||substr(md5(CAST(j AS VARCHAR)||':'||{v}),1,16))::UBIGINT"
+           " % 4096")
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in generate_series(1, len(w)-2)])
+    END AS ss
+  FROM ws
+),
+pshingle AS (
+  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE doc_id < 5
+),
+pbits AS (
+  SELECT list_distinct(flatten(list(
+           [{pos.format(v='s')} for j in generate_series(1, 4)]))) AS bits
+  FROM pshingle
+)
+SELECT d.doc_id,
+       CAST(len(d.ss) AS BIGINT) AS n_ngrams,
+       CAST(len(list_filter(d.ss, x -> list_has_all(p.bits,
+              [{pos.format(v='x')} for j in generate_series(1, 4)])))
+            AS BIGINT) AS n_bloom_hits,
+       (len(list_filter(d.ss, x -> list_has_all(p.bits,
+              [{pos.format(v='x')} for j in generate_series(1, 4)]))) * 2
+        >= greatest(len(d.ss), 1)) AS contaminated
+FROM sh d CROSS JOIN pbits p
 """
 
 
@@ -3414,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(6),
         "lang_id": _lang_id_sql(),
         "contamination_screen": _contamination_sql(),
+        "bloom_contamination": _bloom_contamination_sql(),
         # media plumbing: input bytes inlined, feature math replayed in SQL
         "media_features": _media_features_sql(),
         "frame_samples": _frame_samples_sql(),

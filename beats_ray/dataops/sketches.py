@@ -155,3 +155,124 @@ def hll_sql(source_sql: str, key_expr: str, by: list[str],
                               AS BIGINT)
                     ELSE raw END AS approx_distinct
         FROM est"""
+
+
+# ------------------------------------------------------- Bloom contamination
+#
+# The contamination screen's exact probe set ships every distinct probe
+# shingle hash; at benchmark-suite scale (hundreds of eval sets, 10^8
+# probe n-grams) the broadcast payload itself becomes the bottleneck. A
+# Bloom filter caps it at m bits regardless of probe size, at the cost
+# of a bounded false-positive rate — the standard trade for
+# decontamination sweeps. Everything is md5-derived so the SQL oracle
+# replays the EXACT bit pattern (same positions, same false positives):
+# position_j(shingle) = md5-64("j:shingle") % m, replayed as
+# ('0x'||substr(md5(CAST(j AS VARCHAR)||':'||s),1,16))::UBIGINT % m.
+
+
+def _shingle_strings(text: str, k: int = 3) -> list[str]:
+    """Distinct word-k-gram STRINGS (lowercased, ws-token split) — the
+    string-identity twin of dedup.word_shingles (which returns hashes);
+    same <k-words fallback so the two screens agree on n_ngrams."""
+    from .dedup import ws_tokens
+
+    words = ws_tokens(text.lower())
+    if not words:
+        return []
+    if len(words) < k:
+        return [" ".join(words)]
+    return list({" ".join(words[i:i + k]) for i in range(len(words) - k + 1)})
+
+
+def bloom_positions(shingle: str, k_hashes: int, m_bits: int) -> list[int]:
+    """The k bit positions of a shingle (j is 1-based, matching the SQL
+    ``generate_series(1, k)``)."""
+    from .dedup import _stable_hash64
+
+    return [_stable_hash64(f"{j}:{shingle}") % m_bits
+            for j in range(1, k_hashes + 1)]
+
+
+def bloom_build(probe_texts: list[str], k_hashes: int = 4,
+                m_bits: int = 4096, shingle_k: int = 3) -> np.ndarray:
+    """Sorted array of SET bit positions of the probe Bloom filter —
+    at most m_bits int64s however large the probe corpus is."""
+    bits: set[int] = set()
+    for t in probe_texts:
+        for s in _shingle_strings(t, shingle_k):
+            bits.update(bloom_positions(s, k_hashes, m_bits))
+    return np.sort(np.fromiter(bits, dtype=np.int64, count=len(bits)))
+
+
+class BloomScreen:
+    """Per-batch screen (cached task): the sorted bit array resolves
+    once per worker; each DISTINCT shingle in the batch is hashed once
+    and membership is one vectorized searchsorted."""
+
+    def __init__(self, bits_ref, k_hashes: int, m_bits: int,
+                 shingle_k: int, p: int, q: int):
+        import ray as _ray
+
+        b = (_ray.get(bits_ref) if isinstance(bits_ref, _ray.ObjectRef)
+             else bits_ref)
+        self.bits = np.asarray(b, dtype=np.int64)
+        self.k_hashes = k_hashes
+        self.m_bits = m_bits
+        self.shingle_k = shingle_k
+        self.p, self.q = p, q
+
+    def _member_all(self, shingles: list[str]) -> np.ndarray:
+        """hit[i] = every position of shingles[i] is set."""
+        if not shingles:
+            return np.zeros(0, dtype=bool)
+        pos = np.array(
+            [bloom_positions(s, self.k_hashes, self.m_bits)
+             for s in shingles], dtype=np.int64,
+        )  # (n, k)
+        if len(self.bits) == 0:
+            return np.zeros(len(shingles), dtype=bool)
+        idx = np.clip(np.searchsorted(self.bits, pos), 0,
+                      len(self.bits) - 1)
+        return (self.bits[idx] == pos).all(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # batch-level shingle dedup: hash each distinct shingle once
+        per_doc = [
+            _shingle_strings(t, self.shingle_k)
+            for t in df["text"].fillna("")
+        ]
+        uniq = sorted({s for ss in per_doc for s in ss})
+        hit = dict(zip(uniq, self._member_all(uniq)))
+        n_ngrams = np.array([len(ss) for ss in per_doc], dtype=np.int64)
+        n_hits = np.array(
+            [sum(hit[s] for s in ss) for ss in per_doc], dtype=np.int64
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_ngrams": n_ngrams,
+            "n_bloom_hits": n_hits,
+            "contaminated": n_hits * self.q >= np.maximum(n_ngrams, 1) * self.p,
+        })
+
+
+def bloom_contamination_screen(docs, probe_texts: list[str],
+                               k_hashes: int = 4, m_bits: int = 4096,
+                               shingle_k: int = 3,
+                               threshold: float = 0.5):
+    """Flag documents whose word-k-gram Bloom-hit ratio against the
+    probe corpus exceeds ``threshold`` (integer-exact comparison). The
+    m-bit filter ships once via ``ray.put``; false positives are a
+    DETERMINISTIC function of the md5 positions, so the SQL oracle
+    reproduces them bit-for-bit."""
+    import ray as _ray
+
+    from .dedup import threshold_fraction
+    from .stagecache import task_stage
+
+    p, q = threshold_fraction(threshold)
+    ref = _ray.put(bloom_build(probe_texts, k_hashes, m_bits, shingle_k))
+    return docs.map_batches(
+        task_stage(BloomScreen, bits_ref=ref, k_hashes=k_hashes,
+                   m_bits=m_bits, shingle_k=shingle_k, p=p, q=q),
+        batch_format="pandas",
+    )

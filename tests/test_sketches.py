@@ -107,3 +107,47 @@ def test_nulls_dropped_both_sides(ray_session):
     ora = con.execute(hll_sql("t", "k", ["g"])).fetchdf()
     assert got["approx_distinct"].tolist() == ora["approx_distinct"].tolist()
     assert int(got["approx_distinct"].iloc[0]) >= 1
+
+
+def test_bloom_screen_superset_of_exact_membership(ray_session):
+    """Every shingle literally present in the probe must hit the Bloom
+    filter (no false negatives); hits are >= the exact string-set hits
+    on every doc; and a tiny filter (m=64) on a big probe produces
+    false positives — demonstrating the trade the op exists to make."""
+    import ray.data as rd
+
+    from beats_ray.dataops.sketches import (
+        BloomScreen, _shingle_strings, bloom_build,
+        bloom_contamination_screen,
+    )
+
+    probe = ["alpha beta gamma delta", "one two three four five"]
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},       # fully in
+        {"doc_id": 1, "text": "unrelated words entirely here"},
+        {"doc_id": 2, "text": "one two three nine ten eleven"},  # partial
+        {"doc_id": 3, "text": ""},
+    ]
+    ds = rd.from_items(docs)
+    out = bloom_contamination_screen(
+        ds, probe, k_hashes=4, m_bits=4096
+    ).to_pandas().set_index("doc_id").sort_index()
+    # exact string-membership reference
+    pset = {s for t in probe for s in _shingle_strings(t)}
+    for d in docs:
+        exact = sum(s in pset for s in _shingle_strings(d["text"]))
+        assert out.loc[d["doc_id"], "n_bloom_hits"] >= exact
+    assert bool(out.loc[0, "contaminated"])          # no false negatives
+    assert out.loc[3, "n_ngrams"] == 0 and not bool(out.loc[3, "contaminated"])
+
+    # false positives exist at m=64 with a probe that sets most bits
+    big_probe = [" ".join(f"p{i} p{i+1} p{i+2}" for i in range(40))]
+    bits = bloom_build(big_probe, k_hashes=4, m_bits=64)
+    scr = BloomScreen(bits, k_hashes=4, m_bits=64, shingle_k=3, p=1, q=2)
+    import pandas as pd
+
+    foreign = pd.DataFrame(
+        {"doc_id": [9], "text": ["zz yy xx ww vv uu tt ss rr qq"]}
+    )
+    res = scr(foreign)
+    assert res.loc[0, "n_bloom_hits"] > 0  # FP pressure at 64 bits
