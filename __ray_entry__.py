@@ -501,6 +501,41 @@ def q_sessionize(sf_dir: str):
     return sessionize(_table(sf_dir, "events", ["user_id", "ts"], blocks=16))
 
 
+def q_event_session_windows(sf_dir: str):
+    """Range join (interval containment): derive per-user session
+    windows (flow_sessions, 1800 s gap), then join every event back to
+    its containing window — the windows are a separate Dataset, so this
+    is a genuine two-sided interval join (one co-locating shuffle, a
+    vectorized merge_asof + end filter per bucket), not a window
+    function."""
+    from beats_ray.dataops.flows import flow_sessions
+    from beats_ray.dataops.joins import range_join
+
+    ev = _table(sf_dir, "events", ["event_id", "user_id", "ts"], blocks=16)
+
+    def to_sec(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id"]].copy()
+        # same floored-seconds convention as flow_sessions
+        out["sec"] = df["ts"].astype("datetime64[s]").astype("int64")
+        return out
+
+    evs = ev.map_batches(to_sec, batch_format="pandas")
+    wins = flow_sessions(
+        ev.drop_columns(["event_id"]), key_cols=("user_id",),
+        timeout_s=1800,
+    )
+    joined = range_join(evs, wins, key="user_id", ts_col="sec")
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket union pads each side's columns with nulls (ints
+        # float in pandas); inner containment means no null survives,
+        # so the cast back is lossless
+        cols = ["event_id", "user_id", "sec", "start_s", "end_s", "n"]
+        return df[cols].astype("int64")
+
+    return joined.map_batches(cast, batch_format="pandas")
+
+
 def q_top_users(sf_dir: str):
     from beats_ray.dataops.flows import top_k_users
 
@@ -2135,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_agg": q_flow_agg,
         "flow_sessions": q_flow_sessions,
         "sessionize": q_sessionize,
+        "event_session_windows": q_event_session_windows,
         "top_users": q_top_users,
         "events_type_counts": q_events_type_counts,
         "tpch_q1": q_tpch_q1,
@@ -2985,6 +3021,26 @@ def oracle_sql() -> dict[str, str]:
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
                   FROM events)
             GROUP BY user_id""",
+        "event_session_windows": """
+            WITH s AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS nf
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), f AS (
+              SELECT *, SUM(nf) OVER (
+                PARTITION BY user_id ORDER BY sec
+                ROWS UNBOUNDED PRECEDING) AS fid
+              FROM s
+            )
+            SELECT event_id, user_id, sec,
+                   CAST(min(sec) OVER p AS BIGINT) AS start_s,
+                   CAST(max(sec) OVER p AS BIGINT) AS end_s,
+                   CAST(count(*) OVER p AS BIGINT) AS n
+            FROM f WINDOW p AS (PARTITION BY user_id, fid)""",
         "top_users": """
             SELECT user_id, COUNT(*) AS n FROM events
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""",

@@ -382,6 +382,93 @@ def asof_join(left, right, key: str, ts_col: str = "ts", buckets: int = 32,
     return both.groupby("_jb").map_groups(merge, batch_format="pandas")
 
 
+def range_join(left, intervals, key: str, ts_col: str,
+               start_col: str = "start_s", end_col: str = "end_s",
+               buckets: int = 32, how: str = "inner",
+               assume_disjoint: bool = True, suffix: str = "_r"):
+    """Interval-containment join: each left row matches interval rows of
+    the same ``key`` with ``start <= ts <= end`` (closed ends — an event
+    on a window boundary belongs to the window). One co-locating shuffle
+    on the key, like the other bucket joins.
+
+    ``assume_disjoint=True`` (per-key non-overlapping intervals — session
+    windows, maintenance windows): per bucket, ONE vectorized
+    ``pd.merge_asof`` backward on the interval start picks the only
+    candidate, and a containment filter on the end closes the range —
+    no per-key Python. With ``assume_disjoint=False`` (overlapping
+    intervals) the bucket falls back to a key-equi merge + containment
+    filter, emitting EVERY containing interval (output is cross-of-
+    containing, inherently |matches|-sized).
+
+    ``how``: 'inner' drops uncontained left rows; 'left' keeps them with
+    null interval columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    left = coalesce_if_fragmented(left, 4 * buckets)
+    intervals = coalesce_if_fragmented(intervals, 4 * buckets)
+    left_cols = list(left.schema().names)
+    right_cols = list(intervals.schema().names)
+    types = _combined_types(left, intervals)
+    l_tag = _with_bucket(left, key, buckets, "l", all_types=types)
+    r_tag = _with_bucket(intervals, key, buckets, "r", all_types=types)
+    both = l_tag.union(r_tag)
+    out_right = [c + (suffix if c in left_cols and c != key else "")
+                 for c in right_cols if c != key]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["_side"] == "l", left_cols]
+        rg = g.loc[g["_side"] == "r", right_cols]
+        empty_cols = left_cols + out_right
+        if lg.empty:
+            return pd.DataFrame(columns=empty_cols)
+        if rg.empty:
+            if how == "inner":
+                return pd.DataFrame(columns=empty_cols)
+            out = lg.copy()
+            for c in out_right:
+                out[c] = None
+            return out
+        if assume_disjoint:
+            lg = lg.sort_values(ts_col, kind="mergesort")
+            rg = rg.sort_values(start_col, kind="mergesort")
+            out = pd.merge_asof(
+                lg, rg, left_on=ts_col, right_on=start_col, by=key,
+                direction="backward", suffixes=("", suffix),
+            )
+            end = out[end_col + suffix if end_col in left_cols else end_col]
+            contained = end.notna() & (out[ts_col] <= end)
+        else:
+            lg = lg.reset_index(drop=True)
+            lg["_lpos"] = range(len(lg))
+            out = lg.merge(rg, on=key, how="left", suffixes=("", suffix))
+            sc = start_col + suffix if start_col in left_cols else start_col
+            ec = end_col + suffix if end_col in left_cols else end_col
+            contained = (out[sc].notna() & (out[sc] <= out[ts_col])
+                         & (out[ts_col] <= out[ec]))
+        if how == "inner":
+            return (out[contained].reset_index(drop=True)
+                    .drop(columns=["_lpos"], errors="ignore"))
+        kept = out[contained]
+        # left: each uncontained left ROW survives once with nulled
+        # interval columns (row identity by position — duplicate left
+        # rows each survive independently)
+        if assume_disjoint:
+            miss = out[~contained].copy()  # asof: one out row per left row
+        else:
+            hit_pos = set(out.loc[contained, "_lpos"])
+            miss = lg[~lg["_lpos"].isin(hit_pos)].copy()
+        for c in out_right:
+            miss[c] = None
+        res = pd.concat(
+            [kept, miss[left_cols + ["_lpos"] + out_right]
+             if "_lpos" in miss.columns else miss[left_cols + out_right]],
+            ignore_index=True,
+        )
+        return res.drop(columns=["_lpos"], errors="ignore")
+
+    return both.groupby("_jb").map_groups(merge, batch_format="pandas")
+
+
 def bucket_semi_join(left, keys, on: str, anti: bool = False,
                      buckets: int = 32):
     """Distributed semi/anti join: ``keys`` is a DATASET of join keys

@@ -1403,3 +1403,64 @@ def test_sample_exact_k_per_group_randomized_vs_pandas(ray_session):
         out = sample_exact_k_per_group(ds, k, group="g").to_pandas()
         got = set(map(tuple, out[["doc_id", "g"]].itertuples(index=False)))
         assert got == expect, f"trial {trial} k={k}"
+
+
+def _range_join_brute(ldf, rdf, key, ts, how="inner"):
+    out = ldf.merge(rdf, on=key, how="left")
+    c = out["start_s"].notna() & (out["start_s"] <= out[ts]) & (out[ts] <= out["end_s"])
+    hit = out[c]
+    if how == "inner":
+        return hit
+    miss = ldf.merge(hit[ldf.columns].drop_duplicates(), how="left",
+                     indicator=True)
+    miss = miss[miss["_merge"] == "left_only"].drop(columns="_merge")
+    for col in ("start_s", "end_s", "win"):
+        if col in rdf.columns:
+            miss[col] = None
+    return pd.concat([hit, miss], ignore_index=True)
+
+
+def test_range_join_disjoint_and_overlapping_vs_brute(ray_session):
+    import ray.data as rd
+
+    from beats_ray.dataops.joins import range_join
+
+    rng = np.random.RandomState(5)
+    ldf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 60),
+        "ts": rng.randint(0, 100, 60).astype("int64"),
+        "eid": np.arange(60, dtype="int64"),
+    })
+    # disjoint windows per key
+    win_rows = []
+    for k in "abc":
+        for i, (s0, e0) in enumerate([(0, 20), (30, 55), (70, 90)]):
+            win_rows.append({"k": k, "start_s": s0, "end_s": e0,
+                             "win": f"{k}{i}"})
+    rdf = pd.DataFrame(win_rows).astype({"start_s": "int64", "end_s": "int64"})
+    lds, rds = rd.from_pandas(ldf).repartition(4), rd.from_pandas(rdf)
+    for how in ("inner", "left"):
+        got = range_join(lds, rds, key="k", ts_col="ts", how=how,
+                         buckets=4).to_pandas()
+        exp = _range_join_brute(ldf, rdf, "k", "ts", how)
+        g = got.sort_values(["eid"]).reset_index(drop=True)
+        e = exp.sort_values(["eid"]).reset_index(drop=True)
+        assert len(g) == len(e), how
+        pd.testing.assert_series_equal(
+            g["eid"].astype("int64"), e["eid"].astype("int64"),
+            check_names=False)
+        m = g["win"].notna()
+        assert (g.loc[m, "win"].to_numpy() == e.loc[m.to_numpy(), "win"].to_numpy()).all()
+
+    # overlapping windows: every containing interval matches
+    rdf2 = pd.DataFrame([
+        {"k": k, "start_s": s0, "end_s": e0, "win": f"{k}{i}"}
+        for k in "abc"
+        for i, (s0, e0) in enumerate([(0, 50), (25, 75), (60, 99)])
+    ]).astype({"start_s": "int64", "end_s": "int64"})
+    got = range_join(lds, rd.from_pandas(rdf2), key="k", ts_col="ts",
+                     how="inner", assume_disjoint=False,
+                     buckets=4).to_pandas()
+    exp = _range_join_brute(ldf, rdf2, "k", "ts", "inner")
+    assert sorted(map(tuple, got[["eid", "win"]].itertuples(index=False))) == \
+           sorted(map(tuple, exp[["eid", "win"]].itertuples(index=False)))
