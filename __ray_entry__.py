@@ -858,6 +858,48 @@ def q_bloom_contamination(sf_dir: str):
     )
 
 
+def q_cms_word_counts(sf_dir: str):
+    """Count-Min word-frequency estimates for a bounded probe set (the
+    distinct words of doc 0), exact counts beside them as evidence. The
+    merged grid is d*w = 4096 counters however large the corpus — the
+    fixed-memory heavy-hitter summary; the oracle replays the exact
+    grid (same md5 positions, same collisions) in SQL."""
+    from beats_ray.dataops.agg import map_buckets
+    from beats_ray.dataops.dedup import ws_tokens
+    from beats_ray.dataops.sketches import cms_build, cms_estimate
+
+    import pyarrow.compute as pc
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+    probe_texts = (
+        docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 1)),
+            batch_format="pyarrow",
+        ).to_pandas()["text"].tolist()
+    )
+    words = sorted({w for t in probe_texts for w in ws_tokens(t.lower())})
+    est = cms_estimate(cms_build(docs), words)
+
+    wset = set(words)
+
+    def count_probe(df: pd.DataFrame) -> pd.DataFrame:
+        flat = (df["text"].fillna("").str.lower().map(ws_tokens)
+                .explode().dropna())
+        flat = flat[flat.isin(wset)]
+        vc = flat.value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "exact_n": vc.to_numpy()})
+
+    exact = map_buckets(
+        docs.map_batches(count_probe, batch_format="pandas"), "word",
+        lambda g: g.groupby("word", as_index=False)["exact_n"].sum(),
+        buckets=4,
+    ).to_pandas()
+    out = est.merge(exact, on="word", how="left")
+    out["exact_n"] = out["exact_n"].fillna(0).astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
 def q_gopher_quality_docs(sf_dir: str):
     """Gopher-rule quality screen (Rae et al. 2021 heuristics): every
     metric a pyarrow C++ counting kernel, every rule an integer
@@ -2216,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
+        "cms_word_counts": q_cms_word_counts,
         "top_words": q_top_words,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
@@ -3539,6 +3582,37 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "contamination_screen": _contamination_sql(),
         "bloom_contamination": _bloom_contamination_sql(),
+        "cms_word_counts": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '')) AS word
+              FROM documents
+            ),
+            cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+            js AS (SELECT unnest(generate_series(1, 4)) AS j),
+            grid AS (
+              SELECT j,
+                     ('0x'||substr(md5(CAST(j AS VARCHAR)||':'||word),1,16))::UBIGINT % 1024 AS pos,
+                     SUM(c) AS n
+              FROM cnt CROSS JOIN js GROUP BY j, pos
+            ),
+            probe AS (
+              SELECT DISTINCT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '')) AS word
+              FROM documents WHERE doc_id < 1
+            ),
+            est AS (
+              SELECT p.word, MIN(COALESCE(g.n, 0)) AS est_n
+              FROM probe p CROSS JOIN js
+              LEFT JOIN grid g ON g.j = js.j AND g.pos =
+                ('0x'||substr(md5(CAST(js.j AS VARCHAR)||':'||p.word),1,16))::UBIGINT % 1024
+              GROUP BY p.word
+            )
+            SELECT e.word, CAST(e.est_n AS BIGINT) AS est_n,
+                   CAST(COALESCE(c.c, 0) AS BIGINT) AS exact_n
+            FROM est e LEFT JOIN cnt c ON c.word = e.word""",
         # media plumbing: input bytes inlined, feature math replayed in SQL
         "media_features": _media_features_sql(),
         "frame_samples": _frame_samples_sql(),

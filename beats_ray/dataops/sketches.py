@@ -276,3 +276,90 @@ def bloom_contamination_screen(docs, probe_texts: list[str],
                    m_bits=m_bits, shingle_k=shingle_k, p=p, q=q),
         batch_format="pandas",
     )
+
+
+# ------------------------------------------------------------- Count-Min
+#
+# Heavy-hitter frequency estimation with FIXED memory: a d×w counter
+# grid. Each occurrence of a word increments d counters (one per hash
+# row); est(word) = min_j grid[j][pos_j(word)] >= true count, with the
+# overshoot bounded by (e/w)·total. Distribution shape mirrors HLL:
+# per-batch fold to (row, pos, n) partials (md5 once per DISTINCT word
+# per batch, counts vectorized), ONE co-locating shuffle sums them, and
+# the merged grid is a BOUNDED d×w table (4096 rows at the defaults) —
+# legitimately driver-sized however large the corpus. Positions are
+# md5-derived: pos_j(word) = md5-64("j:word") % w, the same expression
+# the SQL oracle computes.
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_fold_words(docs, text_col: str = "text", depth: int = CMS_DEPTH,
+                   width: int = CMS_WIDTH):
+    """Dataset[(row, pos, n)] partial counters over the corpus's words
+    (ws-token split of lower(text), WITH multiplicity)."""
+    from .dedup import _stable_hash64, ws_tokens
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].fillna("").str.lower().map(ws_tokens)
+        flat = words.explode().dropna()
+        if flat.empty:
+            return pd.DataFrame({"row": pd.array([], dtype="int64"),
+                                 "pos": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        counts = flat.value_counts()  # distinct word -> multiplicity
+        uniq = counts.index.to_numpy()
+        n = counts.to_numpy()
+        rows, poss, ns = [], [], []
+        for j in range(1, depth + 1):
+            pos = np.fromiter(
+                (_stable_hash64(f"{j}:{w}") % width for w in uniq),
+                dtype=np.int64, count=len(uniq))
+            rows.append(np.full(len(uniq), j, dtype=np.int64))
+            poss.append(pos)
+            ns.append(n)
+        out = pd.DataFrame({"row": np.concatenate(rows),
+                            "pos": np.concatenate(poss),
+                            "n": np.concatenate(ns)})
+        # collapse per-batch collisions so the shuffle moves <= d*w rows
+        return out.groupby(["row", "pos"], as_index=False)["n"].sum()
+
+    return docs.map_batches(fold, batch_format="pandas")
+
+
+def cms_build(docs, text_col: str = "text", depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH, buckets: int = 8) -> np.ndarray:
+    """The merged d×w grid as a dense numpy array — bounded, so the
+    driver collect is O(d·w) regardless of corpus size."""
+    from .agg import map_buckets
+
+    partials = cms_fold_words(docs, text_col, depth, width)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["row", "pos"], as_index=False)["n"].sum()
+
+    merged = map_buckets(partials, "pos", combine, buckets=buckets).to_pandas()
+    grid = np.zeros((depth + 1, width), dtype=np.int64)  # row is 1-based
+    if len(merged):
+        grid[merged["row"].to_numpy(), merged["pos"].to_numpy()] = (
+            merged["n"].to_numpy()
+        )
+    return grid
+
+
+def cms_estimate(grid: np.ndarray, words: list[str],
+                 width: int = CMS_WIDTH) -> pd.DataFrame:
+    """est(word) = min over rows of the word's counter."""
+    from .dedup import _stable_hash64
+
+    depth = grid.shape[0] - 1
+    ests = []
+    for w in words:
+        ests.append(min(
+            int(grid[j, _stable_hash64(f"{j}:{w}") % width])
+            for j in range(1, depth + 1)
+        ))
+    return pd.DataFrame({"word": words,
+                         "est_n": pd.array(ests, dtype="int64")})

@@ -151,3 +151,27 @@ def test_bloom_screen_superset_of_exact_membership(ray_session):
     )
     res = scr(foreign)
     assert res.loc[0, "n_bloom_hits"] > 0  # FP pressure at 64 bits
+
+
+def test_cms_overestimates_never_under(ray_session):
+    """CMS guarantee: est >= exact for every word; on a narrow grid the
+    overshoot is visible; est == exact when the grid is wide enough
+    that no probe word collides."""
+    import ray.data as rd
+
+    from beats_ray.dataops.sketches import cms_build, cms_estimate
+
+    rows = [{"doc_id": i, "text": "alpha beta " * (i + 1)} for i in range(5)]
+    rows.append({"doc_id": 9, "text": "gamma"})
+    ds = rd.from_items(rows)
+    # exact: alpha=beta=1+2+3+4+5=15, gamma=1
+    grid = cms_build(ds, width=1024)
+    est = cms_estimate(grid, ["alpha", "beta", "gamma", "absent"],
+                       width=1024).set_index("word")["est_n"]
+    assert est["alpha"] >= 15 and est["beta"] >= 15 and est["gamma"] >= 1
+    assert est["alpha"] == 15  # 3 words in 4x1024: no collision
+    assert est["absent"] >= 0
+    # narrow grid: collisions inflate, never deflate
+    g2 = cms_build(ds, width=2)
+    e2 = cms_estimate(g2, ["alpha", "beta", "gamma"], width=2)
+    assert (e2["est_n"] >= pd.Series([15, 15, 1])).all()
