@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "hll_distinct_convs",
     "token_budget_docs",
     "boilerplate_clean_turns",
+    "bloom_contamination",
+    "event_session_windows",
     "tfidf_top_terms",
     "inverted_index",
     "substring_dup_spans",
