@@ -1206,7 +1206,7 @@ def q_semantic_dedup_keep(sf_dir: str):
 
     from beats_ray.dataops.ann import embedding_cosine_dup_pairs
     from beats_ray.dataops.graph import dup_cluster_survivors
-    from beats_ray.dataops.joins import bucket_semi_join
+    from beats_ray.dataops.joins import bucket_semi_join, semi_join
 
     emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
     edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
@@ -1218,12 +1218,19 @@ def q_semantic_dedup_keep(sf_dir: str):
     keep = dup_cluster_survivors(edges, nodes, node_col="vec_id")
     keep = keep.map_batches(
         lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
-    )
+    ).materialize()  # tiny by construction; consumed twice below
     docs = _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    out = bucket_semi_join(docs, keep, on="doc_id", buckets=8).to_pandas()
-    # the semi-join's union pads the key side with nulls, floating
+    # survivor count is corpus-proportional in general (most docs are
+    # singleton clusters), so apply the repo's adaptive convention
+    # (dedup.py apply path): broadcast the keep set below the limit,
+    # fall back to the bucket shuffle when it is corpus-sized
+    if keep.count() <= 100_000:
+        out = semi_join(docs, keep.to_pandas(), on="doc_id").to_pandas()
+    else:
+        out = bucket_semi_join(docs, keep, on="doc_id", buckets=8).to_pandas()
+    # the bucket path's union pads the key side with nulls, floating
     # n_chars; every surviving row is a document row, so the cast is
-    # lossless
+    # lossless (a no-op on the broadcast path)
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
