@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
+
 from beats_ray.fixtures import (
     TOOL_LOOKUP,
     ROLE_LOOKUP,
@@ -2173,6 +2175,188 @@ def q_role_level_pivot(sf_dir: str):
     )
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-shaped: the 6-table local-supplier-volume chain.
+    region→nation prune as driver-side dims (tiny), customer⨝orders
+    and lineitem⨝(orders⨝customer) as bucket hash joins (both sides
+    grow with the corpus — no broadcast), supplier as a broadcast
+    suppkey→nationkey lookup (the smallest fact dim; ships once via
+    ray.put, probed with one searchsorted per batch), the same-nation
+    filter + per-nation partial aggregate fused into the join merge
+    task. Revenue in integer cents-of-cents (house exactness rule)."""
+    from beats_ray.dataops.joins import _resolve_ref, bucket_hash_join
+    from beats_ray.dataops.stagecache import task_stage
+
+    import pyarrow.compute as pc
+
+    nation = _table(sf_dir, "nation").to_pandas()
+    region = _table(sf_dir, "region").to_pandas()
+    asia_rk = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nsel = nation.loc[nation["n_regionkey"].isin(asia_rk)]
+    nkeys = pa.array(nsel["n_nationkey"].to_numpy(dtype="int64"))
+    name_of = dict(zip(nsel["n_nationkey"], nsel["n_name"]))
+
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys)),
+        batch_format="pyarrow",
+    )
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1997-01-01").to_datetime64()
+    orders = _table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=16
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    oc = bucket_hash_join(
+        orders, cust, "o_custkey", "c_custkey",
+        post=lambda df: df[["o_orderkey", "c_nationkey"]],
+    )
+
+    supp = _table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    order_idx = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(dtype="int64")[order_idx],
+        supp["s_nationkey"].to_numpy(dtype="int64")[order_idx],
+    ))
+
+    class _LiRev:
+        """Per-batch: integer-cents revenue + supplier nation via one
+        searchsorted probe, pre-aggregated per (orderkey, nation)."""
+
+        def __init__(self, ref):
+            self.keys, self.nats = _resolve_ref(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            px = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            disc = np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+            pos = np.searchsorted(self.keys, df["l_suppkey"].to_numpy())
+            flat = pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "s_nationkey": self.nats[pos],
+                "rev_um": px * disc,
+            })
+            return flat.groupby(["l_orderkey", "s_nationkey"],
+                                as_index=False).agg(rev_um=("rev_um", "sum"))
+
+    li = _table(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        blocks=16,
+    ).map_batches(task_stage(_LiRev, ref=supp_ref), batch_format="pandas")
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        # fused into the merge task: same-nation filter + per-nation
+        # partial sum (final tiny combine happens on the driver — the
+        # result space is |nations| × buckets rows)
+        m = df.loc[df["s_nationkey"] == df["c_nationkey"]]
+        g = m.groupby("s_nationkey", as_index=False).agg(
+            revenue_um=("rev_um", "sum"))
+        return g.astype({"s_nationkey": "int64", "revenue_um": "int64"})
+
+    parts = bucket_hash_join(
+        li, oc, "l_orderkey", "o_orderkey", post=per_nation
+    ).to_pandas()
+    out = parts.groupby("s_nationkey", as_index=False).agg(
+        revenue_um=("revenue_um", "sum"))
+    out["n_name"] = out["s_nationkey"].map(name_of)
+    out = out.sort_values(["revenue_um", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue_um"]].astype({"revenue_um": "int64"})
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18-shaped: large-volume-customer. The HAVING over the
+    per-order lineitem quantity sum is fused into the lineitem⨝orders
+    bucket merge (orderkey is the join key, so the grouped sum is
+    exact there — no extra shuffle); survivors join customer via a
+    second bucket join; top-100 by (totalprice desc, date, orderkey)
+    via per-block prefilter + one tiny global sort."""
+    from beats_ray.dataops.joins import bucket_hash_join
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        flat = pd.DataFrame({"l_orderkey": df["l_orderkey"], "sum_qty": qty})
+        return flat.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"))
+
+    li = _table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+                blocks=16).map_batches(li_part, batch_format="pandas")
+    orders = _table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"], blocks=16,
+    )
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            as_index=False,
+        ).agg(sum_qty=("sum_qty", "sum"))
+        g = g.loc[g["sum_qty"] > 140]
+        out = pd.DataFrame({
+            "o_orderkey": g["l_orderkey"].astype("int64"),
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "o_orderdate": g["o_orderdate"],
+            "o_totalprice_um": np.round(
+                g["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            "sum_qty": g["sum_qty"].astype("int64"),
+        })
+        return out
+
+    big = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                           post=having)
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = bucket_hash_join(big, cust, "o_custkey", "c_custkey")
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice_um", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+        ).head(100)
+
+    cols = ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice_um", "sum_qty"]
+    top = (
+        joined.map_batches(block_top, batch_format="pandas")
+        .map_batches(lambda df: df.assign(_neg=-df["o_totalprice_um"]),
+                     batch_format="pandas")
+        .sort(["_neg", "o_orderdate", "o_orderkey"])
+        .limit(100)
+        .to_pandas()
+    )
+    return top[cols].astype(
+        {"o_custkey": "int64", "o_orderkey": "int64",
+         "o_totalprice_um": "int64", "sum_qty": "int64"}
+    ).reset_index(drop=True)
+
+
+def q_line_dedup_turns(sf_dir: str):
+    """Corpus-global first-occurrence line dedup over the transcript
+    turns (paragraph-dedup archetype at line granularity): every
+    distinct non-blank line survives only at its first
+    (conv_id, turn_idx, line_idx) position."""
+    from beats_ray.dataops.textnorm import dedup_lines_global
+
+    return dedup_lines_global(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]),
+        text_col="text", keys=("conv_id", "turn_idx"),
+    )
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Perplexity-filter archetype: fit an add-one-smoothed unigram LM
+    on the documents corpus (top-5000 vocab), score every doc in
+    integer micro-nats."""
+    from beats_ray.dataops.lm import unigram_nll
+
+    return unigram_nll(
+        _table(sf_dir, "documents", ["doc_id", "text"]), model_k=5000
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -2224,6 +2408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_counts": q_events_type_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
         "asof_click_view": q_asof_click_view,
@@ -2262,6 +2448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_docs": q_normalized_docs,
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_clean_turns": q_boilerplate_clean_turns,
+        "line_dedup_turns": q_line_dedup_turns,
+        "unigram_logprob": q_unigram_logprob,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
@@ -3122,6 +3310,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue_um DESC, l_orderkey LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                     AS revenue_um
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_um DESC, n_name""",
+        "tpch_q18": """
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice_um, sum_qty
+            FROM (
+              SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                     CAST(round(o.o_totalprice*100) AS BIGINT) AS o_totalprice_um,
+                     CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1, 2, 3, 4, 5
+              HAVING SUM(CAST(round(l.l_quantity) AS BIGINT)) > 140
+            )
+            ORDER BY o_totalprice_um DESC, o_orderdate, o_orderkey
+            LIMIT 100""",
         "customers_per_region": """
             SELECT r_name, COUNT(*) AS n
             FROM customer
@@ -3460,6 +3681,69 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE NOT rm), '') AS clean_text,
                    count(*) FILTER (WHERE rm) AS n_removed
             FROM m GROUP BY conv_id, turn_idx""",
+        # global first-occurrence line dedup: same md5-64 line hash as
+        # the Ray side, blanks ranked in their own (nb, lh) partition
+        "line_dedup_turns": f"""
+            WITH t AS (SELECT conv_id, turn_idx, coalesce(text, '') AS text
+                       FROM read_parquet('{path}')),
+            l AS (
+              SELECT conv_id, turn_idx,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS li
+              FROM t
+            ),
+            h AS (
+              SELECT *, ('0x'||substr(md5(line),1,16))::UBIGINT AS lh,
+                     line <> '' AS nb
+              FROM l
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY nb, lh
+                         ORDER BY conv_id, turn_idx, li) AS rn
+              FROM h
+            ),
+            m AS (SELECT *, (NOT nb) OR rn = 1 AS keep FROM r)
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(line, chr(10) ORDER BY li)
+                            FILTER (WHERE keep), '') AS dedup_text,
+                   count(*) FILTER (WHERE NOT keep) AS n_dropped
+            FROM m GROUP BY conv_id, turn_idx""",
+        # unigram LM replay: same top-5000 vocab (c desc, term asc),
+        # same add-one smoothing, per-word floor(1e6*ln(denom/(c+1)))
+        "unigram_logprob": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), cnt AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY term
+            ), vocab AS (
+              SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 5000
+            ), consts AS (
+              SELECT (SELECT COALESCE(SUM(c), 0) FROM cnt)
+                   + (SELECT COUNT(*) FROM vocab) + 1 AS denom
+            ), nll AS (
+              SELECT t.doc_id,
+                     CAST(FLOOR(1000000 * ln(
+                       CAST((SELECT denom FROM consts) AS DOUBLE)
+                       / (COALESCE(v.c, 0) + 1))) AS BIGINT) AS wnll
+              FROM tok t LEFT JOIN vocab v USING (term)
+            ), per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(wnll) AS BIGINT) AS nll_sum
+              FROM nll GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(per.nll_sum, 0) AS BIGINT) AS nll_sum,
+                   CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                        ELSE per.nll_sum // per.n_tokens END AS BIGINT)
+                     AS avg_nll
+            FROM documents d LEFT JOIN per USING (doc_id)""",
         "repetition_score": r"""
             WITH w AS (
               SELECT doc_id,

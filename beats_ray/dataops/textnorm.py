@@ -377,3 +377,71 @@ def remove_boilerplate_lines(corpus, text_col: str = "text",
         batch_format="pandas",
     )
     return tagged.groupby("_kb").map_groups(reassemble, batch_format="pandas")
+
+
+def dedup_lines_global(corpus, text_col: str = "text",
+                       keys: tuple = ("conv_id", "turn_idx"),
+                       buckets: int = 64):
+    """Corpus-GLOBAL exact line dedup: each distinct non-blank line
+    survives only at its FIRST occurrence in ``(*keys, line_idx)``
+    order — the paragraph-dedup step of C4/RefinedWeb-class cleanups
+    (Raffel et al. 2020 dedup "three-sentence spans" simplified to line
+    granularity), complementing :func:`remove_boilerplate_lines` which
+    drops only frequency-qualified lines everywhere. Blank lines are
+    document structure and always survive.
+
+    The winner set is corpus-sized (one per distinct line) so no
+    broadcast path exists; the whole op is TWO co-locating shuffles:
+    (1) explode → group by line-hash bucket, one bucket-wide sort picks
+    every line's global winner and marks each exploded row keep/drop;
+    (2) regroup by document, reassemble kept lines in order. Line
+    identity is the md5-64 hash (``_stable_hash64``), which the SQL
+    oracle mirrors as ('0x'||substr(md5(line),1,16))::UBIGINT — hash
+    collisions land identically on both sides. Blank lines are ranked
+    in a separate (_blank, lh) partition exactly like the oracle's
+    (nb, lh) window, so a real line hashing like '' cannot cross-mark.
+
+    Returns Dataset[(*keys, dedup_text, n_dropped)] — one row per input
+    row; fully-deduped documents keep ``dedup_text ''``."""
+    import numpy as np
+
+    from .joins import _bucket_of
+
+    key_cols = list(keys)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = _explode_lines(df, text_col, key_cols, with_idx=True)
+        out["lh"] = _hash_lines_once(out["line"]).to_numpy()
+        out["_blank"] = (out["line"] == "").to_numpy()
+        out["_bb"] = (out["lh"] % np.uint64(buckets)).astype("int64")
+        return out
+
+    lines = corpus.map_batches(explode, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket-wide sort; first row per (_blank, lh) in
+        # (*keys, _li) order is the global winner
+        g = g.sort_values(["_blank", "lh", *key_cols, "_li"],
+                          kind="mergesort")
+        first = ~g.duplicated(["_blank", "lh"])
+        g["_keep"] = g["_blank"].to_numpy() | first.to_numpy()
+        return g.drop(columns=["_bb"])
+
+    marked = lines.groupby("_bb").map_groups(mark, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*key_cols, "_li"], kind="mergesort")
+        g = g.assign(_rm=~g["_keep"])
+        n_rem = g.groupby(key_cols, sort=False)["_rm"].sum().astype("int64")
+        joined = g.loc[g["_keep"]].groupby(key_cols, sort=False)["line"].agg(
+            "\n".join
+        )
+        out = n_rem.reset_index(name="n_dropped")
+        out["dedup_text"] = joined.reindex(n_rem.index).fillna("").to_numpy()
+        return out[key_cols + ["dedup_text", "n_dropped"]]
+
+    tagged = marked.map_batches(
+        lambda df: df.assign(_kb=_bucket_of(df[key_cols[0]], buckets)),
+        batch_format="pandas",
+    )
+    return tagged.groupby("_kb").map_groups(reassemble, batch_format="pandas")

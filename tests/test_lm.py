@@ -1,0 +1,181 @@
+"""Unigram-LM scoring and global line dedup — randomized cross-checks
+against DuckDB replays, plus edge cases (empty docs, OOV-only docs,
+tiny vocab, blank-line preservation)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from beats_ray.dataops.lm import LM_SCALE, fit_unigram_lm, unigram_nll
+from beats_ray.dataops.textnorm import dedup_lines_global
+
+
+def _mk_corpus(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare1", "rare2", "THE",
+             "the", "x", "1"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(n)]
+    texts[0] = ""          # empty doc -> (0, 0, 0)
+    texts[1] = "   \t\n "  # ws-only doc -> (0, 0, 0)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+def _nll_sql_replay(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con.execute(rf"""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY term),
+        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {k}),
+        consts AS (
+          SELECT (SELECT COALESCE(SUM(c), 0) FROM cnt)
+               + (SELECT COUNT(*) FROM vocab) + 1 AS denom
+        ), nll AS (
+          SELECT t.doc_id,
+                 CAST(FLOOR(1000000 * ln(
+                   CAST((SELECT denom FROM consts) AS DOUBLE)
+                   / (COALESCE(v.c, 0) + 1))) AS BIGINT) AS wnll
+          FROM tok t LEFT JOIN vocab v USING (term)
+        ), per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(wnll) AS BIGINT) AS nll_sum
+          FROM nll GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(per.nll_sum, 0) AS BIGINT) AS nll_sum,
+               CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                    ELSE per.nll_sum // per.n_tokens END AS BIGINT) AS avg_nll
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""").fetchdf()
+
+
+@pytest.mark.parametrize("seed,k", [(1, 5000), (2, 4), (3, 1)])
+def test_unigram_nll_vs_sql_replay(ray_session, seed, k):
+    import ray.data as rd
+
+    df = _mk_corpus(seed, 120)
+    got = (unigram_nll(rd.from_pandas(df).repartition(4), model_k=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _nll_sql_replay(df, k)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tokens": "int64", "nll_sum": "int64",
+                    "avg_nll": "int64"}),
+        want.astype({"n_tokens": "int64", "nll_sum": "int64",
+                     "avg_nll": "int64"}),
+    )
+
+
+def test_unigram_fit_totals_and_oov(ray_session):
+    """The smoothing denominator counts EVERY token; OOV words cost
+    exactly floor(1e6·ln(T+V+1))."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a b", "b c", "zzz"],  # 7 tokens, 4 distinct
+    })
+    model, total = fit_unigram_lm(rd.from_pandas(df), model_k=2)
+    assert total == 7
+    # top-2 by (count desc, term asc): a(3), b(2)
+    assert list(model["term"]) == ["a", "b"]
+    denom = 7 + 2 + 1
+    out = (unigram_nll(rd.from_pandas(df), model_k=2).to_pandas()
+           .set_index("doc_id"))
+    oov = math.floor(LM_SCALE * math.log(denom))
+    a_nll = math.floor(LM_SCALE * math.log(denom / 4))
+    b_nll = math.floor(LM_SCALE * math.log(denom / 3))
+    assert out.loc[2, "nll_sum"] == oov  # zzz is OOV
+    assert out.loc[0, "nll_sum"] == 3 * a_nll + b_nll
+    assert out.loc[0, "avg_nll"] == (3 * a_nll + b_nll) // 4
+
+
+def _dedup_sql_replay(df: pd.DataFrame) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t0", df)
+    return con.execute("""
+        WITH t AS (SELECT conv_id, turn_idx, coalesce(text, '') AS text
+                   FROM t0),
+        l AS (
+          SELECT conv_id, turn_idx,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS li
+          FROM t
+        ),
+        h AS (SELECT *, ('0x'||substr(md5(line),1,16))::UBIGINT AS lh,
+                     line <> '' AS nb FROM l),
+        r AS (SELECT *, row_number() OVER (PARTITION BY nb, lh
+                     ORDER BY conv_id, turn_idx, li) AS rn FROM h),
+        m AS (SELECT *, (NOT nb) OR rn = 1 AS keep FROM r)
+        SELECT conv_id, turn_idx,
+               coalesce(string_agg(line, chr(10) ORDER BY li)
+                        FILTER (WHERE keep), '') AS dedup_text,
+               count(*) FILTER (WHERE NOT keep) AS n_dropped
+        FROM m GROUP BY conv_id, turn_idx
+        ORDER BY conv_id, turn_idx""").fetchdf()
+
+
+def _mk_liny_corpus(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    pool = ["shared banner", "", "tail line", "mid", "dup dup"]
+    rows = []
+    for i in range(n):
+        doc = []
+        for _ in range(int(rng.integers(0, 6))):
+            if rng.random() < 0.3:
+                doc.append(f"unique {int(rng.integers(0, n * 3))}")
+            else:
+                doc.append(pool[int(rng.integers(0, len(pool)))])
+        rows.append({"conv_id": f"c{i % 7:03d}", "turn_idx": i,
+                     "text": "\n".join(doc)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_dedup_lines_global_vs_sql(ray_session, seed):
+    import ray.data as rd
+
+    df = _mk_liny_corpus(seed, 60)
+    got = (dedup_lines_global(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    want = _dedup_sql_replay(df)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_dropped": "int64"}),
+        want.astype({"n_dropped": "int64"}),
+    )
+
+
+def test_dedup_lines_keeps_blanks_and_first(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "text": ["x\n\ny", "x\n\nz\ny", "y\nx"],
+    })
+    out = (dedup_lines_global(rd.from_pandas(df))
+           .to_pandas().set_index(["conv_id", "turn_idx"]).sort_index())
+    # first occurrences: a/0 keeps everything (x first, y first)
+    assert out.loc[("a", 0), "dedup_text"] == "x\n\ny"
+    assert out.loc[("a", 0), "n_dropped"] == 0
+    # a/1: x dup, blank kept, z first, y dup
+    assert out.loc[("a", 1), "dedup_text"] == "\nz"
+    assert out.loc[("a", 1), "n_dropped"] == 2
+    # b/0: both dups -> empty doc survives as ''
+    assert out.loc[("b", 0), "dedup_text"] == ""
+    assert out.loc[("b", 0), "n_dropped"] == 2
