@@ -2357,6 +2357,63 @@ def q_unigram_logprob(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023 class): hashed
+    unigram+bigram feature distributions fit for the lang='en' target
+    slice vs the raw corpus (one bounded-key shuffle), per-doc integer
+    micro-nat log-ratio sums via a broadcast 1024-entry table."""
+    from beats_ray.dataops.lm import dsir_weights
+
+    return dsir_weights(
+        _table(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_col="lang", target_value="en",
+    )
+
+
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window chunking for retrieval/context prep: 64-token
+    windows every 48 tokens (overlapped), shuffle-free expansion."""
+    from beats_ray.dataops.sampling import chunk_documents
+
+    return chunk_documents(
+        _table(sf_dir, "documents", ["doc_id", "text"]),
+        size=64, stride=48,
+    )
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4-shaped: order-priority checking — count orders in a
+    date window having at least one returned lineitem. The EXISTS is a
+    distributed bucket semi-join (per-batch key dedup shrinks the
+    shuffled key set), then a tiny grouped count."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.dataops.joins import bucket_semi_join
+
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1996-04-01").to_datetime64()
+    orders = _table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        blocks=16,
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+    def ret_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        return pa.table({"o_orderkey": pc.unique(keys.combine_chunks())})
+
+    keys = _table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+                  blocks=16).map_batches(ret_keys, batch_format="pyarrow")
+    hit = bucket_semi_join(orders, keys, on="o_orderkey")
+    return grouped_count(hit, ["o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -2410,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
         "asof_click_view": q_asof_click_view,
@@ -2450,6 +2508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_clean_turns": q_boilerplate_clean_turns,
         "line_dedup_turns": q_line_dedup_turns,
         "unigram_logprob": q_unigram_logprob,
+        "dsir_weights": q_dsir_weights,
+        "chunk_docs": q_chunk_docs,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
@@ -3343,6 +3403,15 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY o_totalprice_um DESC, o_orderdate, o_orderkey
             LIMIT 100""",
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
         "customers_per_region": """
             SELECT r_name, COUNT(*) AS n
             FROM customer
@@ -3744,6 +3813,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE per.nll_sum // per.n_tokens END AS BIGINT)
                      AS avg_nll
             FROM documents d LEFT JOIN per USING (doc_id)""",
+        # DSIR replay: same md5-64 % 1024 feature hashing (unigrams +
+        # adjacent bigrams of lower(text), WITH multiplicity), same
+        # add-one smoothing, lam in integer micro-nats
+        "dsir_weights": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, lang, unnest(ws) AS t,
+                     generate_subscripts(ws, 1) AS i
+              FROM w
+            ), feat AS (
+              SELECT doc_id, lang, t AS f FROM tok
+              UNION ALL
+              SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS f
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), hb AS (
+              SELECT doc_id, lang,
+                     CAST(('0x'||substr(md5(f),1,16))::UBIGINT % 1024
+                          AS BIGINT) AS b
+              FROM feat
+            ), cnt AS (
+              SELECT b,
+                     CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+                     CAST(COUNT(*) AS BIGINT) AS cr
+              FROM hb GROUP BY b
+            ), tot AS (
+              SELECT COALESCE(SUM(ct), 0) AS tt, COALESCE(SUM(cr), 0) AS tr
+              FROM cnt
+            ), lam AS (
+              SELECT b, CAST(FLOOR(1000000 * ln(
+                       CAST((ct + 1) * (tr + 1024) AS DOUBLE)
+                       / ((cr + 1) * (tt + 1024)))) AS BIGINT) AS lam
+              FROM cnt, tot
+            ), per AS (
+              SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     CAST(SUM(lam.lam) AS BIGINT) AS dsir_um
+              FROM hb JOIN lam USING (b) GROUP BY hb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(COALESCE(per.dsir_um, 0) AS BIGINT) AS dsir_um
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+        # sliding-window chunking: starts 0, 48, 96, ... while < len;
+        # 1-based inclusive list_slice mirrors tokens[start:start+64]
+        "chunk_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(coalesce(text, ''),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), n AS (
+              SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+            ), s AS (
+              SELECT doc_id, ws, n, unnest(range(0, n, 48)) AS st FROM n
+            )
+            SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(ws, st + 1,
+                                              LEAST(st + 64, n)), ' ')
+                     AS chunk_text,
+                   CAST(LEAST(st + 64, n) - st AS BIGINT) AS n_tokens
+            FROM s""",
         "repetition_score": r"""
             WITH w AS (
               SELECT doc_id,

@@ -1,4 +1,5 @@
-"""Unigram language-model scoring — the perplexity-filter archetype.
+"""Language-model scoring ops — the perplexity-filter and
+importance-resampling archetypes.
 
 CCNet/Gopher-class pipelines bucket documents by language-model
 perplexity and keep the fluent tail. Re-expressed fit-then-score:
@@ -135,4 +136,133 @@ def unigram_nll(docs, text_col: str = "text", id_col: str = "doc_id",
         task_stage(_NllScore, ref=ref, text_col=text_col, id_col=id_col,
                    oov=oov),
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via hashed-n-gram importance resampling
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"). Features are unigrams + adjacent bigrams of the
+# ws-token stream, hashed md5-64 into a FIXED number of buckets, so
+# both distributions are bounded vectors however large the corpus:
+# the fit is one ≤buckets-key grouped shuffle, the per-bucket
+# log-ratio table broadcasts once, and scoring is a probe + add.
+# lam_b = floor(1e6·ln((ct_b+1)·(Tr+B) / ((cr_b+1)·(Tt+B)))) in
+# integer micro-nats — exact-int products, one double division, ln,
+# floor: the same op sequence DuckDB runs, so the oracle is
+# bit-identical (the house tfidf/unigram exactness contract).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def _feature_rows(df, text_col: str, buckets: int):
+    """Per-row hashed feature buckets WITH multiplicity: (doc index,
+    bucket) numpy pair for every unigram and adjacent bigram of
+    lower(text). md5 runs once per DISTINCT feature string."""
+    from .dedup import _stable_hash64, ws_tokens
+
+    toks = df[text_col].fillna("").str.lower().map(ws_tokens)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = np.asarray([w for ws in toks for w in ws], dtype=object)
+    docidx = np.repeat(np.arange(len(lens)), lens)
+    if len(flat):
+        same_doc = docidx[1:] == docidx[:-1]
+        bi = np.char.add(np.char.add(flat[:-1].astype(str), " "),
+                         flat[1:].astype(str))[same_doc].astype(object)
+        feats = np.concatenate([flat, bi])
+        fdoc = np.concatenate([docidx, docidx[:-1][same_doc]])
+    else:
+        feats, fdoc = flat, docidx
+    if not len(feats):
+        return (np.empty(0, dtype=np.int64),) * 2
+    uniq, inv = np.unique(feats, return_inverse=True)
+    ub = np.fromiter((_stable_hash64(f) % buckets for f in uniq),
+                     dtype=np.int64, count=len(uniq))
+    return fdoc, ub[inv]
+
+
+def fit_dsir(docs, text_col: str = "text", target_col: str = "lang",
+             target_value: str = "en", buckets: int = DSIR_BUCKETS):
+    """Hashed feature counts for the TARGET slice and the RAW corpus
+    in one pass: Dataset → per-batch (bucket, ct, cr) partials → one
+    co-locating ≤buckets-key shuffle → the bounded table."""
+    from .agg import map_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fdoc, fb = _feature_rows(df, text_col, buckets)
+        if not len(fb):
+            return pd.DataFrame({"b": pd.array([], dtype="int64"),
+                                 "ct": pd.array([], dtype="int64"),
+                                 "cr": pd.array([], dtype="int64")})
+        is_t = (df[target_col] == target_value).to_numpy()[fdoc]
+        cr = np.bincount(fb, minlength=buckets)
+        ct = np.bincount(fb[is_t], minlength=buckets)
+        nz = np.flatnonzero(cr)
+        return pd.DataFrame({"b": nz, "ct": ct[nz].astype("int64"),
+                             "cr": cr[nz].astype("int64")})
+
+    partials = docs.select_columns([text_col, target_col]).map_batches(
+        partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("b", as_index=False)[["ct", "cr"]].sum()
+
+    return map_buckets(partials, "b", combine, buckets=8).to_pandas()
+
+
+class _DsirScore:
+    """Broadcast-apply scorer: lam is a dense length-``buckets`` int64
+    vector (tiny), so scoring is hash-probe + fancy-index + add."""
+
+    def __init__(self, ref, text_col: str, id_col: str, buckets: int):
+        from .joins import _resolve_ref
+
+        self.lam = _resolve_ref(ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.buckets = buckets
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fdoc, fb = _feature_rows(df, self.text_col, self.buckets)
+        n = len(df)
+        n_feats = np.bincount(fdoc, minlength=n).astype(np.int64)
+        dsir_um = np.zeros(n, dtype=np.int64)
+        if len(fb):
+            np.add.at(dsir_um, fdoc, self.lam[fb])
+        return pd.DataFrame({
+            "doc_id": df[self.id_col].to_numpy(),
+            "n_feats": n_feats,
+            "dsir_um": dsir_um,
+        })
+
+
+def dsir_weights(docs, text_col: str = "text", id_col: str = "doc_id",
+                 target_col: str = "lang", target_value: str = "en",
+                 buckets: int = DSIR_BUCKETS):
+    """Score every document's importance weight toward the target
+    slice: Dataset[(doc_id, n_feats, dsir_um)], dsir_um the integer
+    micro-nat sum of per-feature log ratios (empty docs → (0, 0))."""
+    from .stagecache import task_stage
+
+    cnt = fit_dsir(docs, text_col=text_col, target_col=target_col,
+                   target_value=target_value, buckets=buckets)
+    tt = int(cnt["ct"].sum()) if len(cnt) else 0
+    tr = int(cnt["cr"].sum()) if len(cnt) else 0
+    # buckets unseen in the fit get the (ct=0, cr=0) smoothed value —
+    # unreachable when scoring the fit corpus itself (raw counts cover
+    # every feature), but correct for scoring external text
+    default = math.floor(LM_SCALE * math.log(
+        (tr + buckets) / (tt + buckets)))
+    lam = np.full(buckets, default, dtype=np.int64)
+    for b, ct, cr in zip(cnt.get("b", []), cnt.get("ct", []),
+                         cnt.get("cr", [])):
+        lam[int(b)] = math.floor(LM_SCALE * math.log(
+            (int(ct) + 1) * (tr + buckets)
+            / ((int(cr) + 1) * (tt + buckets))))
+    ref = ray.put(lam)
+    return docs.select_columns([id_col, text_col]).map_batches(
+        task_stage(_DsirScore, ref=ref, text_col=text_col, id_col=id_col,
+                   buckets=buckets),
+        batch_format="pandas",
     )

@@ -346,3 +346,50 @@ def pack_and_concat(docs, budget: int, buckets: int = 16,
         batch_format="pandas",
     )
     return map_buckets(tagged, "bucket", pack, buckets=buckets)
+
+
+def chunk_documents(docs, size: int, stride: int | None = None,
+                    key: str = "doc_id", text_col: str = "text"):
+    """Sliding-window document chunking — the RAG/context-window prep
+    op: split each document's ws-token stream into windows of at most
+    ``size`` tokens starting every ``stride`` tokens (stride < size
+    overlaps, stride == size tiles). Chunk starts are 0, stride,
+    2·stride, … while start < n_tokens, so the final window may be
+    short; zero-token documents emit no chunks. Output:
+    (key, chunk_idx, chunk_text, n_tokens) with chunk_text the original
+    (case-preserved) tokens joined by one space.
+
+    Embarrassingly parallel — a pure per-batch expansion, no shuffle;
+    output volume is input volume × (size/stride), which is the
+    intended duplication of an overlapped chunking. Exactly replayable
+    in SQL as range(0, len(ws), stride) × list_slice."""
+    if stride is None:
+        stride = size
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import ws_tokens
+
+        toks = df[text_col].fillna("").map(ws_tokens)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        n_chunks = -(-lens // stride)  # ceil; 0 tokens -> 0 chunks
+        keys = np.repeat(df[key].to_numpy(), n_chunks)
+        idx = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in n_chunks]
+        ) if len(df) else np.empty(0, dtype=np.int64)
+        starts = idx * stride
+        ends = np.minimum(starts + size, np.repeat(lens, n_chunks))
+        tok_lists = toks.to_numpy()
+        docix = np.repeat(np.arange(len(df)), n_chunks)
+        texts = [" ".join(tok_lists[d][s:e])
+                 for d, s, e in zip(docix, starts, ends)]
+        return pd.DataFrame({
+            key: keys,
+            "chunk_idx": idx,
+            "chunk_text": pd.array(texts, dtype="object"),
+            "n_tokens": (ends - starts).astype("int64"),
+        })
+
+    return docs.select_columns([key, text_col]).map_batches(
+        expand, batch_format="pandas")

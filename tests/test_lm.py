@@ -179,3 +179,95 @@ def test_dedup_lines_keeps_blanks_and_first(ray_session):
     # b/0: both dups -> empty doc survives as ''
     assert out.loc[("b", 0), "dedup_text"] == ""
     assert out.loc[("b", 0), "n_dropped"] == 2
+
+
+def _dsir_sql_replay(df: pd.DataFrame, buckets: int) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con.execute(rf"""
+        WITH w AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, lang, unnest(ws) AS t,
+                 generate_subscripts(ws, 1) AS i
+          FROM w
+        ), feat AS (
+          SELECT doc_id, lang, t AS f FROM tok
+          UNION ALL
+          SELECT a.doc_id, a.lang, a.t || ' ' || b.t AS f
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ), hb AS (
+          SELECT doc_id, lang,
+                 CAST(('0x'||substr(md5(f),1,16))::UBIGINT % {buckets}
+                      AS BIGINT) AS b
+          FROM feat
+        ), cnt AS (
+          SELECT b, CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+                 CAST(COUNT(*) AS BIGINT) AS cr
+          FROM hb GROUP BY b
+        ), tot AS (
+          SELECT COALESCE(SUM(ct), 0) AS tt, COALESCE(SUM(cr), 0) AS tr
+          FROM cnt
+        ), lam AS (
+          SELECT b, CAST(FLOOR(1000000 * ln(
+                   CAST((ct + 1) * (tr + {buckets}) AS DOUBLE)
+                   / ((cr + 1) * (tt + {buckets})))) AS BIGINT) AS lam
+          FROM cnt, tot
+        ), per AS (
+          SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 CAST(SUM(lam.lam) AS BIGINT) AS dsir_um
+          FROM hb JOIN lam USING (b) GROUP BY hb.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(COALESCE(per.dsir_um, 0) AS BIGINT) AS dsir_um
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""").fetchdf()
+
+
+def _mk_lang_corpus(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "of", "der", "und", "data", "le", "la", "x1", "zz"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+             for _ in range(n)]
+    texts[0] = ""
+    langs = rng.choice(["en", "de", "fr"], n, p=[0.5, 0.3, 0.2])
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts, "lang": langs})
+
+
+@pytest.mark.parametrize("seed,buckets", [(5, 1024), (6, 16)])
+def test_dsir_weights_vs_sql_replay(ray_session, seed, buckets):
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import dsir_weights
+
+    df = _mk_lang_corpus(seed, 100)
+    got = (dsir_weights(rd.from_pandas(df).repartition(4), buckets=buckets)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _dsir_sql_replay(df, buckets)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_feats": "int64", "dsir_um": "int64"}),
+        want.astype({"n_feats": "int64", "dsir_um": "int64"}),
+    )
+
+
+def test_dsir_direction(ray_session):
+    """Target-slice-typical docs must outscore off-target docs: an
+    all-'en-marker' doc vs an all-'de-marker' doc with en as target."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import dsir_weights
+
+    rows = ([{"doc_id": i, "text": "the of the of", "lang": "en"}
+             for i in range(20)]
+            + [{"doc_id": 100 + i, "text": "der und der und", "lang": "de"}
+               for i in range(20)])
+    out = (dsir_weights(rd.from_pandas(pd.DataFrame(rows)), buckets=4096)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "dsir_um"] > out.loc[100, "dsir_um"]
