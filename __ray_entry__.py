@@ -2381,6 +2381,27 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+_BM25_QUERIES = {
+    "q_sort": "fast sort merge",
+    "q_scan": "table scan filter",
+    "q_win": "window agg group",
+}
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval: top-10 documents for each of three fixed
+    queries. Bounded fit pass (N, Σdl, per-term df), broadcast idf,
+    shuffle-free scoring with per-block top-k, one tiny grouped
+    finish. Integer micro-unit scores (floor per (term, doc) BEFORE
+    the per-doc sum) so the SQL oracle is bit-exact."""
+    from beats_ray.dataops.invindex import bm25_topk
+
+    return bm25_topk(
+        _table(sf_dir, "documents", ["doc_id", "text"]),
+        queries=_BM25_QUERIES, k=10,
+    )
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4-shaped: order-priority checking — count orders in a
     date window having at least one returned lineitem. The EXISTS is a
@@ -2468,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
+        "bm25_topk": q_bm25_topk,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
         "asof_click_view": q_asof_click_view,
@@ -3412,6 +3434,53 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority""",
+        # BM25 replay: identical double expression per (term, doc) —
+        # floor to micro-units BEFORE the per-doc sum, same literal
+        # k1/b constants and op order as the numpy kernel
+        "bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), d AS (
+              SELECT doc_id, ws, len(ws) AS dl FROM w
+            ), consts AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS dls
+              FROM d
+            ), q(query_id, term) AS (VALUES
+              ('q_sort','fast'), ('q_sort','merge'), ('q_sort','sort'),
+              ('q_scan','filter'), ('q_scan','scan'), ('q_scan','table'),
+              ('q_win','agg'), ('q_win','group'), ('q_win','window')
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS t FROM d
+            ), tf AS (
+              SELECT tok.t AS term, tok.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok JOIN (SELECT DISTINCT term FROM q) qt
+                ON tok.t = qt.term
+              GROUP BY 1, 2
+            ), dfv AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+              GROUP BY term
+            ), sc AS (
+              SELECT q.query_id, tf.doc_id,
+                     CAST(FLOOR(1000000.0
+                       * ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(dls AS DOUBLE) / n))))
+                       AS BIGINT) AS s
+              FROM q JOIN tf USING (term) JOIN dfv USING (term)
+                   JOIN d ON d.doc_id = tf.doc_id, consts
+            ), per AS (
+              SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_um
+              FROM sc GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_um FROM per
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_um DESC, doc_id) <= 10""",
         "customers_per_region": """
             SELECT r_name, COUNT(*) AS n
             FROM customer
