@@ -2402,6 +2402,55 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE tokenization (Sennrich et al. 2016): fit 20 merges on the
+    corpus's top-5000 words (one grouped shuffle + a bounded driver
+    merge loop), then count per-doc tokens under the learned merges
+    (broadcast merge list, per-DISTINCT-word memoized apply)."""
+    from beats_ray.dataops.bpe import bpe_token_counts, fit_bpe
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+    merges = fit_bpe(docs, n_merges=20, vocab_k=5000)
+    return bpe_token_counts(docs, merges)
+
+
+def _bpe_merges_replica(parquet: str, n_merges: int,
+                        vocab_k: int) -> list[tuple[str, str]]:
+    """Independent scalar BPE fit for the oracle: DuckDB word counts +
+    an in-place list-splice merge loop (different implementation from
+    beats_ray.dataops.bpe.fit_bpe; same count-desc/pair-asc rule)."""
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(rf"""
+        SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                 lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS t
+              FROM read_parquet('{parquet}'))
+        GROUP BY 1 ORDER BY c DESC, word LIMIT {vocab_k}""").fetchall()
+    vocab = [(list(w), int(c)) for w, c in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        cnt: Counter = Counter()
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += c
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i:i + 2] = [a + b]
+                i += 1
+    return merges
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4-shaped: order-priority checking — count orders in a
     date window having at least one returned lineitem. The EXISTS is a
@@ -2532,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "dsir_weights": q_dsir_weights,
         "chunk_docs": q_chunk_docs,
+        "bpe_token_counts": q_bpe_token_counts,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
@@ -2957,6 +3007,18 @@ def oracle_sql() -> dict[str, str]:
     # identical values in RE2 before/after, but keeps both sides synced
     # to beats_ray.dataops.textstats.BPE_TOKEN
     bpe_rx = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+    # BPE oracle: merges come from an INDEPENDENT scalar fit replica
+    # (DuckDB counts + list-splice loop) and are inlined as the
+    # recursive CTE's replace patterns (driver runs at sf0.01)
+    _bpe_m = _bpe_merges_replica(
+        "/root/testdata/sf0.01/documents.parquet", n_merges=20,
+        vocab_k=5000)
+    _q = lambda s: s.replace("'", "''")  # noqa: E731
+    bpe_vals = ", ".join(
+        f"({i}, ' {_q(a)} {_q(b)} ', ' {_q(a)}{_q(b)} ')"
+        for i, (a, b) in enumerate(_bpe_m)
+    ) or "(0, ' \x00 \x00 ', ' \x00\x00 ')"  # unreachable filler
+    bpe_n = len(_bpe_m)
     return {
         "route_counts": tr + "SELECT sink, COUNT(*) AS n FROM r GROUP BY sink",
         "routed_rows": tr + "SELECT conv_id, turn_idx, sink, text FROM r",
@@ -3481,6 +3543,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, score_um FROM per
             QUALIFY row_number() OVER (PARTITION BY query_id
                     ORDER BY score_um DESC, doc_id) <= 10""",
+        # BPE apply replay: per DISTINCT word, the recursive CTE runs
+        # each merge's leftmost replace to fixpoint in rank order —
+        # the identical loop bpe_apply_ntok runs in Python
+        "bpe_token_counts": rf"""
+            WITH RECURSIVE
+            m(mi, pat, rep) AS (VALUES {bpe_vals}),
+            w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS word FROM w
+            ), words AS (
+              SELECT DISTINCT word FROM tok
+            ), sp AS (
+              SELECT word,
+                     ' ' || array_to_string(string_split(word, ''), ' ')
+                         || ' ' AS s
+              FROM words
+            ), bpe(word, s, mi) AS (
+              SELECT word, s, 0 FROM sp
+              UNION ALL
+              SELECT b.word,
+                     CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
+                          THEN replace(b.s, m.pat, m.rep) ELSE b.s END,
+                     CASE WHEN replace(b.s, m.pat, m.rep) <> b.s
+                          THEN b.mi ELSE b.mi + 1 END
+              FROM bpe b JOIN m ON m.mi = b.mi
+              WHERE b.mi < {bpe_n}
+            ), nt AS (
+              SELECT word,
+                     CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS ntok
+              FROM bpe WHERE mi = {bpe_n}
+            ), per AS (
+              SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(nt.ntok) AS BIGINT) AS n_bpe_tokens
+              FROM tok JOIN nt USING (word) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents d LEFT JOIN per USING (doc_id)""",
         "customers_per_region": """
             SELECT r_name, COUNT(*) AS n
             FROM customer
