@@ -2175,6 +2175,12 @@ def q_role_level_pivot(sf_dir: str):
     )
 
 
+# adaptive-join broadcast cutoffs (module-level so tests can force the
+# bucket-join fallback paths and assert equality)
+_Q5_BROADCAST_LIMIT = 2_000_000
+_Q18_BROADCAST_LIMIT = 100_000
+
+
 def q_tpch_q5(sf_dir: str):
     """TPC-H Q5-shaped: the 6-table local-supplier-volume chain.
     region→nation prune as driver-side dims (tiny), customer⨝orders
@@ -2211,10 +2217,41 @@ def q_tpch_q5(sf_dir: str):
         ).drop_columns(["o_orderdate"]),
         batch_format="pyarrow",
     )
-    oc = bucket_hash_join(
-        orders, cust, "o_custkey", "c_custkey",
-        post=lambda df: df[["o_orderkey", "c_nationkey"]],
-    )
+    # first join, same adaptive rule: the region-filtered customer dim
+    # broadcasts into the orders scan when bounded (zero shuffles);
+    # bucket join is the unbounded fallback
+    cust = cust.materialize()
+    if cust.count() <= _Q5_BROADCAST_LIMIT:
+        cp = cust.to_pandas().sort_values("c_custkey")
+        ck_ref = ray.put((cp["c_custkey"].to_numpy(dtype="int64"),
+                          cp["c_nationkey"].to_numpy(dtype="int64")))
+
+        class _OrdProbe:
+            def __init__(self, ref):
+                self.ck, self.cn = _resolve_ref(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ok = t["o_custkey"].to_numpy()
+                if not len(self.ck):
+                    found = np.zeros(len(ok), dtype=bool)
+                    pos = np.zeros(len(ok), dtype=np.int64)
+                else:
+                    pos = np.minimum(np.searchsorted(self.ck, ok),
+                                     len(self.ck) - 1)
+                    found = self.ck[pos] == ok
+                return pa.table({
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy()[found], pa.int64()),
+                    "c_nationkey": pa.array(self.cn[pos][found], pa.int64()),
+                })
+
+        oc = orders.map_batches(task_stage(_OrdProbe, ref=ck_ref),
+                                batch_format="pyarrow").materialize()
+    else:
+        oc = bucket_hash_join(
+            orders, cust, "o_custkey", "c_custkey",
+            post=lambda df: df[["o_orderkey", "c_nationkey"]],
+        ).materialize()
 
     supp = _table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     order_idx = np.argsort(supp["s_suppkey"].to_numpy())
@@ -2225,10 +2262,16 @@ def q_tpch_q5(sf_dir: str):
 
     class _LiRev:
         """Per-batch: integer-cents revenue + supplier nation via one
-        searchsorted probe, pre-aggregated per (orderkey, nation)."""
+        searchsorted probe, pre-aggregated per (orderkey, nation).
+        With ``oc_ref`` set, the orders⨝customer side is a broadcast
+        sorted array probed in the SAME pass (found-mask drops
+        lineitems outside the date/region window) and the per-nation
+        aggregate fuses here too — the whole query is then one
+        lineitem scan with no second shuffle."""
 
-        def __init__(self, ref):
+        def __init__(self, ref, oc_ref=None):
             self.keys, self.nats = _resolve_ref(ref)
+            self.oc = _resolve_ref(oc_ref) if oc_ref is not None else None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             px = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
@@ -2239,27 +2282,52 @@ def q_tpch_q5(sf_dir: str):
                 "s_nationkey": self.nats[pos],
                 "rev_um": px * disc,
             })
-            return flat.groupby(["l_orderkey", "s_nationkey"],
-                                as_index=False).agg(rev_um=("rev_um", "sum"))
+            if self.oc is None:
+                return flat.groupby(["l_orderkey", "s_nationkey"],
+                                    as_index=False).agg(rev_um=("rev_um", "sum"))
+            okeys, onats = self.oc
+            if not len(okeys):
+                return pd.DataFrame({"s_nationkey": pd.array([], "int64"),
+                                     "revenue_um": pd.array([], "int64")})
+            p = np.searchsorted(okeys, flat["l_orderkey"].to_numpy())
+            p_c = np.minimum(p, len(okeys) - 1)
+            found = okeys[p_c] == flat["l_orderkey"].to_numpy()
+            m = flat.loc[found & (onats[p_c] == flat["s_nationkey"].to_numpy())]
+            g = m.groupby("s_nationkey", as_index=False).agg(
+                revenue_um=("rev_um", "sum"))
+            return g.astype({"s_nationkey": "int64", "revenue_um": "int64"})
 
-    li = _table(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-        blocks=16,
-    ).map_batches(task_stage(_LiRev, ref=supp_ref), batch_format="pandas")
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    # adaptive second join (house minhash broadcast_limit pattern): the
+    # date/region-windowed oc table is usually far smaller than
+    # lineitem — broadcast it and fuse join+aggregate into the scan;
+    # the bucket join below is the unbounded-window scale path
+    if oc.count() <= _Q5_BROADCAST_LIMIT:
+        ocp = oc.to_pandas().sort_values("o_orderkey")
+        oc_ref = ray.put((
+            ocp["o_orderkey"].to_numpy(dtype="int64"),
+            ocp["c_nationkey"].to_numpy(dtype="int64"),
+        ))
+        parts = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiRev, ref=supp_ref, oc_ref=oc_ref),
+            batch_format="pandas",
+        ).to_pandas()
+    else:
+        li = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiRev, ref=supp_ref), batch_format="pandas")
 
-    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
-        # fused into the merge task: same-nation filter + per-nation
-        # partial sum (final tiny combine happens on the driver — the
-        # result space is |nations| × buckets rows)
-        m = df.loc[df["s_nationkey"] == df["c_nationkey"]]
-        g = m.groupby("s_nationkey", as_index=False).agg(
-            revenue_um=("rev_um", "sum"))
-        return g.astype({"s_nationkey": "int64", "revenue_um": "int64"})
+        def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+            # fused into the merge task: same-nation filter + per-nation
+            # partial sum (final tiny combine happens on the driver — the
+            # result space is |nations| × buckets rows)
+            m = df.loc[df["s_nationkey"] == df["c_nationkey"]]
+            g = m.groupby("s_nationkey", as_index=False).agg(
+                revenue_um=("rev_um", "sum"))
+            return g.astype({"s_nationkey": "int64", "revenue_um": "int64"})
 
-    parts = bucket_hash_join(
-        li, oc, "l_orderkey", "o_orderkey", post=per_nation
-    ).to_pandas()
+        parts = bucket_hash_join(
+            li, oc, "l_orderkey", "o_orderkey", post=per_nation
+        ).to_pandas()
     out = parts.groupby("s_nationkey", as_index=False).agg(
         revenue_um=("revenue_um", "sum"))
     out["n_name"] = out["s_nationkey"].map(name_of)
@@ -2307,26 +2375,45 @@ def q_tpch_q18(sf_dir: str):
         return out
 
     big = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
-                           post=having)
+                           post=having).materialize()
     cust = _table(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = bucket_hash_join(big, cust, "o_custkey", "c_custkey")
-
-    def block_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
-            ["o_totalprice_um", "o_orderdate", "o_orderkey"],
-            ascending=[False, True, True],
-        ).head(100)
-
     cols = ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice_um", "sum_qty"]
-    top = (
-        joined.map_batches(block_top, batch_format="pandas")
-        .map_batches(lambda df: df.assign(_neg=-df["o_totalprice_um"]),
-                     batch_format="pandas")
-        .sort(["_neg", "o_orderdate", "o_orderkey"])
-        .limit(100)
-        .to_pandas()
-    )
+    # the HAVING survivors are rare (TPC-H Q18 returns ~1 order per
+    # 15k): when bounded, finish driver-side — filter the customer
+    # scan by the survivor key set (broadcast semi-join) and do the
+    # tiny top-100 locally, no second shuffle. Bucket join fallback
+    # for a non-selective HAVING.
+    if big.count() <= _Q18_BROADCAST_LIMIT:
+        import pyarrow.compute as _pc
+
+        bp = big.to_pandas()
+        keys = pa.array(np.unique(bp["o_custkey"].to_numpy()), pa.int64())
+        cp = cust.map_batches(
+            lambda t: t.filter(_pc.is_in(t["c_custkey"], value_set=keys)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        top = (bp.merge(cp, left_on="o_custkey", right_on="c_custkey")
+               .sort_values(["o_totalprice_um", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True])
+               .head(100).reset_index(drop=True))
+    else:
+        joined = bucket_hash_join(big, cust, "o_custkey", "c_custkey")
+
+        def block_top(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(
+                ["o_totalprice_um", "o_orderdate", "o_orderkey"],
+                ascending=[False, True, True],
+            ).head(100)
+
+        top = (
+            joined.map_batches(block_top, batch_format="pandas")
+            .map_batches(lambda df: df.assign(_neg=-df["o_totalprice_um"]),
+                         batch_format="pandas")
+            .sort(["_neg", "o_orderdate", "o_orderkey"])
+            .limit(100)
+            .to_pandas()
+        )
     return top[cols].astype(
         {"o_custkey": "int64", "o_orderkey": "int64",
          "o_totalprice_um": "int64", "sum_qty": "int64"}
@@ -2400,6 +2487,16 @@ def q_bm25_topk(sf_dir: str):
         _table(sf_dir, "documents", ["doc_id", "text"]),
         queries=_BM25_QUERIES, k=10,
     )
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-quality screen: per-vector squared distance to its
+    label's centroid in exact integer micro-units (fit = bounded
+    labels×dims driver state; score = one shuffle-free broadcast
+    pass). The curation step that drops far-from-prototype vectors."""
+    from beats_ray.dataops.ann import centroid_outliers
+
+    return centroid_outliers(_table(sf_dir, "embeddings"))
 
 
 def q_bpe_token_counts(sf_dir: str):
@@ -2582,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
+        "embedding_outliers": q_embedding_outliers,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
@@ -3988,6 +4086,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE per.nll_sum // per.n_tokens END AS BIGINT)
                      AS avg_nll
             FROM documents d LEFT JOIN per USING (doc_id)""",
+        # centroid-outlier replay: identical integer pipeline —
+        # floor(1e6·x) quantize, exact per-(label,dim) sums, DuckDB //
+        # (truncating) centroid, exact integer squared distance
+        "embedding_outliers": """
+            WITH xm AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS d,
+                     CAST(FLOOR(1000000 * CAST(unnest(embedding)
+                          AS DOUBLE)) AS BIGINT) AS um
+              FROM embeddings
+            ), cent AS (
+              SELECT label, d,
+                     CAST(SUM(um) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS c
+              FROM xm GROUP BY label, d
+            )
+            SELECT xm.vec_id, xm.label,
+                   CAST(SUM((um - c) * (um - c)) AS BIGINT) AS dist2_um2
+            FROM xm JOIN cent USING (label, d)
+            GROUP BY xm.vec_id, xm.label""",
         # DSIR replay: same md5-64 % 1024 feature hashing (unigrams +
         # adjacent bigrams of lower(text), WITH multiplicity), same
         # add-one smoothing, lam in integer micro-nats

@@ -621,3 +621,74 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
             lambda g: pairs(g, aref), batch_format="pandas"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-centroid outlier scoring — the embedding-quality screen of a
+# curation pipeline (distance-to-class-centroid; SemDeDup/SSL-prototype
+# class). Exact-integer contract: components quantize to micro-units
+# (floor(1e6·x)), per-label sums are exact int64, the centroid is the
+# TRUNCATING integer division sum/count (DuckDB's `//`), and the score
+# is the exact integer Σ_dims (x_um − c_um)² — both sides replay the
+# identical arithmetic, no float summation order anywhere.
+# ---------------------------------------------------------------------------
+
+EMB_SCALE = 1_000_000
+
+
+def _trunc_div(a: np.ndarray, b: int) -> np.ndarray:
+    """Truncate-toward-zero integer division (DuckDB `//` semantics;
+    numpy // floors, so route through magnitudes)."""
+    return np.sign(a) * (np.abs(a) // b)
+
+
+def centroid_outliers(embeddings, label_col: str = "label",
+                      id_col: str = "vec_id", col: str = "embedding"):
+    """Per-vector squared distance to its label's centroid:
+    Dataset[(vec_id, label, dist2_um2)]. Fit folds per-batch per-label
+    (Σ components_um, count) — the driver holds labels × dims int64s,
+    bounded however large the corpus — and the centroid table
+    broadcasts back for one shuffle-free scoring pass."""
+    import ray
+
+    from .joins import _resolve_ref
+    from .stagecache import task_stage
+
+    def fit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.floor(EMB_SCALE * _batch_matrix(df, col)).astype(np.int64)
+        out = pd.DataFrame(m)
+        out.columns = [f"s{j}" for j in range(m.shape[1])]
+        out["label"] = df[label_col].to_numpy()
+        g = out.groupby("label", as_index=False).sum()
+        g["n"] = df.groupby(df[label_col].to_numpy()).size().to_numpy()
+        return g
+
+    parts = embeddings.select_columns([label_col, col]).map_batches(
+        fit_partial, batch_format="pandas").to_pandas()
+    dims = [c for c in parts.columns if c.startswith("s")]
+    tot = parts.groupby("label", as_index=False)[dims + ["n"]].sum()
+    cents = {
+        row["label"]: _trunc_div(
+            row[dims].to_numpy().astype(np.int64), int(row["n"]))
+        for _, row in tot.iterrows()
+    }
+
+    class _Score:
+        def __init__(self, ref):
+            self.cents = _resolve_ref(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.floor(EMB_SCALE * _batch_matrix(df, col)).astype(np.int64)
+            labels = df[label_col].to_numpy()
+            c = np.stack([self.cents[v] for v in labels]) if len(df) else \
+                np.zeros((0, m.shape[1]), dtype=np.int64)
+            d = m - c
+            return pd.DataFrame({
+                "vec_id": df[id_col].to_numpy(),
+                "label": labels,
+                "dist2_um2": (d * d).sum(axis=1).astype(np.int64),
+            })
+
+    ref = ray.put(cents)
+    return embeddings.select_columns([id_col, label_col, col]).map_batches(
+        task_stage(_Score, ref=ref), batch_format="pandas")

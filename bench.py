@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "kafka_messages",
     "redis_slowlog_events",
     "mqtt_messages",
+    "tpch_q5",
+    "line_dedup_turns",
+    "unigram_logprob",
+    "dsir_weights",
+    "bpe_token_counts",
+    "bm25_topk",
 ]
 
 

@@ -57,3 +57,18 @@ def test_sample_queries_run_small(entrymod, name):
     else:
         n = len(res)
     assert n > 0
+
+
+@pytest.mark.parametrize("name,limits", [
+    ("tpch_q5", [("_Q5_BROADCAST_LIMIT", 0)]),
+    ("tpch_q18", [("_Q18_BROADCAST_LIMIT", 0)]),
+])
+def test_adaptive_join_paths_equal(entrymod, monkeypatch, name, limits):
+    """The broadcast fast path and the bucket-join fallback must
+    return identical frames (forced via the module-level cutoffs)."""
+    fast = entrymod.queries()[name]("/root/testdata/sf0.001")
+    for attr, v in limits:
+        monkeypatch.setattr(entrymod, attr, v)
+    slow = entrymod.queries()[name]("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True))
