@@ -2489,6 +2489,16 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_trending_terms(sf_dir: str):
+    """Trending terms per hour: top-5 ws-tokens per tumbling hourly
+    window over the transcript timeline (count desc, term asc) —
+    per-batch partial counts, one window-keyed co-locating shuffle."""
+    from beats_ray.dataops.textstats import windowed_top_terms
+
+    return windowed_top_terms(
+        _transcripts(sf_dir, ["ts", "text"]), k=5, window="h")
+
+
 def q_embedding_outliers(sf_dir: str):
     """Embedding-quality screen: per-vector squared distance to its
     label's centroid in exact integer micro-units (fit = bounded
@@ -2680,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
+        "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
         "bloom_contamination": q_bloom_contamination,
@@ -4086,6 +4097,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE per.nll_sum // per.n_tokens END AS BIGINT)
                      AS avg_nll
             FROM documents d LEFT JOIN per USING (doc_id)""",
+        "trending_terms": rf"""
+            WITH t AS (SELECT ts, coalesce(text, '') AS text
+                       FROM read_parquet('{path}')),
+            tok AS (
+              SELECT date_trunc('hour', ts) AS w_start,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                            '\s+'), x -> x <> '')) AS term
+              FROM t
+            ), c AS (
+              SELECT w_start, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2
+            )
+            SELECT w_start, term, n FROM c
+            QUALIFY row_number() OVER (PARTITION BY w_start
+                    ORDER BY n DESC, term) <= 5""",
         # centroid-outlier replay: identical integer pipeline —
         # floor(1e6·x) quantize, exact per-(label,dim) sums, DuckDB //
         # (truncating) centroid, exact integer squared distance

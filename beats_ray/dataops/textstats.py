@@ -195,3 +195,41 @@ def doc_fingerprint(docs, prefix_len: int = 16):
         )
 
     return docs.map_batches(fp, batch_format="pandas")
+
+
+def windowed_top_terms(turns, k: int = 5, window: str = "h",
+                       text_col: str = "text", ts_col: str = "ts"):
+    """Trending terms: top-``k`` ws-tokens of lower(text) per tumbling
+    time window (count desc, term asc). Per-batch partial counts
+    shrink the shuffle to distinct (window, term) pairs; ONE
+    co-locating shuffle on the window finishes — windows are bounded
+    by the time span, never by corpus size. Output
+    (w_start, term, n)."""
+    import pyarrow.compute as pc
+
+    from .agg import map_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.table({"t": pa.array(df[text_col].fillna(""), pa.string())})
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(t["t"].combine_chunks()), pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        w = np.repeat(df[ts_col].dt.floor(window).to_numpy(), lens)
+        nonblank = flat != ""
+        out = pd.DataFrame({"w_start": w[nonblank], "term": flat[nonblank]})
+        return out.groupby(["w_start", "term"], as_index=False).size() \
+                  .rename(columns={"size": "n"})
+
+    partials = turns.select_columns([ts_col, text_col]).map_batches(
+        partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["w_start", "term"], as_index=False)["n"].sum()
+        g = g.sort_values(["w_start", "n", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("w_start", sort=False).head(k)
+        top["n"] = top["n"].astype("int64")
+        return top
+
+    return map_buckets(partials, "w_start", finish, buckets=16)

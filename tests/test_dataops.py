@@ -1464,3 +1464,37 @@ def test_range_join_disjoint_and_overlapping_vs_brute(ray_session):
     exp = _range_join_brute(ldf, rdf2, "k", "ts", "inner")
     assert sorted(map(tuple, got[["eid", "win"]].itertuples(index=False))) == \
            sorted(map(tuple, exp[["eid", "win"]].itertuples(index=False)))
+
+
+def test_windowed_top_terms_vs_pandas(ray_session):
+    """Randomized cross-check of the trending-terms op against a
+    straight pandas replay (hourly floor, count desc / term asc)."""
+    import numpy as np
+    import ray.data as rd
+
+    from beats_ray.dataops.textstats import windowed_top_terms
+
+    rng = np.random.default_rng(41)
+    base = pd.Timestamp("2026-01-01")
+    words = ["scan", "sort", "merge", "", "JOIN", "join"]
+    df = pd.DataFrame({
+        "ts": base + pd.to_timedelta(rng.integers(0, 6 * 3600, 400), "s"),
+        "text": [" ".join(rng.choice(words, rng.integers(0, 8)))
+                 for _ in range(400)],
+    })
+    got = (windowed_top_terms(rd.from_pandas(df).repartition(4), k=3)
+           .to_pandas().sort_values(["w_start", "term"])
+           .reset_index(drop=True))
+
+    tok = df.assign(w_start=df["ts"].dt.floor("h"),
+                    term=df["text"].str.lower().str.split())
+    tok = tok.explode("term").dropna(subset=["term"])
+    tok = tok[tok["term"] != ""]
+    c = tok.groupby(["w_start", "term"], as_index=False).size() \
+           .rename(columns={"size": "n"})
+    c = c.sort_values(["w_start", "n", "term"],
+                      ascending=[True, False, True], kind="mergesort")
+    want = (c.groupby("w_start", sort=False).head(3)
+            .sort_values(["w_start", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
+                                  want.astype({"n": "int64"}))
