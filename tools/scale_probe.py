@@ -619,6 +619,63 @@ def probe_boilerplate() -> dict:
     return out
 
 
+def probe_lm_ops_500k() -> dict:
+    """The round-5 LM/text tier at 500k docs (~30M tokens): unigram-LM
+    scoring, DSIR weights, BPE fit+apply, and global line dedup. Each
+    fit's driver state is bounded by construction (top-k vocab / 1024
+    hash buckets / merge list / nothing); the driver max-RSS delta per
+    op is the evidence, read against the probe's own corpus-build
+    floor. Synthesis happens inside Ray tasks."""
+    n_docs, n_vocab = 500_000, 30_000
+
+    def make(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        out = []
+        for i in ids:
+            r = np.random.RandomState(int(i) % 2**31)
+            words = [f"w{v}" for v in r.zipf(1.5, 60) % n_vocab]
+            # a shared banner line + a unique body line per doc
+            out.append("shared banner line\n" + " ".join(words))
+        return pd.DataFrame({
+            "doc_id": ids.astype("int64"),
+            "conv_id": (ids % 9973).astype("int64"),
+            "turn_idx": ids.astype("int64"),
+            "lang": np.where(ids % 3 == 0, "en", "de"),
+            "text": out,
+        })
+
+    import ray.data as rd
+
+    from beats_ray.dataops.bpe import bpe_token_counts, fit_bpe
+    from beats_ray.dataops.lm import dsir_weights, unigram_nll
+    from beats_ray.dataops.textnorm import dedup_lines_global
+
+    docs = rd.range(n_docs, override_num_blocks=64).map_batches(
+        make, batch_format="pandas").materialize()
+    out: dict = {"probe": "lm_ops_500k", "docs": n_docs}
+
+    for label, run in [
+        ("unigram_nll", lambda: unigram_nll(docs, model_k=10_000)
+            .sum("nll_sum")),
+        ("dsir", lambda: dsir_weights(docs).sum("dsir_um")),
+        ("bpe", lambda: bpe_token_counts(
+            docs, fit_bpe(docs, n_merges=20, vocab_k=10_000))
+            .sum("n_bpe_tokens")),
+        ("line_dedup", lambda: dedup_lines_global(
+            docs, keys=("conv_id", "turn_idx")).sum("n_dropped")),
+    ]:
+        rss0 = _rss_mb()
+        t0 = time.perf_counter()
+        agg = run()
+        out[f"{label}_agg"] = int(agg or 0)
+        out[f"{label}_wall_s"] = round(time.perf_counter() - t0, 1)
+        out[f"{label}_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+    # invariant: the shared banner appears in every doc; global line
+    # dedup must drop it everywhere but its first occurrence
+    assert out["line_dedup_agg"] == n_docs - 1, out["line_dedup_agg"]
+    return out
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
@@ -630,6 +687,7 @@ PROBES = {
     "socket_wal": probe_socket_wal,
     "tailer": probe_tailer,
     "boilerplate": probe_boilerplate,
+    "lm_ops_500k": probe_lm_ops_500k,
 }
 
 
