@@ -2457,6 +2457,19 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_nb_quality_docs(sf_dir: str):
+    """fastText-class quality-filter archetype (GPT-3 pipeline): fit a
+    binary multinomial Naive Bayes on lang='en' vs rest (top-5000
+    vocab, one grouped shuffle), score every doc with the broadcast
+    integer micro-nat log-odds table; pred = posterior log-odds > 0."""
+    from beats_ray.dataops.lm import nb_classify
+
+    return nb_classify(
+        _table(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        label_col="lang", positive_value="en", model_k=5000,
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window chunking for retrieval/context prep: 64-token
     windows every 48 tokens (overlapped), shuffle-free expansion."""
@@ -2687,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_turns": q_line_dedup_turns,
         "unigram_logprob": q_unigram_logprob,
         "dsir_weights": q_dsir_weights,
+        "nb_quality_docs": q_nb_quality_docs,
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
@@ -4177,6 +4191,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
                    CAST(COALESCE(per.dsir_um, 0) AS BIGINT) AS dsir_um
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+        # Naive-Bayes replay: same top-5000 vocab (cp+cn desc, term
+        # asc), same add-one log-odds in integer micro-nats, same
+        # doc-count prior; pred = posterior log-odds > 0
+        "nb_quality_docs": r"""
+            WITH d0 AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+                     list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, is_pos, unnest(ws) AS term FROM d0
+            ), cnt AS (
+              SELECT term,
+                     CAST(SUM(is_pos) AS BIGINT) AS cp,
+                     CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+              FROM tok GROUP BY term
+            ), vocab AS (
+              SELECT term, cp, cn FROM cnt
+              ORDER BY cp + cn DESC, term LIMIT 5000
+            ), consts AS (
+              SELECT (SELECT COALESCE(SUM(cp), 0) FROM cnt)
+                   + (SELECT COUNT(*) FROM vocab) + 1 AS dp,
+                     (SELECT COALESCE(SUM(cn), 0) FROM cnt)
+                   + (SELECT COUNT(*) FROM vocab) + 1 AS dn,
+                     CAST(FLOOR(1000000 * ln(
+                       CAST((SELECT COALESCE(SUM(is_pos), 0) FROM d0) + 1
+                            AS DOUBLE)
+                       / ((SELECT COALESCE(SUM(1 - is_pos), 0) FROM d0)
+                          + 1))) AS BIGINT) AS prior
+            ), wt AS (
+              SELECT t.doc_id,
+                     CAST(FLOOR(1000000 * ln(
+                       CAST((COALESCE(v.cp, 0) + 1)
+                            * (SELECT dn FROM consts) AS DOUBLE)
+                       / ((COALESCE(v.cn, 0) + 1)
+                          * (SELECT dp FROM consts)))) AS BIGINT) AS w_um
+              FROM tok t LEFT JOIN vocab v USING (term)
+            ), per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(w_um) AS BIGINT) AS s
+              FROM wt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST((SELECT prior FROM consts) + COALESCE(per.s, 0)
+                        AS BIGINT) AS nb_um,
+                   CAST(CASE WHEN (SELECT prior FROM consts)
+                                  + COALESCE(per.s, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS pred
             FROM documents d LEFT JOIN per USING (doc_id)""",
         # sliding-window chunking: starts 0, 48, 96, ... while < len;
         # 1-based inclusive list_slice mirrors tokens[start:start+64]

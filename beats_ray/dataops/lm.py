@@ -140,6 +140,163 @@ def unigram_nll(docs, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Naive-Bayes document classifier — the fastText-class quality-filter
+# archetype (the GPT-3 pipeline scored CommonCrawl against a
+# WebText-trained classifier and kept the high-scoring tail). Binary
+# multinomial NB over ws-tokens: fit = per-class token counts in ONE
+# grouped shuffle (the per-class doc counts ride the same shuffle as a
+# sentinel "" row, free because blank tokens are filtered), model =
+# bounded top-k vocabulary, scoring = broadcast per-term integer
+# micro-nat log-odds + prior. w_um(t) =
+# floor(1e6·ln((cp+1)·(Tn+V+1) / ((cn+1)·(Tp+V+1)))) — exact-int
+# products, one double division, ln, floor: the op sequence DuckDB
+# replays bit-identically (house exactness contract).
+# ---------------------------------------------------------------------------
+
+
+def fit_nb_classifier(docs, text_col: str = "text", label_col: str = "lang",
+                      positive_value: str = "en", model_k: int = 10_000):
+    """Per-class token counts → (model DataFrame[term, cp, cn],
+    Tp, Tn, Np, Nn). Totals count EVERY token of each class (the
+    smoothing denominators are corpus-exact however small ``model_k``);
+    Np/Nn are per-class document counts for the prior."""
+    from ray.data.aggregate import Sum
+
+    from .agg import top_k_by
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        is_pos = pc.fill_null(
+            pc.equal(t[label_col].combine_chunks(), positive_value), False)
+        terms, cps, cns = [], [], []
+        for mask, pos in ((is_pos, True), (pc.invert(is_pos), False)):
+            flat = pc.list_flatten(words.filter(mask))
+            flat = flat.filter(pc.not_equal(flat, ""))
+            vc = flat.value_counts()
+            c = pc.cast(vc.field("counts"), pa.int64())
+            z = pa.array(np.zeros(len(vc), dtype=np.int64))
+            terms.append(vc.field("values"))
+            cps.append(c if pos else z)
+            cns.append(z if pos else c)
+        # sentinel row: per-class DOCUMENT counts (blank terms were
+        # filtered above, so "" cannot collide with a real token)
+        n_pos = pc.sum(is_pos).as_py() or 0
+        terms.append(pa.array([""], pa.string()))
+        cps.append(pa.array([n_pos], pa.int64()))
+        cns.append(pa.array([len(t) - n_pos], pa.int64()))
+        return pa.table({
+            "term": pa.concat_arrays(
+                [pc.cast(a, pa.string()) for a in terms]),
+            "cp": pa.concat_arrays(cps),
+            "cn": pa.concat_arrays(cns),
+        })
+
+    counts = (
+        docs.select_columns([text_col, label_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cp", alias_name="cp"), Sum("cn", alias_name="cn"))
+        .materialize()
+    )
+
+    def only_docs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term"], ""))
+
+    def drop_docs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["term"], ""))
+
+    doc_row = counts.map_batches(only_docs, batch_format="pyarrow").to_pandas()
+    np_docs = int(doc_row["cp"].sum()) if len(doc_row) else 0
+    nn_docs = int(doc_row["cn"].sum()) if len(doc_row) else 0
+    toks = counts.map_batches(drop_docs, batch_format="pyarrow")
+
+    def with_total(t: pa.Table) -> pa.Table:
+        return t.append_column("c", pc.add(t["cp"], t["cn"]))
+
+    toks = toks.map_batches(with_total, batch_format="pyarrow").materialize()
+    tp = (toks.sum("cp") or 0)
+    tn = (toks.sum("cn") or 0)
+    model = top_k_by(toks, "c", "term", model_k).drop_columns(["c"]).to_pandas()
+    if "term" not in model.columns:
+        model = pd.DataFrame({"term": pd.Series(dtype="string"),
+                              "cp": pd.Series(dtype="int64"),
+                              "cn": pd.Series(dtype="int64")})
+    return model, int(tp), int(tn), np_docs, nn_docs
+
+
+class _NbScore:
+    """Broadcast-apply scorer (cached task): term→log-odds micro-nats
+    resolves once per worker; the probe runs once per distinct term."""
+
+    def __init__(self, ref, text_col: str, id_col: str, oov: int,
+                 prior: int):
+        from .joins import _resolve_ref
+
+        self.w = _resolve_ref(ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.oov = oov
+        self.prior = prior
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[self.text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        arr = np.asarray(flat.to_pandas(), dtype=object)
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        nonblank = arr != ""
+        arr = arr[nonblank]
+        docidx = docidx[nonblank]
+        n_tok = np.bincount(docidx, minlength=len(lens)).astype(np.int64)
+        s = np.full(len(lens), self.prior, dtype=np.int64)
+        if len(arr):
+            uniq, inv = np.unique(arr, return_inverse=True)
+            get = self.w.get
+            oov = self.oov
+            u_w = np.fromiter((get(w, oov) for w in uniq),
+                              dtype=np.int64, count=len(uniq))
+            np.add.at(s, docidx, u_w[inv])
+        return pa.table({
+            "doc_id": t[self.id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "nb_um": pa.array(s, pa.int64()),
+            "pred": pa.array((s > 0).astype(np.int64), pa.int64()),
+        })
+
+
+def nb_classify(docs, text_col: str = "text", id_col: str = "doc_id",
+                label_col: str = "lang", positive_value: str = "en",
+                model_k: int = 10_000):
+    """Fit a binary multinomial NB on (label == positive_value) and
+    score every document: Dataset[(doc_id, n_tokens, nb_um, pred)] —
+    nb_um the integer micro-nat posterior log-odds (prior included),
+    pred = 1 iff nb_um > 0. Empty docs carry the prior alone."""
+    from .stagecache import task_stage
+
+    model, tp, tn, np_docs, nn_docs = fit_nb_classifier(
+        docs, text_col=text_col, label_col=label_col,
+        positive_value=positive_value, model_k=model_k)
+    v = len(model)
+    dp, dn = tp + v + 1, tn + v + 1
+    w = {
+        t: math.floor(LM_SCALE * math.log(
+            (int(cp) + 1) * dn / ((int(cn) + 1) * dp)))
+        for t, cp, cn in zip(model["term"], model["cp"], model["cn"])
+    }
+    oov = math.floor(LM_SCALE * math.log(dn / dp))
+    prior = math.floor(LM_SCALE * math.log(
+        (np_docs + 1) / (nn_docs + 1)))
+    ref = ray.put(w)
+    return docs.select_columns([id_col, text_col]).map_batches(
+        task_stage(_NbScore, ref=ref, text_col=text_col, id_col=id_col,
+                   oov=oov, prior=prior),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR — data selection via hashed-n-gram importance resampling
 # (Xie et al. 2023, "Data Selection for Language Models via Importance
 # Resampling"). Features are unigrams + adjacent bigrams of the

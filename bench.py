@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "bpe_token_counts",
     "bm25_topk",
+    "nb_quality_docs",
 ]
 
 

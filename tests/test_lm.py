@@ -271,3 +271,133 @@ def test_dsir_direction(ray_session):
     out = (dsir_weights(rd.from_pandas(pd.DataFrame(rows)), buckets=4096)
            .to_pandas().set_index("doc_id"))
     assert out.loc[0, "dsir_um"] > out.loc[100, "dsir_um"]
+
+
+# ------------------------------------------------------------------ NB
+
+
+def _mk_labeled_corpus(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    pos_vocab = ["clean", "prose", "alpha", "beta", "the", "a"]
+    neg_vocab = ["spam", "zzz", "alpha", "buy", "now", "the"]
+    labels = rng.choice(["en", "de", "fr"], n, p=[0.6, 0.25, 0.15])
+    texts = [
+        " ".join(rng.choice(pos_vocab if l == "en" else neg_vocab,
+                            rng.integers(0, 25)))
+        for l in labels
+    ]
+    texts[0] = ""          # empty doc -> prior only
+    texts[1] = "   \t "    # ws-only doc -> prior only
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts, "lang": labels})
+
+
+def _nb_sql_replay(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con.execute(rf"""
+        WITH d0 AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+                 list_filter(regexp_split_to_array(
+                   lower(coalesce(text, '')), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, is_pos, unnest(ws) AS term FROM d0
+        ), cnt AS (
+          SELECT term, CAST(SUM(is_pos) AS BIGINT) AS cp,
+                 CAST(SUM(1 - is_pos) AS BIGINT) AS cn
+          FROM tok GROUP BY term
+        ), vocab AS (
+          SELECT term, cp, cn FROM cnt
+          ORDER BY cp + cn DESC, term LIMIT {k}
+        ), consts AS (
+          SELECT (SELECT COALESCE(SUM(cp), 0) FROM cnt)
+               + (SELECT COUNT(*) FROM vocab) + 1 AS dp,
+                 (SELECT COALESCE(SUM(cn), 0) FROM cnt)
+               + (SELECT COUNT(*) FROM vocab) + 1 AS dn,
+                 CAST(FLOOR(1000000 * ln(
+                   CAST((SELECT COALESCE(SUM(is_pos), 0) FROM d0) + 1
+                        AS DOUBLE)
+                   / ((SELECT COALESCE(SUM(1 - is_pos), 0) FROM d0) + 1)))
+                   AS BIGINT) AS prior
+        ), wt AS (
+          SELECT t.doc_id,
+                 CAST(FLOOR(1000000 * ln(
+                   CAST((COALESCE(v.cp, 0) + 1)
+                        * (SELECT dn FROM consts) AS DOUBLE)
+                   / ((COALESCE(v.cn, 0) + 1)
+                      * (SELECT dp FROM consts)))) AS BIGINT) AS w_um
+          FROM tok t LEFT JOIN vocab v USING (term)
+        ), per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(w_um) AS BIGINT) AS s
+          FROM wt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST((SELECT prior FROM consts) + COALESCE(per.s, 0)
+                    AS BIGINT) AS nb_um,
+               CAST(CASE WHEN (SELECT prior FROM consts)
+                              + COALESCE(per.s, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS pred
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""").fetchdf()
+
+
+@pytest.mark.parametrize("seed,k", [(11, 5000), (12, 4), (13, 1)])
+def test_nb_classify_vs_sql_replay(ray_session, seed, k):
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import nb_classify
+
+    df = _mk_labeled_corpus(seed, 150)
+    got = (nb_classify(rd.from_pandas(df).repartition(5), model_k=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _nb_sql_replay(df, k)
+    cols = {"n_tokens": "int64", "nb_um": "int64", "pred": "int64"}
+    pd.testing.assert_frame_equal(got.astype(cols), want.astype(cols))
+
+
+def test_nb_fit_counts_and_direction(ray_session):
+    """Hand-checkable fit: per-class token counts, doc-count prior,
+    and the log-odds sign separates the class-exclusive words."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import fit_nb_classifier, nb_classify
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["good good fine", "good stuff", "bad bad junk", ""],
+        "lang": ["en", "en", "de", "de"],
+    })
+    model, tp, tn, np_docs, nn_docs = fit_nb_classifier(
+        rd.from_pandas(df), model_k=100)
+    assert (tp, tn, np_docs, nn_docs) == (5, 3, 2, 2)
+    m = model.set_index("term")
+    assert m.loc["good", "cp"] == 3 and m.loc["good", "cn"] == 0
+    assert m.loc["bad", "cp"] == 0 and m.loc["bad", "cn"] == 2
+    out = (nb_classify(rd.from_pandas(df), model_k=100)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "nb_um"] > 0 and out.loc[0, "pred"] == 1
+    assert out.loc[2, "nb_um"] < 0 and out.loc[2, "pred"] == 0
+    # empty doc carries the prior alone: ln((2+1)/(2+1)) = 0
+    assert out.loc[3, "nb_um"] == 0 and out.loc[3, "n_tokens"] == 0
+
+
+def test_nb_null_label_counts_negative(ray_session):
+    """NULL labels fall to the negative class on both sides."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import fit_nb_classifier
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["x y", "x"],
+        "lang": pd.array(["en", None], dtype="string"),
+    })
+    _, tp, tn, np_docs, nn_docs = fit_nb_classifier(
+        rd.from_pandas(df), model_k=10)
+    assert (tp, tn, np_docs, nn_docs) == (2, 1, 1, 1)
