@@ -2457,6 +2457,19 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Conditional extension of the unigram perplexity filter (KenLM
+    n-gram class): fit a bounded add-one bigram LM (top-5000 unigram
+    vocab, top-20000 bigrams restricted to in-vocab contexts), score
+    every doc's adjacent pairs in integer micro-nats."""
+    from beats_ray.dataops.lm import bigram_nll
+
+    return bigram_nll(
+        _table(sf_dir, "documents", ["doc_id", "text"]),
+        model_k=5000, bigram_k=20000,
+    )
+
+
 def q_nb_quality_docs(sf_dir: str):
     """fastText-class quality-filter archetype (GPT-3 pipeline): fit a
     binary multinomial Naive Bayes on lang='en' vs rest (top-5000
@@ -2701,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "dsir_weights": q_dsir_weights,
         "nb_quality_docs": q_nb_quality_docs,
+        "bigram_logprob": q_bigram_logprob,
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
@@ -4191,6 +4205,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
                    CAST(COALESCE(per.dsir_um, 0) AS BIGINT) AS dsir_um
+            FROM documents d LEFT JOIN per USING (doc_id)""",
+        # bigram-LM replay: same bounded vocabs (count desc, joined
+        # string asc tie-break; bigrams restricted to in-vocab
+        # contexts), same add-one conditional NLL in integer micro-nats
+        "bigram_logprob": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS t,
+                     generate_subscripts(ws, 1) AS i
+              FROM w
+            ), cnt AS (
+              SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY t
+            ), vocab AS (
+              SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 5000
+            ), pair AS (
+              SELECT a.doc_id, a.t AS w1, a.t || ' ' || b.t AS bg
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), bcnt AS (
+              SELECT bg, w1, CAST(COUNT(*) AS BIGINT) AS c12
+              FROM pair GROUP BY bg, w1
+            ), bvocab AS (
+              SELECT bg, c12 FROM bcnt
+              WHERE w1 IN (SELECT term FROM vocab)
+              ORDER BY c12 DESC, bg LIMIT 20000
+            ), nllp AS (
+              SELECT p.doc_id,
+                     CAST(FLOOR(1000000 * ln(
+                       CAST(COALESCE(v.c, 0)
+                            + (SELECT COUNT(*) FROM vocab) + 1 AS DOUBLE)
+                       / (COALESCE(bv.c12, 0) + 1))) AS BIGINT) AS nll
+              FROM pair p
+              LEFT JOIN vocab v ON p.w1 = v.term
+              LEFT JOIN bvocab bv ON p.bg = bv.bg
+            ), per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(nll) AS BIGINT) AS s
+              FROM nllp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(per.s, 0) AS BIGINT) AS nll2_sum,
+                   CAST(CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0
+                        ELSE per.s // per.n_bigrams END AS BIGINT)
+                     AS avg_nll2
             FROM documents d LEFT JOIN per USING (doc_id)""",
         # Naive-Bayes replay: same top-5000 vocab (cp+cn desc, term
         # asc), same add-one log-odds in integer micro-nats, same

@@ -140,6 +140,158 @@ def unigram_nll(docs, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM scoring — the conditional extension of the unigram
+# perplexity filter (CCNet's KenLM n-gram scoring, honest bounded-vocab
+# version). p(w2|w1) = (c12 + 1) / (c1 + V + 1): add-one smoothing
+# with the CONTEXT's corpus-exact unigram count and the unigram vocab
+# size V. Both models are bounded top-k tables; the bigram vocab is
+# restricted to contexts inside the unigram vocab so c12 ≤ c1 always
+# (probabilities never exceed 1). Per-pair NLL is the integer
+# floor(1e6·ln((c1+V+1)/(c12+1))) micro-nat (house exactness
+# contract); docs with <2 tokens score (0, 0, 0).
+# ---------------------------------------------------------------------------
+
+
+def fit_bigram_lm(docs, text_col: str = "text", model_k: int = 10_000,
+                  bigram_k: int = 50_000):
+    """Two bounded models in two grouped shuffles: the unigram
+    top-``model_k`` (term → corpus count) and the adjacent-bigram
+    top-``bigram_k`` ("w1 w2" → count; ws-tokens cannot contain
+    whitespace so the joined string is unambiguous), bigrams filtered
+    to contexts present in the unigram vocab. Returns
+    (uni DataFrame[term, c], bi DataFrame[bigram, c])."""
+    from ray.data.aggregate import Sum
+
+    from .agg import top_k_by
+
+    uni, _total = fit_unigram_lm(docs, text_col=text_col, model_k=model_k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        arr = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        nonblank = arr != ""
+        arr = arr[nonblank]
+        docidx = docidx[nonblank]
+        if len(arr) > 1:
+            adj = docidx[1:] == docidx[:-1]
+            bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                             arr[1:].astype(str))[adj]
+        else:
+            bi = np.empty(0, dtype=object)
+        if not len(bi):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        u, c = np.unique(bi, return_counts=True)
+        return pa.table({"bigram": pa.array(u.astype(object), pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    vocab = set(uni["term"])
+
+    def in_vocab(t: pa.Table) -> pa.Table:
+        bs = np.asarray(t["bigram"].to_pandas(), dtype=object)
+        keep = np.fromiter((b.split(" ", 1)[0] in vocab for b in bs),
+                           dtype=bool, count=len(bs))
+        return t.filter(pa.array(keep))
+
+    bi = (top_k_by(counts.map_batches(in_vocab, batch_format="pyarrow"),
+                   "c", "bigram", bigram_k).to_pandas())
+    if "bigram" not in bi.columns:
+        bi = pd.DataFrame({"bigram": pd.Series(dtype="string"),
+                           "c": pd.Series(dtype="int64")})
+    return uni, bi
+
+
+class _BigramNllScore:
+    """Broadcast-apply scorer: bigram→NLL probes once per distinct
+    adjacent pair; misses fall back to the context's count (unigram
+    dict), then to the global OOV-context value."""
+
+    def __init__(self, ref, text_col: str, id_col: str, oov_ctx: int):
+        from .joins import _resolve_ref
+
+        self.bi_nll, self.ctx_nll = _resolve_ref(ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.oov_ctx = oov_ctx
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[self.text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        arr = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        nonblank = arr != ""
+        arr = arr[nonblank]
+        docidx = docidx[nonblank]
+        n_tok = np.bincount(docidx, minlength=len(lens)).astype(np.int64)
+        n_bi = np.maximum(n_tok - 1, 0)
+        s = np.zeros(len(lens), dtype=np.int64)
+        if len(arr) > 1:
+            adj = docidx[1:] == docidx[:-1]
+            bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                             arr[1:].astype(str))[adj]
+            bdoc = docidx[:-1][adj]
+            if len(bi):
+                uniq, inv = np.unique(bi, return_inverse=True)
+                bget = self.bi_nll.get
+                cget = self.ctx_nll.get
+                oov = self.oov_ctx
+
+                def nll_of(b):
+                    v = bget(b)
+                    if v is None:
+                        v = cget(b.split(" ", 1)[0], oov)
+                    return v
+
+                u_nll = np.fromiter((nll_of(b) for b in uniq),
+                                    dtype=np.int64, count=len(uniq))
+                np.add.at(s, bdoc, u_nll[inv])
+        avg = np.where(n_bi > 0, s // np.maximum(n_bi, 1), 0)
+        return pa.table({
+            "doc_id": t[self.id_col],
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "nll2_sum": pa.array(s, pa.int64()),
+            "avg_nll2": pa.array(avg.astype(np.int64), pa.int64()),
+        })
+
+
+def bigram_nll(docs, text_col: str = "text", id_col: str = "doc_id",
+               model_k: int = 10_000, bigram_k: int = 50_000):
+    """Score every document under the corpus-fit add-one bigram LM.
+    Returns Dataset[(doc_id, n_bigrams, nll2_sum, avg_nll2)] — int64
+    micro-nats; docs with fewer than two tokens score (0, 0, 0)."""
+    from .stagecache import task_stage
+
+    uni, bi = fit_bigram_lm(docs, text_col=text_col, model_k=model_k,
+                            bigram_k=bigram_k)
+    v = len(uni)
+    c1 = {t: int(c) for t, c in zip(uni["term"], uni["c"])}
+    ctx_nll = {t: math.floor(LM_SCALE * math.log(c + v + 1))
+               for t, c in c1.items()}
+    oov_ctx = math.floor(LM_SCALE * math.log(v + 1))
+    bi_nll = {}
+    for b, c12 in zip(bi["bigram"], bi["c"]):
+        w1 = b.split(" ", 1)[0]
+        bi_nll[b] = math.floor(LM_SCALE * math.log(
+            (c1[w1] + v + 1) / (int(c12) + 1)))
+    ref = ray.put((bi_nll, ctx_nll))
+    return docs.select_columns([id_col, text_col]).map_batches(
+        task_stage(_BigramNllScore, ref=ref, text_col=text_col,
+                   id_col=id_col, oov_ctx=oov_ctx),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Naive-Bayes document classifier — the fastText-class quality-filter
 # archetype (the GPT-3 pipeline scored CommonCrawl against a
 # WebText-trained classifier and kept the high-scoring tail). Binary

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "bm25_topk",
     "nb_quality_docs",
+    "bigram_logprob",
 ]
 
 

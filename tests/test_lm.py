@@ -401,3 +401,122 @@ def test_nb_null_label_counts_negative(ray_session):
     _, tp, tn, np_docs, nn_docs = fit_nb_classifier(
         rd.from_pandas(df), model_k=10)
     assert (tp, tn, np_docs, nn_docs) == (2, 1, 1, 1)
+
+
+# ------------------------------------------------------------------ bigram
+
+
+def _bigram_sql_replay(df: pd.DataFrame, uk: int, bk: int) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con.execute(rf"""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS i
+          FROM w
+        ), cnt AS (
+          SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY t
+        ), vocab AS (
+          SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {uk}
+        ), pair AS (
+          SELECT a.doc_id, a.t AS w1, a.t || ' ' || b.t AS bg
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ), bcnt AS (
+          SELECT bg, w1, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM pair GROUP BY bg, w1
+        ), bvocab AS (
+          SELECT bg, c12 FROM bcnt
+          WHERE w1 IN (SELECT term FROM vocab)
+          ORDER BY c12 DESC, bg LIMIT {bk}
+        ), nllp AS (
+          SELECT p.doc_id,
+                 CAST(FLOOR(1000000 * ln(
+                   CAST(COALESCE(v.c, 0)
+                        + (SELECT COUNT(*) FROM vocab) + 1 AS DOUBLE)
+                   / (COALESCE(bv.c12, 0) + 1))) AS BIGINT) AS nll
+          FROM pair p
+          LEFT JOIN vocab v ON p.w1 = v.term
+          LEFT JOIN bvocab bv ON p.bg = bv.bg
+        ), per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(nll) AS BIGINT) AS s
+          FROM nllp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(per.s, 0) AS BIGINT) AS nll2_sum,
+               CAST(CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0
+                    ELSE per.s // per.n_bigrams END AS BIGINT) AS avg_nll2
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""").fetchdf()
+
+
+@pytest.mark.parametrize("seed,uk,bk", [(21, 5000, 50000), (22, 4, 6),
+                                        (23, 1, 1)])
+def test_bigram_nll_vs_sql_replay(ray_session, seed, uk, bk):
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import bigram_nll
+
+    df = _mk_corpus(seed, 120)
+    got = (bigram_nll(rd.from_pandas(df).repartition(4), model_k=uk,
+                      bigram_k=bk)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _bigram_sql_replay(df, uk, bk)
+    cols = {"n_bigrams": "int64", "nll2_sum": "int64", "avg_nll2": "int64"}
+    pd.testing.assert_frame_equal(got.astype(cols), want.astype(cols))
+
+
+def test_bigram_fit_and_hand_values(ray_session):
+    """Hand-checkable fit: bigram counts never cross doc boundaries,
+    contexts outside the unigram vocab are excluded, and a seen pair
+    is cheaper than an unseen pair under the same context."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import LM_SCALE, bigram_nll, fit_bigram_lm
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b", "b a", "a zzz", ""],
+        # doc0: "a b"×2, "b a"×1; doc1: "b a"; doc2: "a zzz"
+    })
+    uni, bi = fit_bigram_lm(rd.from_pandas(df), model_k=2, bigram_k=10)
+    assert list(uni["term"]) == ["a", "b"]  # zzz falls out of top-2
+    m = bi.set_index("bigram")["c"]
+    assert m["a b"] == 2 and m["b a"] == 2 and m["a zzz"] == 1
+    out = (bigram_nll(rd.from_pandas(df), model_k=2, bigram_k=10)
+           .to_pandas().set_index("doc_id"))
+    v = 2
+    ab = math.floor(LM_SCALE * math.log((4 + v + 1) / 3))  # c1(a)=4, c12=2
+    ba = math.floor(LM_SCALE * math.log((3 + v + 1) / 3))  # c1(b)=3, c12=2
+    azzz = math.floor(LM_SCALE * math.log((4 + v + 1) / 2))
+    assert out.loc[0, "nll2_sum"] == 2 * ab + ba
+    assert out.loc[1, "nll2_sum"] == ba
+    assert out.loc[2, "nll2_sum"] == azzz
+    assert out.loc[3, ["n_bigrams", "nll2_sum", "avg_nll2"]].tolist() == [0, 0, 0]
+    assert azzz > ab  # rarer continuation costs more
+
+
+def test_bigram_oov_context(ray_session):
+    """A bigram whose context fell out of the unigram vocab scores
+    the flat OOV-context value ln(V+1) — never a probability > 1."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import LM_SCALE, bigram_nll
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["x x x y y", "qq ww qq ww qq ww qq ww"],
+    })
+    # model_k=2 keeps {qq, ww} (counts 4, 4); x (3) and y (2) are OOV
+    out = (bigram_nll(rd.from_pandas(df), model_k=2, bigram_k=100)
+           .to_pandas().set_index("doc_id"))
+    oov_ctx = math.floor(LM_SCALE * math.log(2 + 1))
+    assert out.loc[0, "nll2_sum"] == 4 * oov_ctx
