@@ -2617,6 +2617,51 @@ def q_tpch_q4(sf_dir: str):
     return grouped_count(hit, ["o_orderpriority"])
 
 
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-shaped: promotion revenue share for one ship month.
+    Lineitem pre-aggregates to per-partkey integer revenue partials
+    inside map_batches (the join input shrinks from rows to distinct
+    keys), the promo flag applies as a distributed bucket semi-join,
+    and both sums finish as one-row aggregates — revenue carried as
+    exact cents×percent integers end to end."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.joins import bucket_semi_join
+
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1996-02-01").to_datetime64()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        sub = df[m]
+        um = (
+            np.round(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+               .astype(np.int64))
+        )
+        return (pd.DataFrame({"l_partkey": sub["l_partkey"].to_numpy(),
+                              "um": um})
+                .groupby("l_partkey", as_index=False)["um"].sum())
+
+    partials = _table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=16,
+    ).map_batches(partial, batch_format="pandas").materialize()
+    total_um = int(partials.sum("um") or 0)
+
+    def promo_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["p_type"], "PROMO"))["p_partkey"]
+        return pa.table({"l_partkey": pc.unique(keys.combine_chunks())})
+
+    keys = _table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        promo_keys, batch_format="pyarrow")
+    promo_um = int(
+        bucket_semi_join(partials, keys, on="l_partkey").sum("um") or 0)
+    return pd.DataFrame({"promo_um": pd.array([promo_um], dtype="int64"),
+                         "total_um": pd.array([total_um], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -2671,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
         "bm25_topk": q_bm25_topk,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
@@ -3633,6 +3679,23 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority""",
+        # Q14 revenue carried as exact cents×percent integers
+        # (round(ep·100) · (100 − round(disc·100))) on both sides
+        "tpch_q14": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       AS um
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-02-01'
+            )
+            SELECT CAST(COALESCE(SUM(um) FILTER (WHERE l_partkey IN
+                     (SELECT p_partkey FROM part
+                      WHERE p_type = 'PROMO')), 0) AS BIGINT) AS promo_um,
+                   CAST(COALESCE(SUM(um), 0) AS BIGINT) AS total_um
+            FROM li""",
         # BM25 replay: identical double expression per (term, doc) —
         # floor to micro-units BEFORE the per-doc sum, same literal
         # k1/b constants and op order as the numpy kernel
