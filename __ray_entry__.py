@@ -2662,6 +2662,82 @@ def q_tpch_q14(sf_dir: str):
                          "total_um": pd.array([total_um], dtype="int64")})
 
 
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22-shaped: per-nation count + balance of above-average
+    customers with no RECENT orders (orders since 1999 — the literal
+    no-orders-ever predicate is degenerate on this corpus). The average
+    is applied as the exact integer cross-product test
+    um·n_pos > sum_pos (no float division anywhere), the NOT EXISTS is
+    a distributed bucket ANTI-join against per-batch-deduped order
+    custkeys, and the finish is a combiner-first grouped sum over
+    ≤nations keys."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from beats_ray.dataops.joins import bucket_semi_join
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_nationkey": df["c_nationkey"].to_numpy().astype(np.int64),
+            "um": np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64),
+        })
+
+    cu = _table(sf_dir, "customer",
+                ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        quant, batch_format="pandas").materialize()
+
+    def pos_part(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["um"].to_numpy()
+        pos = pos[pos > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    stats = cu.map_batches(pos_part, batch_format="pandas").materialize()
+    s_pos = int(stats.sum("s") or 0)
+    n_pos = int(stats.sum("n") or 0)
+
+    rich = cu.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(t["um"],
+                                                  pa.scalar(n_pos, pa.int64())),
+                                      pa.scalar(s_pos, pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    cutoff = pd.Timestamp("1999-01-01").to_datetime64()
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff)))["o_custkey"]
+        return pa.table({"c_custkey": pc.unique(keys.combine_chunks())})
+
+    keys = _table(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                  blocks=16).map_batches(cust_keys, batch_format="pyarrow")
+    noord = bucket_semi_join(rich, keys, on="c_custkey", anti=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["c_nationkey", "um"]).group_by(["c_nationkey"])
+             .aggregate([("um", "sum"), ([], "count_all")]))
+        return g.rename_columns(["c_nationkey", "totacctbal_um", "numcust"]
+                                ).replace_schema_metadata(None)
+
+    out = (
+        noord.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("totacctbal_um", alias_name="totacctbal_um"))
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        # empty anti-join groups ride through pandas and upcast to
+        # float; pin the contract dtypes
+        return pa.table({c: pc.cast(t[c], pa.int64())
+                         for c in ("c_nationkey", "numcust",
+                                   "totacctbal_um")})
+
+    return out.map_batches(typed, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -2717,6 +2793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
+        "tpch_q22": q_tpch_q22,
         "bm25_topk": q_bm25_topk,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
@@ -3696,6 +3773,28 @@ def oracle_sql() -> dict[str, str]:
                       WHERE p_type = 'PROMO')), 0) AS BIGINT) AS promo_um,
                    CAST(COALESCE(SUM(um), 0) AS BIGINT) AS total_um
             FROM li""",
+        # Q22: the avg threshold is the exact integer test
+        # um·n_pos > sum_pos — no float division on either side
+        "tpch_q22": """
+            WITH c AS (
+              SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS um
+              FROM customer
+            ), avgc AS (
+              SELECT CAST(COALESCE(SUM(um) FILTER (WHERE um > 0), 0)
+                          AS BIGINT) AS s,
+                     CAST(COUNT(*) FILTER (WHERE um > 0) AS BIGINT) AS n
+              FROM c
+            ), sel AS (
+              SELECT c.* FROM c, avgc
+              WHERE um * n > s
+                AND c_custkey NOT IN
+                    (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(um) AS BIGINT) AS totacctbal_um
+            FROM sel GROUP BY c_nationkey""",
         # BM25 replay: identical double expression per (term, doc) —
         # floor to micro-units BEFORE the per-doc sum, same literal
         # k1/b constants and op order as the numpy kernel
