@@ -2470,6 +2470,18 @@ def q_bigram_logprob(sf_dir: str):
     )
 
 
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail split (Wenzek et al. 2020): unigram-LM
+    avg NLL per doc, exact tercile boundaries via distributed
+    rank-select (integer tercile ranks both sides), per-doc bucket
+    tags; token-less docs land in 'empty'."""
+    from beats_ray.dataops.lm import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(
+        _table(sf_dir, "documents", ["doc_id", "text"]), model_k=5000
+    )
+
+
 def q_nb_quality_docs(sf_dir: str):
     """fastText-class quality-filter archetype (GPT-3 pipeline): fit a
     binary multinomial Naive Bayes on lang='en' vs rest (top-5000
@@ -2838,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "nb_quality_docs": q_nb_quality_docs,
         "bigram_logprob": q_bigram_logprob,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
@@ -4368,6 +4381,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(per.n_feats, 0) AS BIGINT) AS n_feats,
                    CAST(COALESCE(per.dsir_um, 0) AS BIGINT) AS dsir_um
             FROM documents d LEFT JOIN per USING (doc_id)""",
+        # CCNet-bucket replay: the unigram scoring body, then the
+        # tercile boundaries as integer 1-based ranks (n+2)//3 and
+        # (2n+2)//3 via ORDER BY + OFFSET (ties fall to the lower
+        # bucket, exactly the engine's <= comparison)
+        "ccnet_ppl_buckets": r"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), cnt AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY term
+            ), vocab AS (
+              SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 5000
+            ), consts AS (
+              SELECT (SELECT COALESCE(SUM(c), 0) FROM cnt)
+                   + (SELECT COUNT(*) FROM vocab) + 1 AS denom
+            ), nll AS (
+              SELECT t.doc_id,
+                     CAST(FLOOR(1000000 * ln(
+                       CAST((SELECT denom FROM consts) AS DOUBLE)
+                       / (COALESCE(v.c, 0) + 1))) AS BIGINT) AS wnll
+              FROM tok t LEFT JOIN vocab v USING (term)
+            ), per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(wnll) AS BIGINT) AS nll_sum
+              FROM nll GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                          ELSE per.nll_sum // per.n_tokens END AS BIGINT)
+                       AS avg_nll
+              FROM documents d LEFT JOIN per USING (doc_id)
+            ), ne AS (
+              SELECT avg_nll FROM scored WHERE n_tokens > 0
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ne
+            ), b1 AS (
+              SELECT avg_nll AS v FROM ne ORDER BY avg_nll
+              LIMIT 1 OFFSET GREATEST(((SELECT n FROM nn) + 2) // 3 - 1, 0)
+            ), b2 AS (
+              SELECT avg_nll AS v FROM ne ORDER BY avg_nll
+              LIMIT 1
+              OFFSET GREATEST((2 * (SELECT n FROM nn) + 2) // 3 - 1, 0)
+            )
+            SELECT doc_id, avg_nll,
+                   CASE WHEN n_tokens = 0 THEN 'empty'
+                        WHEN avg_nll <= (SELECT v FROM b1) THEN 'head'
+                        WHEN avg_nll <= (SELECT v FROM b2) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored""",
         # bigram-LM replay: same bounded vocabs (count desc, joined
         # string asc tie-break; bigrams restricted to in-vocab
         # contexts), same add-one conditional NLL in integer micro-nats

@@ -140,6 +140,55 @@ def unigram_nll(docs, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity bucketing — the head/middle/tail split (Wenzek et
+# al. 2020): score every doc under the corpus LM, find the tercile
+# boundaries of avg-NLL with the exact distributed rank-select (no
+# global sort), tag each doc. Tercile RANKS are computed in integer
+# math — 1-based ceil(n/3) = (n+2)//3 — on both sides, because
+# ceil(q·n) with the double q=1/3 disagrees with ceil(n/3.0) whenever
+# 3 | n. Docs with no tokens get their own 'empty' bucket.
+# ---------------------------------------------------------------------------
+
+
+def ccnet_ppl_buckets(docs, text_col: str = "text", id_col: str = "doc_id",
+                      model_k: int = 10_000):
+    """Per-doc CCNet bucket tags: Dataset[(doc_id, avg_nll, bucket)]
+    with bucket ∈ {head, middle, tail, empty} — head = fluent tercile
+    (lowest avg NLL), boundary ties fall to the lower bucket."""
+    from .quantiles import rank_select
+
+    scored = unigram_nll(docs, text_col=text_col, id_col=id_col,
+                         model_k=model_k).materialize()
+    ne = scored.map_batches(
+        lambda t: t.filter(pc.greater(t["n_tokens"], 0)).select(["avg_nll"]),
+        batch_format="pyarrow",
+    )
+    n = ne.count()
+    if n:
+        r1 = (n + 2) // 3 - 1            # 0-based rank of ceil(n/3)
+        r2 = (2 * n + 2) // 3 - 1        # 0-based rank of ceil(2n/3)
+        got = rank_select(ne, "avg_nll", sorted({r1, r2}))
+        b1, b2 = int(got[r1]), int(got[r2])
+    else:
+        b1 = b2 = 0
+
+    def tag(t: pa.Table) -> pa.Table:
+        nll = t["avg_nll"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            ntok == 0, "empty",
+            np.where(nll <= b1, "head",
+                     np.where(nll <= b2, "middle", "tail")))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "avg_nll": t["avg_nll"],
+            "bucket": pa.array(bucket.astype(object), pa.string()),
+        })
+
+    return scored.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM scoring — the conditional extension of the unigram
 # perplexity filter (CCNet's KenLM n-gram scoring, honest bounded-vocab
 # version). p(w2|w1) = (c12 + 1) / (c1 + V + 1): add-one smoothing

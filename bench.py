@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "nb_quality_docs",
     "bigram_logprob",
+    "ccnet_ppl_buckets",
 ]
 
 

@@ -520,3 +520,90 @@ def test_bigram_oov_context(ray_session):
            .to_pandas().set_index("doc_id"))
     oov_ctx = math.floor(LM_SCALE * math.log(2 + 1))
     assert out.loc[0, "nll2_sum"] == 4 * oov_ctx
+
+
+# ------------------------------------------------------------------ CCNet
+
+
+def _ccnet_sql_replay(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    return con.execute(rf"""
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                        '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY term),
+        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {k}),
+        consts AS (
+          SELECT (SELECT COALESCE(SUM(c), 0) FROM cnt)
+               + (SELECT COUNT(*) FROM vocab) + 1 AS denom
+        ), nll AS (
+          SELECT t.doc_id,
+                 CAST(FLOOR(1000000 * ln(
+                   CAST((SELECT denom FROM consts) AS DOUBLE)
+                   / (COALESCE(v.c, 0) + 1))) AS BIGINT) AS wnll
+          FROM tok t LEFT JOIN vocab v USING (term)
+        ), per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(wnll) AS BIGINT) AS nll_sum
+          FROM nll GROUP BY doc_id
+        ), scored AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                      ELSE per.nll_sum // per.n_tokens END AS BIGINT)
+                   AS avg_nll
+          FROM documents d LEFT JOIN per USING (doc_id)
+        ), ne AS (SELECT avg_nll FROM scored WHERE n_tokens > 0),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ne),
+        b1 AS (SELECT avg_nll AS v FROM ne ORDER BY avg_nll
+               LIMIT 1 OFFSET GREATEST(((SELECT n FROM nn) + 2) // 3 - 1, 0)),
+        b2 AS (SELECT avg_nll AS v FROM ne ORDER BY avg_nll
+               LIMIT 1
+               OFFSET GREATEST((2 * (SELECT n FROM nn) + 2) // 3 - 1, 0))
+        SELECT doc_id, avg_nll,
+               CASE WHEN n_tokens = 0 THEN 'empty'
+                    WHEN avg_nll <= (SELECT v FROM b1) THEN 'head'
+                    WHEN avg_nll <= (SELECT v FROM b2) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored ORDER BY doc_id""").fetchdf()
+
+
+@pytest.mark.parametrize("seed,n", [(31, 120), (32, 123), (33, 40)])
+def test_ccnet_buckets_vs_sql_replay(ray_session, seed, n):
+    # n=123 has a non-empty count divisible by 3 risk either way —
+    # the integer tercile rank must agree exactly with the replay
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import ccnet_ppl_buckets
+
+    df = _mk_corpus(seed, n)
+    got = (ccnet_ppl_buckets(rd.from_pandas(df).repartition(4), model_k=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _ccnet_sql_replay(df, 50)
+    got["avg_nll"] = got["avg_nll"].astype("int64")
+    want["avg_nll"] = want["avg_nll"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ccnet_bucket_shares(ray_session):
+    """Terciles split the non-empty docs roughly evenly; empty docs
+    land in their own bucket."""
+    import ray.data as rd
+
+    from beats_ray.dataops.lm import ccnet_ppl_buckets
+
+    df = _mk_corpus(41, 90)
+    out = (ccnet_ppl_buckets(rd.from_pandas(df), model_k=5000)
+           .to_pandas())
+    shares = out["bucket"].value_counts()
+    assert shares.get("empty", 0) == int((df["text"].str.strip() == "").sum())
+    ne = len(out) - shares.get("empty", 0)
+    for b in ("head", "middle", "tail"):
+        assert shares.get(b, 0) <= ne // 3 + 2  # near-even split
