@@ -157,3 +157,39 @@ def test_lexical_diversity_adversarial(adversarial_docs):
     # "tok " * 5000 → 5000 words, 1 distinct, 0 hapax
     assert out.loc[9, "n_words"] == 5000
     assert out.loc[9, "n_distinct"] == 1 and out.loc[9, "n_hapax"] == 0
+
+
+def test_lm_family(adversarial_docs):
+    """Unigram/bigram NLL, DSIR, NB, and the CCNet bucketer over the
+    hostile corpus: zero-token rows score the documented zeros, no
+    stage crashes on NULs / BOMs / 100 KB tokens."""
+    from beats_ray.dataops import lm
+
+    nll = lm.unigram_nll(adversarial_docs, model_k=50).to_pandas(
+        ).set_index("doc_id").sort_index()
+    assert len(nll) == len(TEXTS)
+    assert (nll.loc[[0, 1, 2, 3],
+                    ["n_tokens", "nll_sum", "avg_nll"]] == 0).all().all()
+
+    bg = lm.bigram_nll(adversarial_docs, model_k=50, bigram_k=100
+                       ).to_pandas().set_index("doc_id").sort_index()
+    assert len(bg) == len(TEXTS)
+    # single-token docs (the 100 KB token) have zero bigrams
+    assert bg.loc[8, "n_bigrams"] == 0 and bg.loc[8, "nll2_sum"] == 0
+    assert bg.loc[9, "n_bigrams"] == 4999
+
+    ds = lm.dsir_weights(adversarial_docs, target_col="lang",
+                         target_value="xx").to_pandas()
+    assert len(ds) == len(TEXTS)
+
+    nb = lm.nb_classify(adversarial_docs, label_col="lang",
+                        positive_value="xx", model_k=50).to_pandas(
+        ).set_index("doc_id")
+    assert len(nb) == len(TEXTS)
+    assert set(nb["pred"].unique()) <= {0, 1}
+
+    cc = lm.ccnet_ppl_buckets(adversarial_docs, model_k=50).to_pandas(
+        ).set_index("doc_id").sort_index()
+    assert len(cc) == len(TEXTS)
+    assert set(cc.loc[[0, 1, 2, 3], "bucket"]) == {"empty"}
+    assert set(cc["bucket"]) <= {"head", "middle", "tail", "empty"}
