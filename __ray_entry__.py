@@ -2674,6 +2674,41 @@ def q_tpch_q14(sf_dir: str):
                          "total_um": pd.array([total_um], dtype="int64")})
 
 
+def q_cross_source_dups(sf_dir: str):
+    """Dedup analytics: where do near-duplicates cross corpus sources?
+    The MinHash→Jaccard-verified pair graph joins each endpoint to its
+    source label (two bucket hash joins — pairs are result-sized, the
+    label table is corpus-sized, nothing lands on the driver) and
+    counts pairs per unordered source combination."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import grouped_count
+    from beats_ray.dataops.dedup import ngram_jaccard_pairs
+    from beats_ray.dataops.joins import bucket_hash_join
+
+    pairs = ngram_jaccard_pairs(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16),
+        n=3, threshold=0.6,
+    ).select_columns(["a", "b"])
+    src = _table(sf_dir, "documents", ["doc_id", "source"])
+
+    ja = bucket_hash_join(pairs, src, left_on="a", right_on="doc_id"
+                          ).map_batches(
+        lambda t: pa.table({"b": t["b"], "source_a": t["source"]}),
+        batch_format="pyarrow",
+    )
+    jb = bucket_hash_join(ja, src, left_on="b", right_on="doc_id")
+
+    def norm(t: pa.Table) -> pa.Table:
+        sa, sb = t["source_a"], t["source"]
+        lo = pc.if_else(pc.less_equal(sa, sb), sa, sb)
+        hi = pc.if_else(pc.less_equal(sa, sb), sb, sa)
+        return pa.table({"source_lo": lo, "source_hi": hi})
+
+    return grouped_count(jb.map_batches(norm, batch_format="pyarrow"),
+                         ["source_lo", "source_hi"], name="n_pairs")
+
+
 def q_tpch_q22(sf_dir: str):
     """TPC-H Q22-shaped: per-nation count + balance of above-average
     customers with no RECENT orders (orders since 1999 — the literal
@@ -2806,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q14": q_tpch_q14,
         "tpch_q22": q_tpch_q22,
+        "cross_source_dups": q_cross_source_dups,
         "bm25_topk": q_bm25_topk,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
@@ -4635,6 +4671,15 @@ def oracle_sql() -> dict[str, str]:
         # make every step reproducible in DuckDB)
         "minhash_dedup": _minhash_dedup_sql(),
         "ngram_dup_pairs": _ngram_pairs_sql(),
+        # cross-source matrix over the same verified pair graph
+        "cross_source_dups": f"""
+            SELECT least(da.source, db.source) AS source_lo,
+                   greatest(da.source, db.source) AS source_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM ({_ngram_pairs_sql()}) p
+            JOIN documents da ON p.a = da.doc_id
+            JOIN documents db ON p.b = db.doc_id
+            GROUP BY 1, 2""",
         # sketch -> verify -> transitive closure (the full near-dup
         # dedup pipeline replayed, wrapped in a recursive-CTE closure)
         "ngram_dup_clusters": f"""

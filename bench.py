@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "nb_quality_docs",
     "bigram_logprob",
     "ccnet_ppl_buckets",
+    "cross_source_dups",
 ]
 
 
