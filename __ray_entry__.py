@@ -2674,6 +2674,15 @@ def q_tpch_q14(sf_dir: str):
                          "total_um": pd.array([total_um], dtype="int64")})
 
 
+def q_word_freq_spectrum(sf_dir: str):
+    """Zipf/Good-Turing frequency spectrum of the documents corpus:
+    (word frequency f → count of distinct words at f); two bounded
+    co-locating shuffles, nothing corpus-sized anywhere."""
+    from beats_ray.dataops.textstats import word_freq_spectrum
+
+    return word_freq_spectrum(_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_cross_source_dups(sf_dir: str):
     """Dedup analytics: where do near-duplicates cross corpus sources?
     The MinHash→Jaccard-verified pair graph joins each endpoint to its
@@ -2842,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q22": q_tpch_q22,
         "cross_source_dups": q_cross_source_dups,
+        "word_freq_spectrum": q_word_freq_spectrum,
         "bm25_topk": q_bm25_topk,
         "q3_top_orders": q_q3_top_orders,
         "customers_per_region": q_customers_per_region,
@@ -4671,6 +4681,18 @@ def oracle_sql() -> dict[str, str]:
         # make every step reproducible in DuckDB)
         "minhash_dedup": _minhash_dedup_sql(),
         "ngram_dup_pairs": _ngram_pairs_sql(),
+        "word_freq_spectrum": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), cnt AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY term
+            )
+            SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM cnt GROUP BY c""",
         # cross-source matrix over the same verified pair graph
         "cross_source_dups": f"""
             SELECT least(da.source, db.source) AS source_lo,

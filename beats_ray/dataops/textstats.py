@@ -233,3 +233,41 @@ def windowed_top_terms(turns, k: int = 5, window: str = "h",
         return top
 
     return map_buckets(partials, "w_start", finish, buckets=16)
+
+
+def word_freq_spectrum(docs, text_col: str = "text"):
+    """Zipf/Good-Turing frequency spectrum: for each corpus word
+    frequency f, how many distinct words occur exactly f times. Two
+    bounded shuffles — term counts (distinct-vocab keys), then the
+    regroup by count value (≲ O(√total-tokens) distinct frequencies).
+    The spectrum's head (n₁, n₂, …) is the Good-Turing smoothing input
+    and the whole curve is the standard corpus-health diagnostic.
+    Output Dataset[(freq, n_terms)], both int64."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .agg import grouped_count
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(text, pattern=r"\s+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "term": pc.cast(vc.field("values"), pa.string()),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    spectrum = grouped_count(counts, ["c"], name="n_terms")
+    return spectrum.map_batches(
+        lambda t: pa.table({"freq": t["c"], "n_terms": t["n_terms"]}),
+        batch_format="pyarrow",
+    )

@@ -607,3 +607,23 @@ def test_ccnet_bucket_shares(ray_session):
     ne = len(out) - shares.get("empty", 0)
     for b in ("head", "middle", "tail"):
         assert shares.get(b, 0) <= ne // 3 + 2  # near-even split
+
+
+def test_word_freq_spectrum_identity(ray_session):
+    """Σ f·n_f equals the corpus token count, and the spectrum matches
+    a pandas replica on a randomized corpus."""
+    import ray.data as rd
+
+    from beats_ray.dataops.textstats import word_freq_spectrum
+
+    df = _mk_corpus(51, 80)
+    got = (word_freq_spectrum(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("freq").reset_index(drop=True))
+    toks = df["text"].str.lower().str.split().explode().dropna()
+    cnt = toks.value_counts()
+    want = (cnt.value_counts().rename_axis("freq").rename("n_terms")
+            .reset_index().sort_values("freq").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"freq": "int64", "n_terms": "int64"}),
+        want.astype({"freq": "int64", "n_terms": "int64"}))
+    assert int((got["freq"] * got["n_terms"]).sum()) == len(toks)
