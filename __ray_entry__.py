@@ -2547,6 +2547,18 @@ def q_embedding_outliers(sf_dir: str):
     return centroid_outliers(_table(sf_dir, "embeddings"))
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means (SemDeDup / cluster-curation
+    archetype): 2 Lloyd iterations over the whole embedding table, each
+    a distributed partials pass against broadcast centroids (driver
+    state = k×dims int64s, bounded however large the corpus), exact
+    integer micro-unit arithmetic so the SQL oracle replays every
+    iteration bit-for-bit. Returns (vec_id, cluster, dist2_um2)."""
+    from beats_ray.dataops.ann import kmeans_clusters
+
+    return kmeans_clusters(_table(sf_dir, "embeddings"), k=4, iters=2)
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE tokenization (Sennrich et al. 2016): fit 20 merges on the
     corpus's top-5000 words (one grouped shuffle + a bounded driver
@@ -2900,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
+        "embedding_kmeans": q_embedding_kmeans,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -4381,6 +4394,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((um - c) * (um - c)) AS BIGINT) AS dist2_um2
             FROM xm JOIN cent USING (label, d)
             GROUP BY xm.vec_id, xm.label""",
+        # distributed-k-means replay: identical integer pipeline —
+        # floor(1e6·x) quantize, seeds = the 4 smallest vec_ids (cluster
+        # = id rank), two unrolled Lloyd iterations (assign = min integer
+        # squared distance with ties → smallest cluster; update = exact
+        # int sums with DuckDB // truncating division, empty clusters
+        # keep the old centroid), final assignment vs the iter-2 means
+        "embedding_kmeans": """
+            WITH xm AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS d,
+                     CAST(FLOOR(1000000 * CAST(unnest(embedding)
+                          AS DOUBLE)) AS BIGINT) AS um
+              FROM embeddings
+            ), seed AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+                       AS cluster
+              FROM (SELECT DISTINCT vec_id FROM embeddings
+                    ORDER BY vec_id LIMIT 4)
+            ), c0 AS (
+              SELECT seed.cluster, xm.d, xm.um AS c
+              FROM seed JOIN xm USING (vec_id)
+            ), a0 AS (
+              SELECT xm.vec_id, c0.cluster,
+                     CAST(SUM((xm.um - c0.c) * (xm.um - c0.c)) AS BIGINT)
+                       AS dist2
+              FROM xm JOIN c0 ON xm.d = c0.d
+              GROUP BY xm.vec_id, c0.cluster
+              QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+                      ORDER BY dist2, c0.cluster) = 1
+            ), c1 AS (
+              SELECT c0.cluster, c0.d, COALESCE(u.c, c0.c) AS c
+              FROM c0 LEFT JOIN (
+                SELECT a0.cluster, xm.d,
+                       CAST(SUM(xm.um) AS BIGINT)
+                         // CAST(COUNT(*) AS BIGINT) AS c
+                FROM a0 JOIN xm USING (vec_id)
+                GROUP BY a0.cluster, xm.d
+              ) u ON u.cluster = c0.cluster AND u.d = c0.d
+            ), a1 AS (
+              SELECT xm.vec_id, c1.cluster,
+                     CAST(SUM((xm.um - c1.c) * (xm.um - c1.c)) AS BIGINT)
+                       AS dist2
+              FROM xm JOIN c1 ON xm.d = c1.d
+              GROUP BY xm.vec_id, c1.cluster
+              QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+                      ORDER BY dist2, c1.cluster) = 1
+            ), c2 AS (
+              SELECT c1.cluster, c1.d, COALESCE(u.c, c1.c) AS c
+              FROM c1 LEFT JOIN (
+                SELECT a1.cluster, xm.d,
+                       CAST(SUM(xm.um) AS BIGINT)
+                         // CAST(COUNT(*) AS BIGINT) AS c
+                FROM a1 JOIN xm USING (vec_id)
+                GROUP BY a1.cluster, xm.d
+              ) u ON u.cluster = c1.cluster AND u.d = c1.d
+            )
+            SELECT xm.vec_id, c2.cluster,
+                   CAST(SUM((xm.um - c2.c) * (xm.um - c2.c)) AS BIGINT)
+                     AS dist2_um2
+            FROM xm JOIN c2 ON xm.d = c2.d
+            GROUP BY xm.vec_id, c2.cluster
+            QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+                    ORDER BY dist2_um2, c2.cluster) = 1""",
         # DSIR replay: same md5-64 % 1024 feature hashing (unigrams +
         # adjacent bigrams of lower(text), WITH multiplicity), same
         # add-one smoothing, lam in integer micro-nats

@@ -692,3 +692,133 @@ def centroid_outliers(embeddings, label_col: str = "label",
     ref = ray.put(cents)
     return embeddings.select_columns([id_col, label_col, col]).map_batches(
         task_stage(_Score, ref=ref), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means clustering over the FULL corpus (SemDeDup /
+# cluster-curation archetype: partition the embedding space, then
+# sample / dedup / score per cluster). Unlike ``kmeans_fit`` (a
+# driver-side SAMPLE fit for the IVF quantizer) every Lloyd iteration
+# here is a distributed pass: batches compute per-cluster (Σ um, n)
+# partials against the broadcast centroids and the driver merges a
+# bounded k×dims table — nothing row-sized ever leaves the object
+# store, however large the corpus. Exact-integer contract like
+# ``centroid_outliers`` (floor(1e6·x) quantize, int64 sums, truncating
+# centroid division, integer squared distances, ties → smallest
+# cluster id) so the SQL oracle replays every iteration bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _assign_int(m: np.ndarray, cents: np.ndarray):
+    """Exact integer nearest-centroid assignment. Uses the expansion
+    ||m-c||² = ||m||² + ||c||² − 2m·c — exact in int64 (|um| ≤ 1e6 so
+    the largest term is dims·4e12 ≪ 2⁶³). argmin takes the FIRST
+    minimum → smallest cluster id on ties, matching the SQL
+    ``ORDER BY dist2, cluster``."""
+    if not len(m):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    d2 = ((m * m).sum(axis=1)[:, None]
+          + (cents * cents).sum(axis=1)[None, :]
+          - 2 * (m @ cents.T))
+    a = d2.argmin(axis=1)
+    return a.astype(np.int64), d2[np.arange(len(a)), a].astype(np.int64)
+
+
+def _trunc_div_rows(a: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Row-wise truncate-toward-zero division (DuckDB ``//``)."""
+    return np.sign(a) * (np.abs(a) // n[:, None])
+
+
+class _KMeansPartials:
+    """Per-batch Lloyd partials: assign to the broadcast centroids,
+    emit per-cluster (Σ um per dim, count) — ≤ k rows per batch."""
+
+    def __init__(self, ref, col):
+        from .joins import _resolve_ref
+
+        self.cents = _resolve_ref(ref)
+        self.col = col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        k, dims = self.cents.shape
+        m = np.floor(EMB_SCALE * _batch_matrix(df, self.col)).astype(np.int64)
+        a, _ = _assign_int(m, self.cents)
+        sums = np.zeros((k, dims), dtype=np.int64)
+        np.add.at(sums, a, m)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        out = pd.DataFrame(sums, columns=[f"s{j}" for j in range(dims)])
+        out.insert(0, "cluster", np.arange(k, dtype=np.int64))
+        out["n"] = cnt
+        return out[out["n"] > 0]
+
+
+class _KMeansAssign:
+    """Final broadcast assignment pass → (id, cluster, dist2_um2)."""
+
+    def __init__(self, ref, id_col, col):
+        from .joins import _resolve_ref
+
+        self.cents = _resolve_ref(ref)
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = np.floor(EMB_SCALE * _batch_matrix(df, self.col)).astype(np.int64)
+        a, d2 = _assign_int(m, self.cents)
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "cluster": a,
+            "dist2_um2": d2,
+        })
+
+
+def kmeans_clusters(embeddings, k: int = 4, iters: int = 2,
+                    id_col: str = "vec_id", col: str = "embedding"):
+    """Full-corpus Lloyd k-means: Dataset[(id, cluster, dist2_um2)].
+
+    Deterministic init: the quantized embeddings of the k smallest ids
+    (cluster j = rank j in id order — SQL-replayable, no RNG). Each of
+    the ``iters`` iterations is one distributed pass (per-batch
+    partials → bounded k×dims driver merge); empty clusters keep their
+    previous centroid. The returned assignment is one more broadcast
+    pass against the final centroids."""
+    from .stagecache import task_stage
+
+    sel = embeddings.select_columns([id_col, col])
+    try:
+        file_backed = bool(embeddings.input_files())
+    except Exception:
+        file_backed = False
+    if not file_backed:
+        # lazy chains would re-execute upstream once per iteration
+        sel = sel.materialize()
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.argsort(df[id_col].to_numpy(), kind="stable")[:k]
+        return df.iloc[idx]
+
+    seeds = (sel.map_batches(seed_partial, batch_format="pandas")
+             .to_pandas().sort_values(id_col).head(k)
+             .reset_index(drop=True))
+    cents = np.floor(EMB_SCALE * _batch_matrix(seeds, col)).astype(np.int64)
+    k = len(cents)
+    scols = [f"s{j}" for j in range(cents.shape[1])]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = sel.map_batches(
+            task_stage(_KMeansPartials, ref=ref, col=col),
+            batch_format="pandas").to_pandas()
+        g = parts.groupby("cluster", as_index=False).sum()
+        new = cents.copy()
+        idx = g["cluster"].to_numpy().astype(np.int64)
+        new[idx] = _trunc_div_rows(
+            g[scols].to_numpy().astype(np.int64),
+            g["n"].to_numpy().astype(np.int64))
+        cents = new
+
+    ref = ray.put(cents)
+    return sel.map_batches(
+        task_stage(_KMeansAssign, ref=ref, id_col=id_col, col=col),
+        batch_format="pandas")
