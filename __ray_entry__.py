@@ -2559,6 +2559,21 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans_clusters(_table(sf_dir, "embeddings"), k=4, iters=2)
 
 
+def q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced diversity sampling (the SemDeDup-style
+    curation step after clustering): k-means partitions the embedding
+    space, then exactly 30 vectors per LEARNED cluster survive by
+    smallest content hash — the balanced-subset sampler applied to a
+    computed group column instead of a label. Both stages stream;
+    driver state is k×dims ints + nothing from the sampler."""
+    from beats_ray.dataops.ann import kmeans_clusters
+    from beats_ray.dataops.sampling import sample_exact_k_per_group
+
+    assign = kmeans_clusters(_table(sf_dir, "embeddings"), k=4, iters=2)
+    return sample_exact_k_per_group(assign, 30, group="cluster",
+                                    key="vec_id")
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE tokenization (Sennrich et al. 2016): fit 20 merges on the
     corpus's top-5000 words (one grouped shuffle + a bounded driver
@@ -2913,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
         "embedding_kmeans": q_embedding_kmeans,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -3323,6 +3339,68 @@ _ANN_ORACLE = """
             FROM embeddings e
             CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
             QUALIFY rank <= 10"""
+
+
+# distributed-k-means replay, shared by the embedding_kmeans and
+# cluster_balanced_sample oracles: identical integer pipeline —
+# floor(1e6·x) quantize, seeds = the 4 smallest vec_ids (cluster = id
+# rank), two unrolled Lloyd iterations (assign = min integer squared
+# distance with ties → smallest cluster; update = exact int sums with
+# DuckDB // truncating division, empty clusters keep the old
+# centroid), `af` = final assignment vs the iter-2 means
+_KMEANS_AF_SQL = """
+    WITH xm AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(1000000 * CAST(unnest(embedding)
+                  AS DOUBLE)) AS BIGINT) AS um
+      FROM embeddings
+    ), seed AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT 4)
+    ), c0 AS (
+      SELECT seed.cluster, xm.d, xm.um AS c
+      FROM seed JOIN xm USING (vec_id)
+    ), a0 AS (
+      SELECT xm.vec_id, c0.cluster,
+             CAST(SUM((xm.um - c0.c) * (xm.um - c0.c)) AS BIGINT) AS dist2
+      FROM xm JOIN c0 ON xm.d = c0.d
+      GROUP BY xm.vec_id, c0.cluster
+      QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+              ORDER BY dist2, c0.cluster) = 1
+    ), c1 AS (
+      SELECT c0.cluster, c0.d, COALESCE(u.c, c0.c) AS c
+      FROM c0 LEFT JOIN (
+        SELECT a0.cluster, xm.d,
+               CAST(SUM(xm.um) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+        FROM a0 JOIN xm USING (vec_id)
+        GROUP BY a0.cluster, xm.d
+      ) u ON u.cluster = c0.cluster AND u.d = c0.d
+    ), a1 AS (
+      SELECT xm.vec_id, c1.cluster,
+             CAST(SUM((xm.um - c1.c) * (xm.um - c1.c)) AS BIGINT) AS dist2
+      FROM xm JOIN c1 ON xm.d = c1.d
+      GROUP BY xm.vec_id, c1.cluster
+      QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+              ORDER BY dist2, c1.cluster) = 1
+    ), c2 AS (
+      SELECT c1.cluster, c1.d, COALESCE(u.c, c1.c) AS c
+      FROM c1 LEFT JOIN (
+        SELECT a1.cluster, xm.d,
+               CAST(SUM(xm.um) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+        FROM a1 JOIN xm USING (vec_id)
+        GROUP BY a1.cluster, xm.d
+      ) u ON u.cluster = c1.cluster AND u.d = c1.d
+    ), af AS (
+      SELECT xm.vec_id, c2.cluster,
+             CAST(SUM((xm.um - c2.c) * (xm.um - c2.c)) AS BIGINT)
+               AS dist2_um2
+      FROM xm JOIN c2 ON xm.d = c2.d
+      GROUP BY xm.vec_id, c2.cluster
+      QUALIFY row_number() OVER (PARTITION BY xm.vec_id
+              ORDER BY dist2_um2, c2.cluster) = 1
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4394,69 +4472,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((um - c) * (um - c)) AS BIGINT) AS dist2_um2
             FROM xm JOIN cent USING (label, d)
             GROUP BY xm.vec_id, xm.label""",
-        # distributed-k-means replay: identical integer pipeline —
-        # floor(1e6·x) quantize, seeds = the 4 smallest vec_ids (cluster
-        # = id rank), two unrolled Lloyd iterations (assign = min integer
-        # squared distance with ties → smallest cluster; update = exact
-        # int sums with DuckDB // truncating division, empty clusters
-        # keep the old centroid), final assignment vs the iter-2 means
-        "embedding_kmeans": """
-            WITH xm AS (
-              SELECT vec_id,
-                     generate_subscripts(embedding, 1) AS d,
-                     CAST(FLOOR(1000000 * CAST(unnest(embedding)
-                          AS DOUBLE)) AS BIGINT) AS um
-              FROM embeddings
-            ), seed AS (
-              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
-                       AS cluster
-              FROM (SELECT DISTINCT vec_id FROM embeddings
-                    ORDER BY vec_id LIMIT 4)
-            ), c0 AS (
-              SELECT seed.cluster, xm.d, xm.um AS c
-              FROM seed JOIN xm USING (vec_id)
-            ), a0 AS (
-              SELECT xm.vec_id, c0.cluster,
-                     CAST(SUM((xm.um - c0.c) * (xm.um - c0.c)) AS BIGINT)
-                       AS dist2
-              FROM xm JOIN c0 ON xm.d = c0.d
-              GROUP BY xm.vec_id, c0.cluster
-              QUALIFY row_number() OVER (PARTITION BY xm.vec_id
-                      ORDER BY dist2, c0.cluster) = 1
-            ), c1 AS (
-              SELECT c0.cluster, c0.d, COALESCE(u.c, c0.c) AS c
-              FROM c0 LEFT JOIN (
-                SELECT a0.cluster, xm.d,
-                       CAST(SUM(xm.um) AS BIGINT)
-                         // CAST(COUNT(*) AS BIGINT) AS c
-                FROM a0 JOIN xm USING (vec_id)
-                GROUP BY a0.cluster, xm.d
-              ) u ON u.cluster = c0.cluster AND u.d = c0.d
-            ), a1 AS (
-              SELECT xm.vec_id, c1.cluster,
-                     CAST(SUM((xm.um - c1.c) * (xm.um - c1.c)) AS BIGINT)
-                       AS dist2
-              FROM xm JOIN c1 ON xm.d = c1.d
-              GROUP BY xm.vec_id, c1.cluster
-              QUALIFY row_number() OVER (PARTITION BY xm.vec_id
-                      ORDER BY dist2, c1.cluster) = 1
-            ), c2 AS (
-              SELECT c1.cluster, c1.d, COALESCE(u.c, c1.c) AS c
-              FROM c1 LEFT JOIN (
-                SELECT a1.cluster, xm.d,
-                       CAST(SUM(xm.um) AS BIGINT)
-                         // CAST(COUNT(*) AS BIGINT) AS c
-                FROM a1 JOIN xm USING (vec_id)
-                GROUP BY a1.cluster, xm.d
-              ) u ON u.cluster = c1.cluster AND u.d = c1.d
-            )
-            SELECT xm.vec_id, c2.cluster,
-                   CAST(SUM((xm.um - c2.c) * (xm.um - c2.c)) AS BIGINT)
-                     AS dist2_um2
-            FROM xm JOIN c2 ON xm.d = c2.d
-            GROUP BY xm.vec_id, c2.cluster
-            QUALIFY row_number() OVER (PARTITION BY xm.vec_id
-                    ORDER BY dist2_um2, c2.cluster) = 1""",
+        # distributed-k-means replay (see _KMEANS_AF_SQL for the
+        # unrolled two-iteration Lloyd CTE both entries share)
+        "embedding_kmeans": _KMEANS_AF_SQL + """
+            SELECT vec_id, cluster, dist2_um2 FROM af""",
+        # cluster-balanced diversity sample: the SAME k-means replay,
+        # then exactly 30 rows per cluster by smallest md5-64 of
+        # 'xk:vec_id' (ties by vec_id) — the balanced-subset sampler
+        # applied to learned clusters instead of a label column
+        "cluster_balanced_sample": _KMEANS_AF_SQL + """
+            SELECT vec_id, cluster, dist2_um2 FROM (
+              SELECT af.*, row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY ('0x'||substr(md5('xk:'||CAST(vec_id
+                                 AS VARCHAR)),1,16))::UBIGINT,
+                                vec_id) AS rn
+              FROM af) WHERE rn <= 30""",
         # DSIR replay: same md5-64 % 1024 feature hashing (unigrams +
         # adjacent bigrams of lower(text), WITH multiplicity), same
         # add-one smoothing, lam in integer micro-nats
