@@ -2574,6 +2574,19 @@ def q_cluster_balanced_sample(sf_dir: str):
                                     key="vec_id")
 
 
+def q_textrank_keywords(sf_dir: str):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): damped
+    PageRank over the adjacent-word co-occurrence graph of the
+    top-300 vocabulary. Nodes are the bounded vocab (driver holds the
+    k-row model), edges stay a Dataset, and each of the 3 power
+    iterations is one distributed pass — exact integer micro-unit
+    arithmetic replayed by the unrolled SQL oracle."""
+    from beats_ray.dataops.graph import textrank_scores
+
+    return textrank_scores(
+        _table(sf_dir, "documents", ["text"]), vocab_k=300, iters=3)
+
+
 def q_bpe_token_counts(sf_dir: str):
     """BPE tokenization (Sennrich et al. 2016): fit 20 merges on the
     corpus's top-5000 words (one grouped shuffle + a bounded driver
@@ -2929,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": q_embedding_outliers,
         "embedding_kmeans": q_embedding_kmeans,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "textrank_keywords": q_textrank_keywords,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -4488,6 +4502,76 @@ def oracle_sql() -> dict[str, str]:
                                  AS VARCHAR)),1,16))::UBIGINT,
                                 vec_id) AS rn
               FROM af) WHERE rn <= 30""",
+        # TextRank replay: same tokenize → top-300 vocab (count desc,
+        # term asc) → vocab-restricted adjacent-bigram edge weights →
+        # three unrolled damped power iterations in the identical
+        # integer micro-unit arithmetic (start = 1e9 // V, per-edge
+        # (r·w) // out_w, rank' = (15·start)//100 + (85·Σ)//100,
+        # dangling mass dropped)
+        "textrank_keywords": r"""
+            WITH wsd AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                            '\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS term,
+                     generate_subscripts(ws, 1) AS i
+              FROM wsd
+            ), cnt AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY term
+            ), vocab AS (
+              SELECT term FROM cnt ORDER BY c DESC, term LIMIT 300
+            ), eg AS (
+              SELECT a.term AS src, b.term AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS w
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              WHERE a.term IN (SELECT term FROM vocab)
+                AND b.term IN (SELECT term FROM vocab)
+              GROUP BY a.term, b.term
+            ), ow AS (
+              SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM eg GROUP BY src
+            ), consts AS (
+              SELECT CAST(1000000000 AS BIGINT)
+                       // (SELECT COUNT(*) FROM vocab) AS start
+            ), r0 AS (
+              SELECT term, (SELECT start FROM consts) AS r FROM vocab
+            ), c1 AS (
+              SELECT eg.dst AS term,
+                     CAST(SUM((r.r * eg.w) // ow.ow) AS BIGINT) AS s
+              FROM eg JOIN r0 r ON r.term = eg.src
+                      JOIN ow ON ow.src = eg.src
+              GROUP BY eg.dst
+            ), r1 AS (
+              SELECT v.term,
+                     (15 * (SELECT start FROM consts)) // 100
+                       + (85 * COALESCE(c1.s, 0)) // 100 AS r
+              FROM vocab v LEFT JOIN c1 USING (term)
+            ), c2 AS (
+              SELECT eg.dst AS term,
+                     CAST(SUM((r.r * eg.w) // ow.ow) AS BIGINT) AS s
+              FROM eg JOIN r1 r ON r.term = eg.src
+                      JOIN ow ON ow.src = eg.src
+              GROUP BY eg.dst
+            ), r2 AS (
+              SELECT v.term,
+                     (15 * (SELECT start FROM consts)) // 100
+                       + (85 * COALESCE(c2.s, 0)) // 100 AS r
+              FROM vocab v LEFT JOIN c2 USING (term)
+            ), c3 AS (
+              SELECT eg.dst AS term,
+                     CAST(SUM((r.r * eg.w) // ow.ow) AS BIGINT) AS s
+              FROM eg JOIN r2 r ON r.term = eg.src
+                      JOIN ow ON ow.src = eg.src
+              GROUP BY eg.dst
+            )
+            SELECT v.term,
+                   CAST((15 * (SELECT start FROM consts)) // 100
+                     + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT)
+                     AS rank_ur
+            FROM vocab v LEFT JOIN c3 USING (term)""",
         # DSIR replay: same md5-64 % 1024 feature hashing (unigrams +
         # adjacent bigrams of lower(text), WITH multiplicity), same
         # add-one smoothing, lam in integer micro-nats

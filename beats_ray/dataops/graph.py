@@ -274,3 +274,152 @@ def dup_cluster_survivors(edges, nodes, node_col: str = "id",
         return keep.astype("int64")
 
     return labels.map_batches(survivors, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over the
+# adjacent-word co-occurrence graph — the corpus-level keyword
+# extraction archetype. The node set is the bounded top-``vocab_k``
+# vocabulary (same contract as the LM fits: the driver holds the
+# k-row model, never the key space), the weighted edge set is a
+# Dataset (never collected), and each power iteration is ONE
+# distributed pass over the edges against the broadcast rank vector —
+# per-batch partial per-destination sums, V-bounded driver merge.
+# Exact-integer contract: ranks in micro-units (start = scale // V),
+# per-edge contribution (r_src · w) // out_w(src) with DuckDB-``//``
+# truncating division, damping as (15·start) // 100 + (85·Σ) // 100,
+# dangling mass dropped — the SQL oracle unrolls the same iterations
+# bit-for-bit. int64-exact while max edge weight < 2⁶³/scale ≈ 9.2e9
+# occurrences at the default scale.
+# ---------------------------------------------------------------------------
+
+
+class _TextRankEdges:
+    """Per-batch vocab-restricted adjacent-bigram partial counts."""
+
+    def __init__(self, ref, text_col):
+        from .joins import _resolve_ref
+
+        self.terms = _resolve_ref(ref)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.utf8_lower(
+            pc.fill_null(t[self.text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        arr = np.asarray(pc.list_flatten(words).to_pandas(), dtype=object)
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        nonblank = arr != ""
+        arr = arr[nonblank]
+        docidx = docidx[nonblank]
+        if len(arr) > 1:
+            in_v = np.isin(arr, self.terms)
+            adj = (docidx[1:] == docidx[:-1]) & in_v[:-1] & in_v[1:]
+            bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                             arr[1:].astype(str))[adj]
+        else:
+            bi = np.empty(0, dtype=object)
+        if not len(bi):
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64())})
+        u, c = np.unique(bi, return_counts=True)
+        return pa.table({"bigram": pa.array(u.astype(object), pa.string()),
+                         "w": pa.array(c.astype(np.int64))})
+
+
+class _TextRankIndex:
+    """bigram → (src_idx, dst_idx, w) against the broadcast sorted
+    vocabulary (tokens cannot contain whitespace, so the joined string
+    splits back unambiguously)."""
+
+    def __init__(self, ref):
+        from .joins import _resolve_ref
+
+        self.terms = _resolve_ref(ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["bigram"].str.split(" ", n=1, expand=True)
+        src = np.searchsorted(self.terms, parts[0].to_numpy(dtype=object))
+        dst = np.searchsorted(self.terms, parts[1].to_numpy(dtype=object))
+        return pd.DataFrame({
+            "src_idx": src.astype(np.int32),
+            "dst_idx": dst.astype(np.int32),
+            "w": df["w"].to_numpy().astype(np.int64),
+        })
+
+
+class _TextRankPass:
+    """One power-iteration pass: per-edge integer contributions against
+    the broadcast (rank, out-weight) vectors, per-batch per-destination
+    partial sums (≤ V rows out per batch)."""
+
+    def __init__(self, ref):
+        from .joins import _resolve_ref
+
+        self.r, self.ow = _resolve_ref(ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_idx"].to_numpy()
+        dst = df["dst_idx"].to_numpy()
+        w = df["w"].to_numpy()
+        contrib = (self.r[src] * w) // self.ow[src]
+        u, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, contrib)
+        return pd.DataFrame({"dst_idx": u.astype(np.int32), "s": s})
+
+
+def textrank_scores(docs, vocab_k: int = 300, iters: int = 3,
+                    text_col: str = "text",
+                    scale: int = 1_000_000_000) -> pd.DataFrame:
+    """TextRank keyword scores: DataFrame[(term, rank_ur)] over the
+    top-``vocab_k`` vocabulary, rank in integer micro-units after
+    ``iters`` damped power iterations (d = 0.85 as exact 85/100
+    integer arithmetic). See the module-level contract note."""
+    from .lm import fit_unigram_lm
+    from .stagecache import task_stage
+
+    vocab_df, _ = fit_unigram_lm(docs, text_col=text_col, model_k=vocab_k)
+    terms = np.sort(vocab_df["term"].to_numpy().astype(object))
+    n = len(terms)
+    if n == 0:
+        return pd.DataFrame({"term": pd.Series(dtype="string"),
+                             "rank_ur": pd.Series(dtype="int64")})
+    vref = ray.put(terms)
+
+    from ray.data.aggregate import Sum
+
+    edges = (
+        docs.select_columns([text_col])
+        .map_batches(task_stage(_TextRankEdges, ref=vref, text_col=text_col),
+                     batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("w", alias_name="w"))
+        .map_batches(task_stage(_TextRankIndex, ref=vref),
+                     batch_format="pandas")
+        .materialize()
+    )
+
+    ow = np.zeros(n, dtype=np.int64)
+    for part in edges.iter_batches(batch_format="pandas"):
+        np.add.at(ow, part["src_idx"].to_numpy(),
+                  part["w"].to_numpy().astype(np.int64))
+    ow_safe = np.maximum(ow, 1)  # srcs with ow=0 have no edges to divide
+
+    start = scale // n
+    base = (15 * start) // 100
+    r = np.full(n, start, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put((r, ow_safe))
+        incoming = np.zeros(n, dtype=np.int64)
+        for part in edges.map_batches(
+                task_stage(_TextRankPass, ref=ref),
+                batch_format="pandas").iter_batches(batch_format="pandas"):
+            np.add.at(incoming, part["dst_idx"].to_numpy(),
+                      part["s"].to_numpy().astype(np.int64))
+        r = base + (85 * incoming) // 100
+
+    return pd.DataFrame({"term": terms.astype(str), "rank_ur": r})
