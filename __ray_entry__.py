@@ -2574,6 +2574,18 @@ def q_cluster_balanced_sample(sf_dir: str):
                                     key="vec_id")
 
 
+def q_shuffled_shards(sf_dir: str):
+    """Deterministic equal-size shuffle-sharding (pre-training 'global
+    shuffle then split into N shards'): a distributed ntile over the
+    md5 hash order — histogram rank-select finds the 7 boundary
+    (hash, key) pairs (no global sort, nothing row-sized on the
+    driver), one broadcast pass assigns shards."""
+    from beats_ray.dataops.sampling import shuffle_shards
+
+    return shuffle_shards(
+        _table(sf_dir, "documents", ["doc_id"]), n_shards=8)
+
+
 def q_textrank_keywords(sf_dir: str):
     """TextRank corpus keywords (Mihalcea & Tarau 2004): damped
     PageRank over the adjacent-word co-occurrence graph of the
@@ -2943,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q_embedding_kmeans,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "textrank_keywords": q_textrank_keywords,
+        "shuffled_shards": q_shuffled_shards,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -4502,6 +4515,24 @@ def oracle_sql() -> dict[str, str]:
                                  AS VARCHAR)),1,16))::UBIGINT,
                                 vec_id) AS rn
               FROM af) WHERE rn <= 30""",
+        # shuffle-shard replay: same 63-bit md5 hash, shard =
+        # (0-based row_number in (hash, key) order × N) // n — the
+        # window form of the engine's rank-select boundary assignment
+        "shuffled_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x'||substr(md5('shuf:'||CAST(doc_id
+                            AS VARCHAR)),1,16))::UBIGINT
+                          & 9223372036854775807 AS BIGINT) AS hv
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY hv, doc_id) - 1 AS rn,
+                     COUNT(*) OVER () AS n
+              FROM h
+            )
+            SELECT doc_id, CAST((rn * 8) // n AS BIGINT) AS shard
+            FROM r""",
         # TextRank replay: same tokenize → top-300 vocab (count desc,
         # term asc) → vocab-restricted adjacent-bigram edge weights →
         # three unrolled damped power iterations in the identical

@@ -393,3 +393,116 @@ def chunk_documents(docs, size: int, stride: int | None = None,
 
     return docs.select_columns([key, text_col]).map_batches(
         expand, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic equal-size shuffle-sharding — the pre-training "global
+# shuffle, then split into N shards" step — WITHOUT a global sort.
+# A distributed ntile: shard(row) = (rank · N) // n where rank is the
+# row's position in (hash, key) order. Ranks are never materialized;
+# the N−1 boundary (hash, key) pairs are found by histogram
+# rank-select (quantiles.rank_select) plus one bounded tie resolve,
+# then assignment is a single broadcast searchsorted-style pass.
+# Cost: O(log range) shrinking scans for the boundaries + one
+# assignment pass — vs the all-to-all shuffle a sort would pay.
+# ---------------------------------------------------------------------------
+
+
+class _ShardAssign:
+    """shard = #{boundary pairs ≤ (hv, key)} via N−1 vector compares."""
+
+    def __init__(self, ref, key):
+        from .joins import _resolve_ref
+
+        self.pairs = _resolve_ref(ref)
+        self.key = key
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        hv = df["hv"].to_numpy(np.int64)
+        ids = df[self.key].to_numpy()
+        shard = np.zeros(len(df), dtype=np.int64)
+        for v, bid in self.pairs:
+            shard += (hv > v) | ((hv == v) & (ids >= bid))
+        return pd.DataFrame({self.key: ids, "shard": shard})
+
+
+def shuffle_shards(ds, n_shards: int, key: str = "doc_id",
+                   salt: str = "shuf", resolve_limit: int = 1_000_000,
+                   hash_fn=None):
+    """Dataset[(key, shard)] with shard sizes equal to within one row,
+    rows ordered into shards by the 63-bit md5 hash of ``salt:key``
+    (ties by key — exact even under hash collisions; ``hash_fn``
+    overrides the hash for tests). SQL mirror:
+    ``(row_number() OVER (ORDER BY hv, key) - 1) * N // n``."""
+    import ray
+
+    from .dedup import _stable_hash64
+    from .joins import _resolve_ref
+    from .quantiles import rank_select
+    from .stagecache import task_stage
+
+    hfn = hash_fn or _stable_hash64
+
+    def with_h(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (hfn(f"{salt}:{v}") for v in df[key].astype(str)),
+            dtype=np.uint64, count=len(df))
+        out = df[[key]].copy()
+        out["hv"] = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        return out
+
+    hd = (ds.select_columns([key])
+            .map_batches(with_h, batch_format="pandas").materialize())
+    n = hd.count()
+    empty = pd.DataFrame({key: pd.Series(dtype="int64"),
+                          "shard": pd.Series(dtype="int64")})
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
+
+    # 0-based rank of the first row of each shard s ≥ 1
+    bound_ranks = [(s * n + n_shards - 1) // n_shards
+                   for s in range(1, n_shards)]
+    bound_ranks = [r for r in bound_ranks if r < n]
+    vals = rank_select(hd, "hv", bound_ranks) if bound_ranks else {}
+
+    # exact (hv, key) boundary pairs: rows below + tied rows per value
+    bvals = np.array(sorted(set(vals.values())), dtype=np.int64)
+    bref = ray.put(bvals)
+
+    def below_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bv = _resolve_ref(bref)
+        hv = np.sort(df["hv"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "bi": np.arange(len(bv), dtype=np.int64),
+            "c": np.searchsorted(hv, bv, side="left").astype(np.int64),
+        })
+
+    below = np.zeros(len(bvals), dtype=np.int64)
+    for part in hd.map_batches(
+            below_partial,
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        np.add.at(below, part["bi"].to_numpy(), part["c"].to_numpy())
+
+    def tied_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bv = _resolve_ref(bref)
+        return df[np.isin(df["hv"].to_numpy(np.int64), bv)]
+
+    tied = hd.map_batches(
+        tied_rows, batch_format="pandas").to_pandas()
+    if len(tied) > resolve_limit:
+        raise ValueError(
+            f"boundary tie groups exceed resolve_limit ({len(tied)} rows); "
+            "the hash column is too duplicated for value-boundary sharding")
+
+    pairs = []
+    for r in bound_ranks:
+        v = vals[r]
+        bi = int(np.searchsorted(bvals, v))
+        grp = tied[tied["hv"] == v].sort_values(key)
+        pairs.append((int(v), grp[key].iloc[r - int(below[bi])]))
+
+    pref = ray.put(pairs)
+    return hd.map_batches(task_stage(_ShardAssign, ref=pref, key=key),
+                          batch_format="pandas")
