@@ -1237,6 +1237,39 @@ def q_semantic_dedup_keep(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-BEST dedup policy: same semantic duplicate clusters as
+    `semantic_dedup_keep`, but the survivor is the highest-QUALITY
+    member (longest document; ties → smallest id) instead of the
+    minimum id — the policy production pipelines actually ship. The
+    per-cluster argmax is one co-locating bucket pass over the label
+    table; the winner set applies back with the adaptive semi-join."""
+    from beats_ray.dataops.ann import embedding_cosine_dup_pairs
+    from beats_ray.dataops.graph import dup_cluster_best_survivors
+    from beats_ray.dataops.joins import bucket_semi_join, semi_join
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    edges = embedding_cosine_dup_pairs(emb, threshold=0.35)
+    nodes = _table(sf_dir, "embeddings", ["vec_id"])
+    labels = nodes  # node ids align with doc ids in this corpus
+    docs = _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    scores = docs.select_columns(["doc_id", "n_chars"]).map_batches(
+        lambda df: df.rename(columns={"doc_id": "vec_id"}),
+        batch_format="pandas")
+    keep = dup_cluster_best_survivors(
+        edges, labels, scores, node_col="vec_id", score_col="n_chars",
+        buckets=8)
+    keep = keep.map_batches(
+        lambda df: df.rename(columns={"vec_id": "doc_id"}),
+        batch_format="pandas").materialize()
+    if keep.count() <= 100_000:
+        out = semi_join(docs, keep.to_pandas(), on="doc_id").to_pandas()
+    else:
+        out = bucket_semi_join(docs, keep, on="doc_id", buckets=8).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str):
     """Image decode → feature extraction over the deterministic media
     corpus. Output = integer pixel evidence (count + sum); the oracle
@@ -2970,6 +3003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_dup_clusters": q_embed_dup_clusters,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "dedup_keep_best": q_dedup_keep_best,
         # multimodal plumbing
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
@@ -4891,6 +4925,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.n_chars AS BIGINT) AS n_chars
             FROM documents d
             JOIN labels l ON l.node = d.doc_id AND l.node = l.cluster_id""",
+        # keep-best policy: the same closure, survivor = argmax
+        # (n_chars desc, doc_id asc) per component instead of min id
+        "dedup_keep_best": """
+            WITH RECURSIVE pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+              WHERE list_cosine_similarity(
+                      CAST(l.embedding AS DOUBLE[]),
+                      CAST(r.embedding AS DOUBLE[])) >= 0.35
+            ), sym AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+            ), reach(node, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+            ), labels AS (
+              SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+            ), best AS (
+              SELECT l.node AS doc_id
+              FROM labels l JOIN documents d ON d.doc_id = l.node
+              QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+                      ORDER BY d.n_chars DESC, d.doc_id) = 1
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+                   CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM documents d JOIN best USING (doc_id)""",
         # exact similarity join → all-pairs ground truth
         "embed_dup_pairs": """
             SELECT l.vec_id AS a, r.vec_id AS b

@@ -423,3 +423,27 @@ def textrank_scores(docs, vocab_k: int = 300, iters: int = 3,
         r = base + (85 * incoming) // 100
 
     return pd.DataFrame({"term": terms.astype(str), "rank_ur": r})
+
+
+def dup_cluster_best_survivors(edges, nodes, scores, node_col: str = "id",
+                               score_col: str = "score",
+                               buckets: int = 8):
+    """Keep-BEST cluster dedup: one survivor per connected component —
+    the member with the HIGHEST ``score_col`` (ties → smallest id) —
+    as a Dataset of [node_col]. ``scores`` maps node_col → score_col
+    (corpus-sized; joined with one bucket hash join, argmax per
+    cluster in one co-locating bucket pass)."""
+    from .agg import map_buckets
+    from .joins import bucket_hash_join
+
+    labels = connected_components(edges, nodes, node_col=node_col,
+                                  buckets=buckets)
+    scored = bucket_hash_join(
+        labels, scores, node_col, node_col, buckets=buckets)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values([score_col, node_col],
+                              ascending=[False, True], kind="mergesort")
+                 .groupby("cluster_id", sort=False).head(1)[[node_col]])
+
+    return map_buckets(scored, "cluster_id", best, buckets=buckets)

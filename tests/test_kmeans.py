@@ -116,3 +116,19 @@ def test_kmeans_separates_planted_clusters(ray_session):
     assert (pd.Series(blob).groupby(got["cluster"].to_numpy())
             .nunique() == 1).all()
     assert got["cluster"].nunique() == 3
+
+
+def test_dup_cluster_best_survivors_policy(ray_session):
+    # chain 1-2-3 (best score at 2), isolate 4, pair 5-6 (tie scores →
+    # smaller id wins); min-id policy would keep {1, 4, 5} instead
+    from beats_ray.dataops.graph import dup_cluster_best_survivors
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"a": [1, 2, 5], "b": [2, 3, 6]}))
+    nodes = rd.from_pandas(pd.DataFrame({"id": [1, 2, 3, 4, 5, 6]}))
+    scores = rd.from_pandas(pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5, 6], "score": [10, 99, 10, 1, 7, 7]}))
+    keep = dup_cluster_best_survivors(
+        edges, nodes, scores, node_col="id", score_col="score"
+    ).to_pandas()
+    assert sorted(keep["id"]) == [2, 4, 5]
