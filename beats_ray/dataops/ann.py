@@ -793,6 +793,16 @@ def kmeans_clusters(embeddings, k: int = 4, iters: int = 2,
     if not file_backed:
         # lazy chains would re-execute upstream once per iteration
         sel = sel.materialize()
+    else:
+        # file-backed inputs re-read per iteration, which is the right
+        # streaming shape at corpus scale — but below the broadcast
+        # class the re-reads are pure fixed cost, so pin the pruned
+        # columns once (count() is parquet-metadata-only here)
+        try:
+            if sel.count() <= 5_000_000:
+                sel = sel.materialize()
+        except Exception:
+            pass
 
     def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
         idx = np.argsort(df[id_col].to_numpy(), kind="stable")[:k]

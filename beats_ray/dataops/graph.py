@@ -390,18 +390,23 @@ def textrank_scores(docs, vocab_k: int = 300, iters: int = 3,
                              "rank_ur": pd.Series(dtype="int64")})
     vref = ray.put(terms)
 
-    from ray.data.aggregate import Sum
+    from .agg import map_buckets
 
-    edges = (
+    idx_stage = task_stage(_TextRankIndex, ref=vref)
+
+    def merge_index(g: pd.DataFrame) -> pd.DataFrame:
+        # merge + index fused in the same co-locating task — ONE cheap
+        # bucket shuffle instead of a sort-based global groupby (the
+        # HLL lesson: the sort shuffle costs seconds of pure
+        # scheduling on partial-count row sets)
+        return idx_stage(g.groupby("bigram", as_index=False)["w"].sum())
+
+    edges = map_buckets(
         docs.select_columns([text_col])
         .map_batches(task_stage(_TextRankEdges, ref=vref, text_col=text_col),
-                     batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("w", alias_name="w"))
-        .map_batches(task_stage(_TextRankIndex, ref=vref),
-                     batch_format="pandas")
-        .materialize()
-    )
+                     batch_format="pyarrow"),
+        "bigram", merge_index, buckets=32,
+    ).materialize()
 
     ow = np.zeros(n, dtype=np.int64)
     for part in edges.iter_batches(batch_format="pandas"):
@@ -427,23 +432,41 @@ def textrank_scores(docs, vocab_k: int = 300, iters: int = 3,
 
 def dup_cluster_best_survivors(edges, nodes, scores, node_col: str = "id",
                                score_col: str = "score",
-                               buckets: int = 8):
+                               buckets: int = 8,
+                               broadcast_limit: int = 1_000_000):
     """Keep-BEST cluster dedup: one survivor per connected component —
     the member with the HIGHEST ``score_col`` (ties → smallest id) —
-    as a Dataset of [node_col]. ``scores`` maps node_col → score_col
-    (corpus-sized; joined with one bucket hash join, argmax per
-    cluster in one co-locating bucket pass)."""
+    as a Dataset of [node_col]. ``scores`` maps node_col → score_col.
+    Adaptive score attach (the repo's dedup-apply convention): a score
+    table under ``broadcast_limit`` ships once via ``ray.put`` and the
+    argmax runs in the SAME co-locating pass as the cluster grouping;
+    a corpus-sized table falls back to one bucket hash join first."""
     from .agg import map_buckets
-    from .joins import bucket_hash_join
+    from .joins import _resolve_ref, bucket_hash_join
 
     labels = connected_components(edges, nodes, node_col=node_col,
                                   buckets=buckets)
-    scored = bucket_hash_join(
-        labels, scores, node_col, node_col, buckets=buckets)
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values([score_col, node_col],
                               ascending=[False, True], kind="mergesort")
                  .groupby("cluster_id", sort=False).head(1)[[node_col]])
 
+    scores = scores.materialize()  # consumed by count + attach below
+    n_scores = scores.count()
+    if n_scores <= broadcast_limit:
+        sdf = scores.to_pandas()
+        ref = ray.put(dict(zip(sdf[node_col], sdf[score_col])))
+
+        def best_bcast(g: pd.DataFrame) -> pd.DataFrame:
+            lut = _resolve_ref(ref)
+            g = g.copy()
+            g[score_col] = g[node_col].map(lut)
+            return best(g)
+
+        return map_buckets(labels, "cluster_id", best_bcast,
+                           buckets=buckets)
+
+    scored = bucket_hash_join(
+        labels, scores, node_col, node_col, buckets=buckets)
     return map_buckets(scored, "cluster_id", best, buckets=buckets)

@@ -77,6 +77,7 @@ def _resolve_ranks(sub, col: str, ranks: list[int], lo: int, hi: int,
     for k in ranks:
         b = int(np.searchsorted(cum, k, side="right")) - 1
         by_bin.setdefault(b, []).append(k)
+    small: list[int] = []
     for b, ks in by_bin.items():
         b_lo = lo + b * width
         b_hi = min(hi, b_lo + width - 1)
@@ -85,15 +86,10 @@ def _resolve_ranks(sub, col: str, ranks: list[int], lo: int, hi: int,
             for k in ks:
                 out[k] = b_lo  # every row in the bin holds this value
             continue
-        inner_sub = _range_filter(sub, col, b_lo, b_hi)
-        cnt = int(counts[b])
-        if cnt <= resolve_limit:
-            vals = inner_sub.select_columns([col]).to_pandas()[col] \
-                            .to_numpy(np.int64)
-            part = np.partition(vals, sorted(set(inner)))
-            for k, ki in zip(ks, inner):
-                out[k] = int(part[ki])
+        if int(counts[b]) <= resolve_limit:
+            small.append(b)  # batched below: one pass for ALL of them
             continue
+        inner_sub = _range_filter(sub, col, b_lo, b_hi)
         iw = max(1, (b_hi - b_lo + 1 + nbins - 1) // nbins)
         used = (b_hi - b_lo) // iw + 1
         icounts = _bin_counts(inner_sub, col, b_lo, iw, used)
@@ -101,6 +97,42 @@ def _resolve_ranks(sub, col: str, ranks: list[int], lo: int, hi: int,
                              icounts[:used], iw, nbins, resolve_limit)
         for k, ki in zip(ks, inner):
             out[k] = got[ki]
+    # resolvable bins are collected in grouped passes (Σ counts ≤
+    # resolve_limit per pass) instead of one dataset execution per bin
+    # — with N requested ranks (ntile boundaries, multi-quantiles) the
+    # per-bin route costs N full scans of pure scheduling
+    group: list[int] = []
+    gcnt = 0
+    groups: list[list[int]] = []
+    for b in small:
+        if group and gcnt + int(counts[b]) > resolve_limit:
+            groups.append(group)
+            group, gcnt = [], 0
+        group.append(b)
+        gcnt += int(counts[b])
+    if group:
+        groups.append(group)
+    for grp in groups:
+        ranges = [(lo + b * width, min(hi, lo + b * width + width - 1))
+                  for b in grp]
+
+        def in_ranges(df: pd.DataFrame, _r=tuple(ranges)) -> pd.DataFrame:
+            c = df[col].to_numpy(np.int64)
+            m = np.zeros(len(df), dtype=bool)
+            for flo, fhi in _r:
+                m |= (c >= flo) & (c <= fhi)
+            return df[m]
+
+        vals = (sub.map_batches(in_ranges, batch_format="pandas")
+                   .select_columns([col]).to_pandas()[col]
+                   .to_numpy(np.int64))
+        for b, (b_lo, b_hi) in zip(grp, ranges):
+            ks = by_bin[b]
+            inner = [k - int(cum[b]) for k in ks]
+            bin_vals = vals[(vals >= b_lo) & (vals <= b_hi)]
+            part = np.partition(bin_vals, sorted(set(inner)))
+            for k, ki in zip(ks, inner):
+                out[k] = int(part[ki])
     return out
 
 

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "ccnet_ppl_buckets",
     "cross_source_dups",
+    "embedding_kmeans",
+    "cluster_balanced_sample",
+    "textrank_keywords",
+    "shuffled_shards",
+    "dedup_keep_best",
 ]
 
 

@@ -132,3 +132,10 @@ def test_dup_cluster_best_survivors_policy(ray_session):
         edges, nodes, scores, node_col="id", score_col="score"
     ).to_pandas()
     assert sorted(keep["id"]) == [2, 4, 5]
+    # the corpus-sized fallback (bucket join instead of broadcast)
+    # must agree exactly
+    keep2 = dup_cluster_best_survivors(
+        edges, nodes, scores, node_col="id", score_col="score",
+        broadcast_limit=0,
+    ).to_pandas()
+    assert sorted(keep2["id"]) == [2, 4, 5]

