@@ -1435,6 +1435,37 @@ def q_multiline_merge(sf_dir: str):
     )
 
 
+def q_tool_sequences(sf_dir: str):
+    """Sequential pattern mining over conversations: corpus-wide
+    counts of consecutive tool-call pairs (the 'what do agents do
+    after a search' analytics question). One co-locating bucket pass
+    keeps each conversation whole (the multiline convention); the
+    driver merges per-bucket partials bounded by tool-vocabulary²."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df[df["tool"] != "none"]
+              .sort_values(["conv_id", "turn_idx"], kind="mergesort"))
+        tool = df["tool"].to_numpy(dtype=object)
+        conv = df["conv_id"].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame({"tool_a": pd.Series(dtype="string"),
+                                 "tool_b": pd.Series(dtype="string"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        m = conv[1:] == conv[:-1]
+        out = pd.DataFrame({"tool_a": tool[:-1][m], "tool_b": tool[1:][m]})
+        return (out.groupby(["tool_a", "tool_b"], as_index=False)
+                   .size().rename(columns={"size": "n_pairs"}))
+
+    partials = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "tool"]),
+        "conv_id", pairs_in_bucket, buckets=16).to_pandas()
+    out = (partials.groupby(["tool_a", "tool_b"], as_index=False)
+                   ["n_pairs"].sum())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation stats: turn count + time span (min/max/sum
     aggregate coverage with per-batch partial combine)."""
@@ -2989,6 +3020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "textrank_keywords": q_textrank_keywords,
         "shuffled_shards": q_shuffled_shards,
+        "tool_sequences": q_tool_sequences,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -3552,6 +3584,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM t
                 )
               ) GROUP BY conv_id, turn_idx, event_id""",
+        "tool_sequences": tr
+        + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM (
+               SELECT conv_id, tool AS tool_a,
+                      lead(tool) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS tool_b
+               FROM t WHERE tool <> 'none'
+             ) WHERE tool_b IS NOT NULL
+             GROUP BY tool_a, tool_b""",
         "conv_stats": tr
         + """SELECT conv_id, COUNT(*) AS n_turns,
              CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
