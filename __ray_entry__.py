@@ -1466,6 +1466,28 @@ def q_tool_sequences(sf_dir: str):
     return out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
 
 
+def q_lang_char_ranks(sf_dir: str):
+    """Distributed window function: SQL `rank()` of every document's
+    length within its language partition (+ the partition size) — the
+    per-group percentile machinery quality pipelines normalize scores
+    with. One co-locating bucket pass; each group ranks vectorized
+    inside its bucket (hot groups can take the skew_aware lever)."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def rank_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang")["n_chars"]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "rnk": g.rank(method="min").astype("int64").to_numpy(),
+            "n_group": g.transform("size").astype("int64").to_numpy(),
+        })
+
+    return map_buckets(
+        _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang", rank_in_bucket, buckets=8)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation stats: turn count + time span (min/max/sum
     aggregate coverage with per-batch partial combine)."""
@@ -3021,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": q_textrank_keywords,
         "shuffled_shards": q_shuffled_shards,
         "tool_sequences": q_tool_sequences,
+        "lang_char_ranks": q_lang_char_ranks,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
         "contamination_screen": q_contamination_screen,
@@ -3584,6 +3607,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM t
                 )
               ) GROUP BY conv_id, turn_idx, event_id""",
+        "lang_char_ranks": """
+            SELECT doc_id, lang,
+                   CAST(rank() OVER (PARTITION BY lang
+                        ORDER BY n_chars) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+                     AS n_group
+            FROM documents""",
         "tool_sequences": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
              FROM (
