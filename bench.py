@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "shuffled_shards",
     "dedup_keep_best",
+    "tool_sequences",
+    "lang_char_ranks",
 ]
 
 

@@ -706,6 +706,36 @@ def probe_kmeans_500k() -> dict:
     return out
 
 
+def probe_shards_5m() -> dict:
+    """Equal-size shuffle-sharding at 5M rows / 16 shards: wall +
+    driver RSS delta. Exercises the batched rank-select boundary
+    resolve (15 boundary bins fetched in grouped passes) and asserts
+    the exact size bound (max-min <= 1) the distributed ntile
+    guarantees."""
+    import ray.data as rd
+
+    from beats_ray.dataops.sampling import shuffle_shards
+
+    n = 5_000_000
+    ids = rd.range(n).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["id"].astype("int64")}),
+        batch_format="pandas").materialize()
+    out = {"probe": "shards_5m", "n": n, "shards": 16}
+    rss0 = _rss_mb()
+    t0 = time.time()
+    shards = shuffle_shards(ids, 16)
+    sizes = (shards.groupby("shard").count().to_pandas()
+             .set_index("shard")["count()"])
+    out["wall_s"] = round(time.time() - t0, 1)
+    out["driver_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+    out["size_spread"] = int(sizes.max() - sizes.min())
+    out["n_shards_seen"] = int(len(sizes))
+    assert out["n_shards_seen"] == 16
+    assert out["size_spread"] <= 1, dict(sizes)
+    assert int(sizes.sum()) == n
+    return out
+
+
 PROBES = {
     "dup_heavy": probe_dup_heavy,
     "hot_key": probe_hot_key,
@@ -719,6 +749,7 @@ PROBES = {
     "boilerplate": probe_boilerplate,
     "lm_ops_500k": probe_lm_ops_500k,
     "kmeans_500k": probe_kmeans_500k,
+    "shards_5m": probe_shards_5m,
 }
 
 
