@@ -723,15 +723,24 @@ def probe_shards_5m() -> dict:
     out = {"probe": "shards_5m", "n": n, "shards": 16}
     rss0 = _rss_mb()
     t0 = time.time()
-    shards = shuffle_shards(ids, 16)
-    sizes = (shards.groupby("shard").count().to_pandas()
-             .set_index("shard")["count()"])
+    shards = shuffle_shards(ids, 16).materialize()
     out["wall_s"] = round(time.time() - t0, 1)
     out["driver_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+    # size check via driver-merged per-block bincounts (16 cells/block)
+    # so the probe's verification doesn't pay a sort shuffle the op
+    # itself avoids
+    sizes = np.zeros(16, dtype=np.int64)
+    parts = shards.map_batches(
+        lambda df: pd.DataFrame({
+            "s": np.arange(16, dtype=np.int64),
+            "c": np.bincount(df["shard"], minlength=16).astype(np.int64),
+        }), batch_format="pandas")
+    for p in parts.iter_batches(batch_format="pandas"):
+        np.add.at(sizes, p["s"].to_numpy(), p["c"].to_numpy())
     out["size_spread"] = int(sizes.max() - sizes.min())
-    out["n_shards_seen"] = int(len(sizes))
+    out["n_shards_seen"] = int((sizes > 0).sum())
     assert out["n_shards_seen"] == 16
-    assert out["size_spread"] <= 1, dict(sizes)
+    assert out["size_spread"] <= 1, sizes.tolist()
     assert int(sizes.sum()) == n
     return out
 
