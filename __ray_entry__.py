@@ -2821,23 +2821,58 @@ def q_word_freq_spectrum(sf_dir: str):
     return word_freq_spectrum(_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def q_cross_source_dups(sf_dir: str):
+def q_cross_source_dups(sf_dir: str, broadcast_limit: int = 1_000_000):
     """Dedup analytics: where do near-duplicates cross corpus sources?
-    The MinHash→Jaccard-verified pair graph joins each endpoint to its
-    source label (two bucket hash joins — pairs are result-sized, the
-    label table is corpus-sized, nothing lands on the driver) and
-    counts pairs per unordered source combination."""
+    The MinHash→Jaccard-verified pair graph is RESULT-sized, so the
+    adaptive convention applies: when it fits ``broadcast_limit`` the
+    endpoint→source label table is built with ONE semi-filtered scan
+    of the corpus (broadcast endpoint set, bounded collect), pairs tag
+    their endpoints against the broadcast dict, and per-batch combo
+    partials merge on the driver (≤ |sources|² cells) — zero shuffles
+    after the pair sketch. Above the limit it falls back to the two
+    bucket hash joins + distributed grouped count (nothing driver-sized
+    in that path)."""
     import pyarrow.compute as pc
 
     from beats_ray.dataops.agg import grouped_count
     from beats_ray.dataops.dedup import ngram_jaccard_pairs
-    from beats_ray.dataops.joins import bucket_hash_join
+    from beats_ray.dataops.joins import bucket_hash_join, semi_join
 
     pairs = ngram_jaccard_pairs(
         _table(sf_dir, "documents", ["doc_id", "text"], blocks=16),
         n=3, threshold=0.6,
-    ).select_columns(["a", "b"])
+    ).select_columns(["a", "b"]).materialize()
     src = _table(sf_dir, "documents", ["doc_id", "source"])
+
+    if pairs.count() <= broadcast_limit:
+        import ray as _ray
+
+        ends: set = set()
+        for p in pairs.iter_batches(batch_format="pandas"):
+            ends.update(p["a"].tolist())
+            ends.update(p["b"].tolist())
+        lab = semi_join(
+            src, pd.DataFrame({"doc_id": sorted(ends)}), on="doc_id"
+        ).to_pandas()  # bounded: ≤ 2·|pairs| rows
+        ref = _ray.put(dict(zip(lab["doc_id"], lab["source"])))
+
+        def combos(df: pd.DataFrame) -> pd.DataFrame:
+            from beats_ray.dataops.joins import _resolve_ref
+
+            m = _resolve_ref(ref)
+            sa = df["a"].map(m)
+            sb = df["b"].map(m)
+            lo = np.where(sa <= sb, sa, sb)
+            hi = np.where(sa <= sb, sb, sa)
+            return (pd.DataFrame({"source_lo": lo, "source_hi": hi})
+                    .groupby(["source_lo", "source_hi"], as_index=False)
+                    .size().rename(columns={"size": "n_pairs"}))
+
+        parts = pairs.map_batches(combos, batch_format="pandas").to_pandas()
+        out = (parts.groupby(["source_lo", "source_hi"], as_index=False)
+               ["n_pairs"].sum())
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
 
     ja = bucket_hash_join(pairs, src, left_on="a", right_on="doc_id"
                           ).map_batches(

@@ -496,16 +496,26 @@ def bucket_semi_join(left, keys, on: str, anti: bool = False,
     return both.groupby("_jb").map_groups(mask, batch_format="pandas")
 
 
-def _semi_mask(df: pd.DataFrame, ref, on, anti) -> pd.DataFrame:
-    mask = df[on].isin(_resolve_ref(ref))
-    return df[~mask] if anti else df[mask]
+def _semi_mask(t: pa.Table, ref, on, anti) -> pa.Table:
+    import pyarrow.compute as pc
+
+    vals = _resolve_ref(ref)
+    if vals.type != t.schema.field(on).type:
+        vals = vals.cast(t.schema.field(on).type)
+    # null keys match nothing (pandas-isin semantics): semi drops them,
+    # anti keeps them
+    mask = pc.fill_null(pc.is_in(t[on], value_set=vals), False)
+    return t.filter(pc.invert(mask) if anti else mask)
 
 
 def semi_join(big, keys_df: pd.DataFrame, on: str, anti: bool = False):
     """Semi/anti join: broadcast the key SET once, mask per batch in
-    fused tasks (per-worker cache, no actor pool)."""
-    ref = ray.put(set(keys_df[on].tolist()))
+    fused tasks (per-worker cache, no actor pool). The mask is a
+    zero-copy Arrow ``is_in`` filter — no pandas conversion, and empty
+    results keep their typed schema (object-dtype empties broke Ray's
+    block-size estimator)."""
+    ref = ray.put(pa.array(pd.unique(keys_df[on].dropna())))
     return big.map_batches(
         _semi_mask, fn_kwargs={"ref": ref, "on": on, "anti": anti},
-        batch_format="pandas",
+        batch_format="pyarrow",
     )

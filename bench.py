@@ -175,13 +175,22 @@ def run_bench() -> dict:
     # best-of-N per query (default 2): the first trial pays session
     # warmup for that query's stages; the box also has noisy neighbors
     q_trials = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
-    for name in [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES:
+    names = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    if os.environ.get("BENCH_ONLY"):  # comma-separated subset filter
+        only = set(os.environ["BENCH_ONLY"].split(","))
+        names = [n for n in names if n in only]
+    import gc
+
+    for name in names:
         best = float("inf")
         for _ in range(q_trials):
             t0 = time.time()
             _consume(qs[name](SF_DIR))
             best = min(best, time.time() - t0)
         qtimes[name] = round(best, 3)
+        # drop lingering dataset/object refs before the next query so
+        # one query's blocks don't pressure the next one's object store
+        gc.collect()
 
     ray.shutdown()
     return {
