@@ -151,6 +151,46 @@ def q_dissect_parse(sf_dir: str):
     return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(parse, batch_format="pyarrow")
 
 
+GROK_PATTERN = (
+    'level=%{LOGLEVEL:level} ts=%{TIMESTAMP_ISO8601:ts_str} '
+    'tool=%{WORD:tool_name} status=%{WORD:status} '
+    'msg="ran %{NONNEGINT:n_cmds:int} commands"'
+)
+
+
+def q_grok_parse(sf_dir: str):
+    """Grok parse stage (the north star's "grok/regex parse" named
+    surface; Elasticsearch ingest grok config on the repo's processor
+    conventions, beats_ray/processors/grok.py): Logstash-pattern-syntax
+    extraction with library composites (LOGLEVEL, TIMESTAMP_ISO8601)
+    and a TYPED capture (n_cmds:int — the capability dissect lacks),
+    compiled once and applied as ONE pc.extract_regex per batch.
+    Oracle: the equivalent anchored regexp_extract + CAST in SQL."""
+    import pyarrow.compute as pc
+
+    from beats_ray.processors import build_processor
+
+    proc = build_processor(
+        {"grok": {"patterns": ["^" + GROK_PATTERN + "$"],
+                  "ignore_failure": True}}
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        t = proc(t)
+        t = t.filter(pc.is_valid(t["grok.level"]))
+        out = t.select(
+            ["conv_id", "turn_idx", "grok.level", "grok.ts_str",
+             "grok.tool_name", "grok.status", "grok.n_cmds"]
+        )
+        return out.rename_columns(
+            ["conv_id", "turn_idx", "level", "ts_str", "tool_name",
+             "status", "n_cmds"]
+        )
+
+    return _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(
+        parse, batch_format="pyarrow")
+
+
 def q_ndjson_parse(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -2977,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_counts": q_enrich_counts,
         # parsers / processors
         "dissect_parse": q_dissect_parse,
+        "grok_parse": q_grok_parse,
         "ndjson_parse": q_ndjson_parse,
         "syslog_parse": q_syslog_parse,
         "multiline_stats": q_multiline_stats,
@@ -3554,6 +3595,17 @@ _KMEANS_AF_SQL = """
     )"""
 
 
+def _grok_rx_sql() -> str:
+    """The grok_parse oracle regex: the SAME expanded RE2 pattern the
+    Ray side compiles (DuckDB's regexp_* are RE2 too, so both engines
+    run one identical regex — bit-faithful by construction). Named
+    groups become DuckDB's numbered capture indices in order."""
+    from beats_ray.processors.grok import expand_pattern
+
+    rx, _ = expand_pattern("^" + GROK_PATTERN + "$")
+    return rx.replace("'", "''")
+
+
 def oracle_sql() -> dict[str, str]:
     # make sure the corpus the SQL reads exists (driver runs at sf0.01)
     ensure_transcripts(0.01)
@@ -3602,6 +3654,15 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) FILTER (WHERE regexp_extract(text, '{DISSECT_RX}', 1) = 'debug'
                     AND dissect_ok) AS BIGINT) AS n_debug
               FROM p GROUP BY role""",
+        "grok_parse": tr
+        + f"""SELECT conv_id, turn_idx,
+              regexp_extract(text, '{_grok_rx_sql()}', 1) AS level,
+              regexp_extract(text, '{_grok_rx_sql()}', 2) AS ts_str,
+              regexp_extract(text, '{_grok_rx_sql()}', 3) AS tool_name,
+              regexp_extract(text, '{_grok_rx_sql()}', 4) AS status,
+              CAST(regexp_extract(text, '{_grok_rx_sql()}', 5) AS BIGINT)
+                AS n_cmds
+              FROM t WHERE regexp_matches(text, '{_grok_rx_sql()}')""",
         "dissect_parse": tr
         + f"""SELECT conv_id, turn_idx,
               regexp_extract(text, '{DISSECT_RX}', 1) AS level,

@@ -31,6 +31,10 @@ ALLOWED_KEYS: dict[str, set[str]] = {
         "tokenizer", "field", "target_prefix", "ignore_failure",
         "overwrite_keys", "trim_values", "trim_chars",
     },
+    "grok": {
+        "pattern", "patterns", "field", "target_prefix",
+        "pattern_definitions", "ignore_failure", "overwrite_keys",
+    },
     "convert": {"fields", "mode", "fail_on_error", "ignore_missing"},
     "timestamp": {"field", "target", "layouts", "ignore_missing",
                   "ignore_failure", "timezone"},

@@ -28,6 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "route_counts",
+    "grok_parse",
     "flow_agg",
     "flow_sessions",
     "tpch_q1",

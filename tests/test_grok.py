@@ -1,0 +1,194 @@
+"""Grok processor: pattern expansion, vectorized extraction, typed
+captures, first-match-wins, failure semantics. Pure Table-in/Table-out
+(no Ray session needed)."""
+
+import pyarrow as pa
+import pytest
+
+from beats_ray.processors import build_processor, registry
+from beats_ray.processors.grok import (
+    GrokError,
+    compile_grok,
+    expand_pattern,
+    grok_batch,
+)
+
+LINE = 'level=error ts=2026-01-01T00:04:14Z tool=none status=ok msg="ran 7 commands"'
+PAT = ('level=%{LOGLEVEL:level} ts=%{TIMESTAMP_ISO8601:ts} '
+       'tool=%{WORD:tool} status=%{WORD:status} '
+       'msg="ran %{INT:n_cmds:int} commands"')
+
+
+def test_registered():
+    assert "grok" in registry()
+
+
+def test_basic_extraction_and_types():
+    f, ok = grok_batch(compile_grok([PAT]), pa.array([LINE, "nope", None]))
+    assert f["level"].to_pylist() == ["error", None, None]
+    assert f["ts"].to_pylist() == ["2026-01-01T00:04:14Z", None, None]
+    assert f["n_cmds"].to_pylist() == [7, None, None]
+    assert f["n_cmds"].type == pa.int64()
+    assert ok.to_pylist() == [True, False, False]
+
+
+def test_composite_library_patterns():
+    cases = {
+        "%{IPV4:v}": ("addr 192.168.0.255 here", "192.168.0.255"),
+        "%{IP:v}": ("x 2001:db8::1 y", "2001:db8::1"),
+        "%{UUID:v}": ("u=123e4567-e89b-12d3-a456-426614174000",
+                      "123e4567-e89b-12d3-a456-426614174000"),
+        "%{NUMBER:v}": ("pi=-3.14!", "-3.14"),
+        "%{HOSTPORT:v}": ("at db-01.internal.example:5432 ok",
+                          "db-01.internal.example:5432"),
+        "%{SYSLOGTIMESTAMP:v}": ("Feb  5 17:32:18 host app: hi",
+                                 "Feb  5 17:32:18"),
+        "%{URI:v}": ("see https://u@h.example:8080/a/b?q=1 now",
+                     "https://u@h.example:8080/a/b?q=1"),
+        "%{EMAILADDRESS:v}": ("mail bob.smith@corp.example stop",
+                              "bob.smith@corp.example"),
+        "%{COMMONMAC:v}": ("if 00:1a:2b:3c:4d:5e up", "00:1a:2b:3c:4d:5e"),
+    }
+    for pat, (text, want) in cases.items():
+        f, ok = grok_batch(compile_grok([pat]), pa.array([text]))
+        assert ok.to_pylist() == [True], pat
+        assert f["v"].to_pylist() == [want], pat
+
+
+def test_unnamed_refs_match_without_capturing():
+    f, ok = grok_batch(
+        compile_grok(["^%{IPV4} -> %{WORD:verb}$"]),
+        pa.array(["10.0.0.1 -> GET", "x -> GET"]),
+    )
+    assert ok.to_pylist() == [True, False]
+    assert list(f) == ["verb"]
+
+
+def test_no_capture_pattern_is_pure_filter():
+    f, ok = grok_batch(
+        compile_grok(["^%{IPV4}$"]), pa.array(["10.0.0.1", "nope"])
+    )
+    assert f == {}
+    assert ok.to_pylist() == [True, False]
+
+
+def test_first_match_wins_across_patterns():
+    c = compile_grok(["id=%{MYID:id}", "uid=%{UUID:id}"],
+                     {"MYID": r"[A-Z]{3}-[0-9]+"})
+    f, ok = grok_batch(
+        c,
+        pa.array([
+            "id=ABC-42",
+            "uid=123e4567-e89b-12d3-a456-426614174000",
+            # matches BOTH (id= line also contains uid text): pattern
+            # order decides
+            "id=XYZ-7 uid=123e4567-e89b-12d3-a456-426614174000",
+            "neither",
+        ]),
+    )
+    assert f["id"].to_pylist() == [
+        "ABC-42", "123e4567-e89b-12d3-a456-426614174000", "XYZ-7", None,
+    ]
+    assert ok.to_pylist() == [True, True, True, False]
+
+
+def test_cross_pattern_type_conflict_degrades_to_string():
+    c = compile_grok(["n=%{INT:val:int}", "s=%{WORD:val}"])
+    f, _ = grok_batch(c, pa.array(["n=5", "s=abc"]))
+    assert f["val"].type == pa.string()
+    assert f["val"].to_pylist() == ["5", "abc"]
+
+
+def test_float_and_boolean_types():
+    c = compile_grok([r"%{NUMBER:x:float} %{WORD:b:boolean}"])
+    f, _ = grok_batch(c, pa.array(["1.5 true", "2 FALSE"]))
+    assert f["x"].to_pylist() == [1.5, 2.0]
+    assert f["b"].to_pylist() == [True, False]
+
+
+def test_processor_failure_flag_and_ignore():
+    t = pa.table({"text": [LINE, "nope"]})
+    flagged = build_processor({"grok": {"patterns": [PAT]}})(t)
+    assert flagged["log.flags"].to_pylist() == [None, "grok_parsing_error"]
+    quiet = build_processor(
+        {"grok": {"patterns": [PAT], "ignore_failure": True}}
+    )(t)
+    assert "log.flags" not in quiet.column_names
+    assert quiet["grok.level"].to_pylist() == ["error", None]
+
+
+def test_overwrite_keys_semantics():
+    t = pa.table({
+        "text": ["v=1", "v=2"],
+        "grok.n": pa.array([None, 99], pa.int64()),
+    })
+    cfg = {"patterns": ["v=%{INT:n:int}"], "ignore_failure": True}
+    keep = build_processor({"grok": cfg})(t)
+    assert keep["grok.n"].to_pylist() == [1, 99]  # existing value wins
+    clobber = build_processor({"grok": {**cfg, "overwrite_keys": True}})(t)
+    assert clobber["grok.n"].to_pylist() == [1, 2]
+
+
+def test_when_condition_masks_rows():
+    t = pa.table({"text": ["v=1", "v=2"], "role": ["user", "tool"]})
+    proc = build_processor({
+        "grok": {"patterns": ["v=%{INT:n:int}"], "ignore_failure": True},
+        "when": {"equals": {"role": "tool"}},
+    })
+    out = proc(t)
+    assert out["grok.n"].to_pylist() == [None, 2]
+
+
+def test_unknown_pattern_and_cycles_fail_at_build():
+    with pytest.raises(GrokError, match="unknown grok pattern"):
+        expand_pattern("%{NO_SUCH_THING:x}")
+    with pytest.raises(GrokError, match="depth"):
+        expand_pattern("%{A:x}", {"A": "%{B}", "B": "%{A}"})
+    with pytest.raises(GrokError, match="duplicate semantic"):
+        compile_grok(["%{INT:x} %{INT:x}"])
+    with pytest.raises(GrokError, match="patterns"):
+        build_processor({"grok": {}})
+
+
+def test_unknown_config_key_rejected():
+    with pytest.raises(Exception, match="unexpected_key"):
+        build_processor({"grok": {"patterns": ["%{INT:x}"],
+                                  "unexpected_key": 1}})
+
+
+def test_apache_common_log_composed():
+    line = ('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326')
+    # capture-free composite validates the line shape...
+    _, ok = grok_batch(compile_grok(["^%{COMMONAPACHELOG}$"]),
+                       pa.array([line, "garbage"]))
+    assert ok.to_pylist() == [True, False]
+    # ...and the same vocabulary composes with semantics
+    f, ok2 = grok_batch(compile_grok([
+        r'^%{IPORHOST:client} %{USER} %{USER:auth} \[%{HTTPDATE:ts}\] '
+        r'"%{HTTPMETHOD:verb} %{NOTSPACE:path}(?: HTTP/%{NUMBER:httpv})?" '
+        r"%{NONNEGINT:code:int} (?:%{NONNEGINT:bytes:int}|-)$"
+    ]), pa.array([line]))
+    assert ok2.to_pylist() == [True]
+    assert f["client"].to_pylist() == ["127.0.0.1"]
+    assert f["verb"].to_pylist() == ["GET"]
+    assert f["code"].to_pylist() == [200]
+    assert f["bytes"].to_pylist() == [2326]
+
+
+def test_raw_named_groups_are_captures():
+    f, ok = grok_batch(
+        compile_grok([r"(?P<word>[a-z]+)=%{INT:n:int}"]),
+        pa.array(["abc=9"]),
+    )
+    assert f["word"].to_pylist() == ["abc"]
+    assert f["n"].to_pylist() == [9]
+
+
+def test_custom_field_name():
+    t = pa.table({"message": ["v=7"], "text": ["ignored"]})
+    out = build_processor({
+        "grok": {"patterns": ["v=%{INT:n:int}"], "field": "message",
+                 "ignore_failure": True}
+    })(t)
+    assert out["grok.n"].to_pylist() == [7]
