@@ -192,3 +192,64 @@ def test_custom_field_name():
                  "ignore_failure": True}
     })(t)
     assert out["grok.n"].to_pylist() == [7]
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine property check: Python `re` as an independent oracle.
+# Both Python re and Arrow's RE2 use leftmost-first alternation and
+# greedy quantifiers, so on the (lookaround-free) expanded patterns the
+# first-match extraction must agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beats_ray.processors.grok import expand_pattern
+
+_PATS = [
+    "%{IPV4:v}",
+    "%{IP:v}",
+    "%{NUMBER:v}",
+    "%{TIMESTAMP_ISO8601:v}",
+    "%{UUID:v}",
+    "%{HOSTPORT:v}",
+    "level=%{LOGLEVEL:v}",
+    "%{WORD:a} %{NONNEGINT:v}",
+]
+
+_fragments = st.sampled_from([
+    "10.0.0.1", "256.1.2.3", "2001:db8::1", "::1", "fe80::", "x::",
+    "1.5", "-3.14", ".5", "1..2", "+7",
+    "2026-08-20T07:00:00Z", "2026-8-20 07:00", "9999-99-99",
+    "123e4567-e89b-12d3-a456-426614174000", "123e4567-e89b",
+    "db-01.example:5432", "host:0", "level=INFO", "level=noise",
+    "word 42", "word -1", "", " ", "a=b", "哈哈", "tab\there",
+])
+
+
+@st.composite
+def _texts(draw):
+    parts = draw(st.lists(_fragments, min_size=0, max_size=4))
+    return " ".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts=st.lists(_texts(), min_size=1, max_size=8),
+       pat=st.sampled_from(_PATS))
+def test_grok_agrees_with_python_re(texts, pat):
+    rx, caps = expand_pattern(pat)
+    prx = _re.compile(rx)
+    f, ok = grok_batch(compile_grok([pat]), pa.array(texts, pa.string()))
+    got_v = f["v"].to_pylist() if "v" in f else [None] * len(texts)
+    for i, text in enumerate(texts):
+        m = prx.search(text)
+        assert ok[i].as_py() == (m is not None), (pat, text)
+        want = None
+        if m is not None:
+            for alias, semantic, _ in caps:
+                if semantic == "v":
+                    want = m.group(alias)
+        if got_v[i] is not None or want is not None:
+            assert str(got_v[i]) == str(want), (pat, text, got_v[i], want)
