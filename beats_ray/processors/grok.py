@@ -307,6 +307,14 @@ def grok_batch(
         for alias, semantic, typ in caps:
             raw = pc.struct_field(st, alias)
             at = _ARROW_TYPES[typ]
+            if typ != "string":
+                # a named group inside an alternation/optional that did
+                # not participate in the match extracts as "" (RE2 has
+                # no per-group null) — for typed captures that means
+                # "field not set", never a castable value
+                raw = pc.if_else(
+                    pc.not_equal(raw, ""), raw, pa.nulls(n, pa.string())
+                )
             if typ in ("int", "long"):
                 # RE2 already constrained the text; cast is exact
                 val = pc.cast(raw, at)

@@ -240,7 +240,9 @@ def _texts(draw):
        pat=st.sampled_from(_PATS))
 def test_grok_agrees_with_python_re(texts, pat):
     rx, caps = expand_pattern(pat)
-    prx = _re.compile(rx)
+    # re.ASCII mirrors RE2's default ASCII \w/\b/\d/\s classes (Python
+    # re is Unicode-classed by default — the one semantic divergence)
+    prx = _re.compile(rx, _re.ASCII)
     f, ok = grok_batch(compile_grok([pat]), pa.array(texts, pa.string()))
     got_v = f["v"].to_pylist() if "v" in f else [None] * len(texts)
     for i, text in enumerate(texts):
@@ -253,3 +255,33 @@ def test_grok_agrees_with_python_re(texts, pat):
                     want = m.group(alias)
         if got_v[i] is not None or want is not None:
             assert str(got_v[i]) == str(want), (pat, text, got_v[i], want)
+
+
+def test_webaccess_preset_parses_and_routes():
+    """The configs/webaccess.yaml module-style preset (nginx/apache
+    archetype): YAML → grok chain + status-class router, no Ray."""
+    from pathlib import Path
+
+    import yaml
+
+    from beats_ray.processors import build_chain, run_chain
+    from beats_ray.routing import Router
+
+    cfg = yaml.safe_load(
+        (Path(__file__).resolve().parent.parent / "configs"
+         / "webaccess.yaml").read_text()
+    )
+    t = pa.table({"text": [
+        '10.0.0.1 - alice [10/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 1043',
+        '10.0.0.2 - - [10/Oct/2000:13:55:37 -0700] "POST /api/v1 HTTP/1.1" 503 -',
+        '10.0.0.3 - bob [10/Oct/2000:13:55:38 -0700] "GET /nope HTTP/1.1" 404 12',
+        "not an access log line",
+    ]})
+    out = run_chain(t, build_chain(cfg["processors"]))
+    assert out["http.clientip"].to_pylist() == [
+        "10.0.0.1", "10.0.0.2", "10.0.0.3", None]
+    assert out["http.status"].to_pylist() == [200, 503, 404, None]
+    assert out["http.bytes"].to_pylist() == [1043, None, 12, None]
+    routed = Router(cfg["routes"])(out)
+    assert routed["sink"].to_pylist() == [
+        "ok", "server_errors", "client_errors", "unparsed"]
