@@ -1085,6 +1085,20 @@ def q_lang_id(sf_dir: str):
     return lang_id(_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composed curation pipeline (the C4/FineWeb recipe shape): ONE
+    streaming flow of lang-ID filter (keep 'en') → quality filter
+    (drop 'low') → exact dedup (min-id survivor per md5) → PII mask —
+    the fused-signals single-scan composition in pipelines/curate.py.
+    Oracle: the same four stages as chained CTEs (lang/quality/mask
+    SQL fragments shared verbatim with the standalone queries)."""
+    from beats_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(
+        _table(sf_dir, "documents", ["doc_id", "text"], blocks=16)
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     from beats_ray.dataops.textstats import doc_fingerprint
 
@@ -3099,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences_text": q_packed_sequences_text,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "curate_corpus": q_curate_corpus,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "mask_pii_rows": q_mask_pii_rows,
@@ -3363,6 +3378,35 @@ SELECT l.doc_id AS a, r.doc_id AS b,
        CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
 FROM alld l JOIN alld r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.s, r.s)) <= {max_hamming}
+"""
+
+
+def _curate_sql(punct: str, stop_rx: str) -> str:
+    """curate_corpus oracle: the same four stages as the composed Ray
+    pipeline, each reusing the standalone query's SQL fragment verbatim
+    (lang CTE = _lang_id_sql() as a subquery; quality CASE = the
+    quality_score oracle; mask = _pii_chain_sql; dedup = the
+    dedup_exact md5 grouping) — filtered-then-deduped in the same
+    order."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN length(text) < 50
+           OR length(regexp_extract_all(text, '{punct}')) > length(text)*0.3
+         THEN 'low'
+         WHEN length(regexp_extract_all(lower(text), '{stop_rx}')) > 0
+         THEN 'high' ELSE 'mid' END AS quality
+  FROM documents),
+f AS (
+  SELECT d.doc_id, d.text, l.lang_pred, q.quality, q.n_chars
+  FROM documents d
+  JOIN ({_lang_id_sql()}) l USING (doc_id)
+  JOIN q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality <> 'low'),
+s AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+SELECT f.doc_id, f.lang_pred, f.quality, f.n_chars,
+       {_pii_chain_sql('f.text')} AS masked_text
+FROM f JOIN s USING (doc_id)
 """
 
 
@@ -5200,6 +5244,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id""",
         "simhash_pairs": _simhash_pairs_sql(6),
         "lang_id": _lang_id_sql(),
+        "curate_corpus": _curate_sql(punct, stop_rx),
         "contamination_screen": _contamination_sql(),
         "bloom_contamination": _bloom_contamination_sql(),
         "cms_word_counts": r"""

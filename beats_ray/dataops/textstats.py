@@ -66,35 +66,42 @@ def token_stats(docs):
     return docs.map_batches(task_stage(TokenStats), batch_format="pyarrow")
 
 
+def quality_batch(t: pa.Table, min_chars: int = 50,
+                  max_punct_ratio: float = 0.3) -> pa.Table:
+    """Table-level quality kernel (shared by the standalone
+    quality_score stage and fused pipelines like pipelines/curate.py)."""
+    import pyarrow.compute as pc
+
+    text = pc.cast(pc.fill_null(t["text"].combine_chunks(), ""),
+                   pa.string())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    n_punct = pc.cast(pc.count_substring_regex(
+        text, pattern=PUNCT_CLASS), pa.int64()).to_numpy()
+    n_stop = pc.cast(pc.count_substring_regex(
+        pc.utf8_lower(text), pattern=STOPWORD_RE),
+        pa.int64()).to_numpy()
+    low = (n_chars < min_chars) | (n_punct > (n_chars * max_punct_ratio))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "quality": pa.array(
+                np.where(low, "low", np.where(n_stop > 0, "high", "mid")),
+                pa.string(),
+            ),
+        }
+    )
+
+
 def quality_score(docs, min_chars: int = 50, max_punct_ratio: float = 0.3):
     """Quality classification from the integer stats: short docs and
     punctuation-heavy docs are low quality (C4-style heuristics).
     Counts are Arrow RE2 kernels; the classification is numpy."""
 
     def score(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        text = pc.cast(pc.fill_null(t["text"].combine_chunks(), ""),
-                       pa.string())
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
-        n_punct = pc.cast(pc.count_substring_regex(
-            text, pattern=PUNCT_CLASS), pa.int64()).to_numpy()
-        n_stop = pc.cast(pc.count_substring_regex(
-            pc.utf8_lower(text), pattern=STOPWORD_RE),
-            pa.int64()).to_numpy()
-        low = (n_chars < min_chars) | (n_punct > (n_chars * max_punct_ratio))
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "n_punct": pa.array(n_punct, pa.int64()),
-                "n_stopwords": pa.array(n_stop, pa.int64()),
-                "quality": pa.array(
-                    np.where(low, "low", np.where(n_stop > 0, "high", "mid")),
-                    pa.string(),
-                ),
-            }
-        )
+        return quality_batch(t, min_chars, max_punct_ratio)
 
     return docs.map_batches(score, batch_format="pyarrow")
 

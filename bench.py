@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "token_budget_docs",
     "boilerplate_clean_turns",
     "bloom_contamination",
+    "curate_corpus",
     "event_session_windows",
     "tfidf_top_terms",
     "inverted_index",

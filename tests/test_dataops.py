@@ -1498,3 +1498,33 @@ def test_windowed_top_terms_vs_pandas(ray_session):
             .sort_values(["w_start", "term"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
                                   want.astype({"n": "int64"}))
+
+
+def test_curate_corpus_composed(ray_session):
+    """Composed curation: lang filter -> quality filter -> exact dedup
+    (min-id survivor) -> PII mask, one streaming pipeline."""
+    import ray.data as rd
+
+    from beats_ray.pipelines.curate import curate_corpus
+
+    en = ("the quick brown fox and the lazy dog went to the market "
+          "for a very long walk in the sun it is a fine day")
+    de = ("der hund und die katze sind nicht mit dem mann ein haus "
+          "ist das und der baum und die blume sind mit der sonne")
+    short = "the and of"
+    pii = (en + " contact alice@example.com or 10.0.0.1 for details "
+           "and more of the same words to pad the doc out")
+    docs = rd.from_items([
+        {"doc_id": 1, "text": en},
+        {"doc_id": 2, "text": en},       # exact dup of 1 -> dropped
+        {"doc_id": 3, "text": de},       # german -> dropped
+        {"doc_id": 4, "text": short},    # low quality -> dropped
+        {"doc_id": 5, "text": pii},      # survives, PII masked
+    ])
+    out = curate_corpus(docs).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 5]
+    assert set(out["lang_pred"]) == {"en"}
+    assert "low" not in set(out["quality"])
+    m5 = out.loc[out["doc_id"] == 5, "masked_text"].iloc[0]
+    assert "<EMAIL>" in m5 and "<IP>" in m5
+    assert "alice@example.com" not in m5
