@@ -519,21 +519,25 @@ def embedding_cosine_dup_pairs(embeddings, threshold: float = 0.95,
         task_stage(_AssignWithAngle, cents_ref=cref), batch_format="pandas"
     ).materialize()  # consumed twice: radius pre-agg + pair comparison
 
-    # per-bucket radius: per-batch partial max -> tiny global max
-    from ray.data.aggregate import Max
-
-    radii_df = (
+    # per-bucket radius: per-block partial max (≤ n_clusters rows per
+    # block, bounded by construction) merged with np.maximum.at on the
+    # driver — the identical volume a groupby would shuffle, minus the
+    # sort exchange (the rank-select histogram-partials convention)
+    radii_parts = (
         assigned.select_columns(["bucket", "angle"])
         .map_batches(
             lambda df: df.groupby("bucket", as_index=False)["angle"].max(),
             batch_format="pandas",
         )
-        .groupby("bucket")
-        .aggregate(Max("angle", alias_name="angle"))
         .to_pandas()
     )
     radii = np.zeros(len(cents), dtype=np.float64)
-    radii[radii_df["bucket"].to_numpy(dtype=np.int64)] = radii_df["angle"].to_numpy()
+    if len(radii_parts):
+        np.maximum.at(
+            radii,
+            radii_parts["bucket"].to_numpy(dtype=np.int64),
+            radii_parts["angle"].to_numpy(dtype=np.float64),
+        )
 
     # admitted bucket pairs from the centroid-angle bound (driver-side:
     # n_clusters² tiny). eps pads float rounding — extra comparisons
