@@ -1732,11 +1732,11 @@ def q_source_ndjson_counts(sf_dir: str):
     return grouped_count(ds.select_columns(["role"]), ["role"])
 
 
-def _journal_export_ds(sf_dir: str):
+def _journal_export_ds(sf_dir: str, keys: list[str] | None = None):
     from beats_ray.sources import read_journal_export, write_journal_export_fixture
 
     d = write_journal_export_fixture(sf_from_dir(sf_dir))
-    return read_journal_export(sorted(glob.glob(d + "/*.export")))
+    return read_journal_export(sorted(glob.glob(d + "/*.export")), keys=keys)
 
 
 def q_journald_messages(sf_dir: str):
@@ -1752,7 +1752,9 @@ def q_journald_messages(sf_dir: str):
     from beats_ray.sources import journald_conv
 
     ds = journald_conv(
-        _journal_export_ds(sf_dir),
+        # projection pushdown at the scan: the query consumes only the
+        # message, the two custom columns, and the out-of-band ts
+        _journal_export_ds(sf_dir, keys=["MESSAGE", "CONV_ID", "TURN_IDX"]),
         custom_columns=["conv_id", "turn_idx"],
         custom_json=False,  # only the typed custom columns are consumed
     )
@@ -1780,7 +1782,11 @@ def q_journald_unit_counts(sf_dir: str):
     from beats_ray.sources import journald_conv
 
     ds = journald_conv(
-        _journal_export_ds(sf_dir),
+        # pushdown keeps the consumed unit/priority keys AND the two
+        # keys the include_matches filter probes
+        _journal_export_ds(sf_dir, keys=[
+            "_SYSTEMD_UNIT", "PRIORITY", "_TRANSPORT", "SYSLOG_IDENTIFIER",
+        ]),
         include_matches=[
             "systemd.transport=journal", "+", "log.syslog.appname=bash",
         ],

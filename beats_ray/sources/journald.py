@@ -24,6 +24,7 @@ capability-mask expansion, both tiny).
 
 from __future__ import annotations
 
+import bisect
 import io
 import json
 import struct
@@ -137,7 +138,8 @@ _ECS_TO_JOURNAL = {
 # Journal Export Format scanner
 # ---------------------------------------------------------------------------
 
-def parse_journal_export(data: bytes, path: str = "") -> pa.Table:
+def parse_journal_export(data: bytes, path: str = "",
+                         keys=None) -> pa.Table:
     """Parse one exported journal (``journalctl -o export``) into a table
     with one row per entry: ``fields_json`` (the entry's field map as a
     JSON object of strings), ``ts`` (timestamp[us] from
@@ -150,7 +152,42 @@ def parse_journal_export(data: bytes, path: str = "") -> pa.Table:
     reference golden: input/journald/testdata/binary.export).  Binary
     payloads are decoded as UTF-8 (errors replaced), matching the
     reference's []byte -> string conversion (input.go:300-345).
+
+    Fast path: a vectorized numpy/Arrow structure scan whose only Python
+    loop is over binary-framed fields; inputs it cannot represent
+    byte-identically (non-UTF8 text fields, non-ASCII keys, raw control
+    chars, duplicate keys within an entry) fall back to the scalar
+    scanner, which replays the format definition line by line.
+
+    ``keys`` (optional) is the projection pushdown — the journald
+    analogue of ``read_parquet(columns=...)``: only the named field
+    keys (plus the cursor/timestamp specials, always kept) survive into
+    ``fields_json``, shrinking every downstream stage. An entry whose
+    every field is pruned and that carries no special is dropped.
     """
+    try:
+        return _parse_export_arrow(data, path, keys)
+    except _FallbackParse:
+        return _parse_export_python(data, path, keys)
+
+
+class _FallbackParse(Exception):
+    """Raised by the vectorized scanner on inputs only the scalar path
+    represents exactly (it is the semantics oracle, not an error)."""
+
+
+_SPECIAL_KEYS = ("__REALTIME_TIMESTAMP", "__MONOTONIC_TIMESTAMP",
+                 "__CURSOR")
+
+
+def _parse_export_python(data: bytes, path: str = "",
+                         keys=None) -> pa.Table:
+    """Scalar reference scanner — the format definition, line by line.
+    ``keys`` (optional) is the projection pushdown: only these field
+    names (plus the cursor/timestamp specials, always kept) survive
+    into ``fields_json``; an entry whose every field is pruned and that
+    carries no special vanishes entirely."""
+    wanted = None if keys is None else set(keys) | set(_SPECIAL_KEYS)
     find = data.find
     n = len(data)
     pos = 0
@@ -183,9 +220,9 @@ def parse_journal_export(data: bytes, path: str = "") -> pa.Table:
             continue
         eq = line.find(b"=")
         if eq >= 0:
-            cur_fields[line[:eq].decode("ascii", "replace")] = (
-                line[eq + 1:].decode("utf-8", "replace")
-            )
+            name = line[:eq].decode("ascii", "replace")
+            if wanted is None or name in wanted:
+                cur_fields[name] = line[eq + 1:].decode("utf-8", "replace")
         else:
             # binary field: NAME\n<le64 size><payload>\n
             name = line.decode("ascii", "replace")
@@ -195,7 +232,9 @@ def parse_journal_export(data: bytes, path: str = "") -> pa.Table:
             pos += 8
             if pos + size > n:
                 break
-            cur_fields[name] = data[pos:pos + size].decode("utf-8", "replace")
+            if wanted is None or name in wanted:
+                cur_fields[name] = (
+                    data[pos:pos + size].decode("utf-8", "replace"))
             pos += size + 1  # skip the trailing \n
     flush()
 
@@ -210,10 +249,330 @@ def parse_journal_export(data: bytes, path: str = "") -> pa.Table:
     return pa.table(cols)
 
 
-def read_journal_export(paths: list[str] | str, include_path: bool = True):
+def _parse_export_arrow(data: bytes, path: str = "",
+                        keys=None) -> pa.Table:
+    """Vectorized export scanner: one numpy pass finds the line/entry
+    structure, Arrow C++ kernels split KEY=value and assemble the JSON
+    field maps (byte-identical to ``json.dumps(..., ensure_ascii=False)``
+    for the inputs it accepts). The only Python loop runs over
+    binary-framed fields — the payload length prefix makes those
+    inherently sequential; everything between them is array work.
+    Raises :class:`_FallbackParse` on inputs whose exact semantics need
+    the scalar path (non-UTF8, non-printable-ASCII keys, raw control
+    chars in values, duplicate keys within one entry)."""
+    import numpy as np
+
+    wanted = None if keys is None else set(keys) | set(_SPECIAL_KEYS)
+    del keys  # the name is reused for the Arrow key array below
+
+    n = len(data)
+    if n == 0:
+        raise _FallbackParse  # scalar path emits the canonical empty table
+
+    buf = np.frombuffer(data, np.uint8)
+    nl = np.flatnonzero(buf == 0x0A).astype(np.int64)
+    starts = np.concatenate([np.zeros(1, np.int64), nl + 1])
+    ends = np.concatenate([nl, np.array([n], np.int64)])
+    if starts[-1] >= n:  # file ends with \n: no trailing partial line
+        starts, ends = starts[:-1], ends[:-1]
+    nlines = len(starts)
+
+    eqs = np.flatnonzero(buf == 0x3D).astype(np.int64)
+    if len(eqs):
+        k = np.searchsorted(eqs, starts)
+        first_eq = np.where(k < len(eqs), eqs[np.minimum(k, len(eqs) - 1)], n)
+    else:
+        first_eq = np.full(nlines, n, np.int64)
+    has_eq = first_eq < ends
+    blank = starts == ends
+
+    # --- sequential walk over binary-framed fields ONLY ---------------
+    # a candidate is a non-blank line without '='; after consuming a
+    # payload the walk JUMPS past it with a searchsorted (payload bytes
+    # split into many bogus candidate lines), so the loop length is the
+    # number of real binary fields, not lines
+    bin_pos: list[int] = []
+    bin_fields: list[tuple[str, str]] = []
+    region_end: list[int] = []
+    truncated_at = n + 1
+    cand = np.flatnonzero(~has_eq & ~blank)
+    cand_starts = starts[cand].tolist()  # bisect beats np.searchsorted
+    cand_ends = ends[cand].tolist()      # for single lookups in a loop
+    ci = 0
+    while ci < len(cand_starts):
+        s, e = cand_starts[ci], cand_ends[ci]
+        p = e + 1  # first byte after the name line's newline
+        if p + 8 > n:
+            truncated_at = s  # cut mid-size-header: drop the field,
+            break             # keep the entry's completed fields
+        size = int.from_bytes(data[p:p + 8], "little")
+        if p + 8 + size > n:
+            truncated_at = s  # cut mid-payload: same contract
+            break
+        bin_pos.append(s)
+        bin_fields.append((
+            data[s:e].decode("ascii", "replace"),
+            data[p + 8:p + 8 + size].decode("utf-8", "replace"),
+        ))
+        resume = p + 8 + size + 1  # past the payload's trailing \n
+        region_end.append(resume)
+        ci = bisect.bisect_left(cand_starts, resume)
+
+    keep = starts < truncated_at
+    if bin_pos:
+        rs = np.array(bin_pos, np.int64)
+        re_ = np.array(region_end, np.int64)
+        j = np.searchsorted(rs, starts, side="right") - 1
+        keep &= ~((j >= 0) & (starts < re_[np.maximum(j, 0)]))
+    vstarts = starts[keep]
+    vblank = blank[keep]
+    if np.any(~vblank & ~has_eq[keep]):
+        raise _FallbackParse  # structure the walk didn't account for
+    # entry index of each valid line = blank separators before it
+    ent_line = np.cumsum(vblank) - vblank
+
+    # --- Arrow side: split lines / keys / values in C++ ---------------
+    lines = pc.list_flatten(
+        pc.split_pattern(pa.array([data], pa.large_binary()), pattern="\n")
+    )  # piece count == len(nl)+1, aligned with the pre-trim line grid
+    mask_full = np.zeros(len(lines), bool)
+    mask_full[:nlines] = keep & ~blank
+    try:
+        kv_lines = pc.cast(lines.filter(pa.array(mask_full)),
+                           pa.large_string())
+    except pa.ArrowInvalid:
+        raise _FallbackParse  # non-UTF8 text field: scalar 'replace' path
+    parts = pc.split_pattern(kv_lines, pattern="=", max_splits=1)
+    keys = pc.list_element(parts, 0)
+    vals = pc.list_element(parts, 1)
+
+    # byte-class checks on the raw buffer: find the few bytes that could
+    # matter (controls, quote, backslash), classify each by key/value
+    # span membership with a searchsorted — O(occurrences), and it also
+    # decides which escape passes are needed at all
+    if len(keys) and not pc.all(pc.string_is_ascii(keys)).as_py():
+        raise _FallbackParse  # scalar path's ascii-replace key decode
+    kv_mask = keep & ~blank
+    kstarts, keq = starts[kv_mask], first_eq[kv_mask]
+    kends = ends[kv_mask]
+    ent_kv = ent_line[~vblank]
+    pos_kv = vstarts[~vblank]
+    if wanted is not None:
+        # projection pushdown: drop pruned kv lines before any further
+        # work — byte checks, escapes, joins all shrink with them
+        m_want = pc.is_in(
+            keys,
+            value_set=pa.array(sorted(wanted), pa.large_string()),
+        )
+        w_np = m_want.to_numpy(zero_copy_only=False).astype(bool)
+        keys = keys.filter(m_want)
+        vals = vals.filter(m_want)
+        kstarts, keq, kends = kstarts[w_np], keq[w_np], kends[w_np]
+        ent_kv, pos_kv = ent_kv[w_np], pos_kv[w_np]
+    m = buf < 0x20
+    m &= buf != 0x0A
+    m |= buf == 0x22
+    m |= buf == 0x5C
+    q = np.flatnonzero(m)
+    keys_dirty = False
+    esc_pats: list[tuple[str, str]] = []
+    if len(q) and len(kstarts):
+        j = np.maximum(np.searchsorted(kstarts, q, side="right") - 1, 0)
+        qb = buf[q]
+        in_key = (q >= kstarts[j]) & (q < keq[j])
+        in_val = (q > keq[j]) & (q < kends[j])
+        if np.any(in_key & (qb < 0x20)):
+            raise _FallbackParse  # json.dumps escapes controls in keys
+        keys_dirty = bool(np.any(in_key))  # survivors are " or \
+        vb = qb[in_val]
+        if np.any((vb < 0x20) & (vb != 0x0D) & (vb != 0x09)):
+            raise _FallbackParse  # json.dumps would \u-escape these
+        if np.any((vb == 0x22) | (vb == 0x5C)):
+            esc_pats += [("\\", "\\\\"), ('"', '\\"')]
+        if np.any(vb < 0x20):
+            esc_pats += [("\r", "\\r"), ("\t", "\\t")]
+
+    # --- specials (__CURSOR / timestamps) ride out of band ------------
+    _SPECIAL = _SPECIAL_KEYS
+    # a binary-framed special key is structurally possible but never
+    # happens (their values cannot contain newlines); the scalar path
+    # owns that corner so the vectorized merge stays simple
+    if any(name in _SPECIAL for name, _ in bin_fields):
+        raise _FallbackParse
+    if wanted is not None:
+        # projection pushdown: regions were already consumed above, so
+        # pruning a binary field is just not emitting it
+        prune = [i for i, (nm, _) in enumerate(bin_fields)
+                 if nm not in wanted]
+        for i in reversed(prune):
+            del bin_fields[i], bin_pos[i]
+    m_rt = pc.equal(keys, "__REALTIME_TIMESTAMP")
+    m_mono = pc.equal(keys, "__MONOTONIC_TIMESTAMP")
+    m_cur = pc.equal(keys, "__CURSOR")
+    m_special = pc.or_(pc.or_(m_rt, m_mono), m_cur)
+    special_np = m_special.to_numpy(zero_copy_only=False).astype(bool)
+
+    ent_bin = (np.searchsorted(vstarts[vblank], np.array(bin_pos, np.int64))
+               if bin_pos else np.zeros(0, np.int64))
+
+    # --- normal fields -> JSON, byte-identical to json.dumps ----------
+    # kv lines cannot contain \n (they are newline-split pieces), so the
+    # escape set is \ " \r \t — and only the passes the byte scan above
+    # proved necessary actually run
+    def esc(a):
+        for pat, rep in (("\\", "\\\\"), ('"', '\\"'),
+                         ("\r", "\\r"), ("\t", "\\t")):
+            a = pc.replace_substring(a, pattern=pat, replacement=rep)
+        return a
+
+    m_norm = pc.invert(m_special)
+    keys_n = keys.filter(m_norm)
+    keys_n_esc = esc(keys_n) if keys_dirty else keys_n
+    vals_n = vals.filter(m_norm)
+    for pat, rep in esc_pats:
+        vals_n = pc.replace_substring(vals_n, pattern=pat, replacement=rep)
+    lq = pa.scalar('"', pa.large_string())
+    kv_str = pc.binary_join_element_wise(
+        lq, keys_n_esc, pa.scalar('": "', pa.large_string()), vals_n, lq,
+        pa.scalar("", pa.large_string()),
+    )
+    ent_n = ent_kv[~special_np]
+    pos_n = pos_kv[~special_np]
+
+    # duplicate keys within an entry: the scalar dict keeps the last
+    # value; JSON with duplicates is ambiguous downstream -> fallback.
+    # One int64 sort over entry*(D+1)+code replaces a lexsort.
+    codes = np.zeros(0, np.int64)
+    key_code: dict[str, int] = {}
+    if len(keys_n):
+        enc = pc.dictionary_encode(keys_n)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(enc.dictionary)
+        combined = np.sort(ent_n * (d + 1) + codes)
+        if np.any(combined[1:] == combined[:-1]):
+            raise _FallbackParse
+        key_code = {k: i for i, k in enumerate(enc.dictionary.to_pylist())}
+
+    bin_norm = [
+        (bin_pos[i], int(ent_bin[i]), name, val)
+        for i, (name, val) in enumerate(bin_fields)
+    ]
+    if bin_norm:
+        if any(ch < " " or ord(ch) > 0x7e for _, _, nm, _ in bin_norm
+               for ch in nm):
+            raise _FallbackParse
+        seen_bin = set()
+        d1 = len(key_code) + 1
+        for _, e, nm, _ in bin_norm:
+            if (e, nm) in seen_bin:
+                raise _FallbackParse  # dup within the binary framing
+            seen_bin.add((e, nm))
+            code = key_code.get(nm)
+            if code is not None and len(codes):
+                at = np.searchsorted(combined, e * d1 + code)
+                if at < len(combined) and combined[at] == e * d1 + code:
+                    raise _FallbackParse  # dup across framings
+        bin_json = pa.array(
+            [f"{json.dumps(nm, ensure_ascii=False)}: "
+             f"{json.dumps(v, ensure_ascii=False)}"
+             for _, _, nm, v in bin_norm],
+            pa.large_string(),
+        )
+
+    # --- assemble rows -------------------------------------------------
+    # an entry exists iff it carried at least one field (incl. specials)
+    present = np.unique(np.concatenate([ent_kv, ent_bin]))
+    nrows = len(present)
+
+    if bin_norm:
+        # merge two position-sorted runs (kv fields, binary fields)
+        # directly into take indices — no argsort over the full volume
+        bpos = np.array([p for p, _, _, _ in bin_norm], np.int64)
+        bent = np.array([e for _, e, _, _ in bin_norm], np.int64)
+        total = len(pos_n) + len(bpos)
+        take_idx = np.empty(total, np.int64)
+        take_idx[np.arange(len(pos_n))
+                 + np.searchsorted(bpos, pos_n, side="left")] = (
+            np.arange(len(pos_n)))
+        take_idx[np.arange(len(bpos))
+                 + np.searchsorted(pos_n, bpos, side="right")] = (
+            len(pos_n) + np.arange(len(bpos)))
+        ent_sorted = np.concatenate([ent_n, bent])[take_idx]
+        kv_sorted = pa.concat_arrays([kv_str, bin_json]).take(
+            pa.array(take_idx))
+    else:
+        ent_sorted = ent_n
+        kv_sorted = kv_str
+
+    rows_sorted = np.searchsorted(present, ent_sorted)
+    counts = np.bincount(rows_sorted, minlength=nrows)
+    offsets = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts, dtype=np.int64)])
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                      kv_sorted),
+        pa.scalar(", ", pa.large_string()),
+    )
+    fields_json = pc.cast(
+        pc.binary_join_element_wise(
+            pa.scalar("{", pa.large_string()), joined,
+            pa.scalar("}", pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        ),
+        pa.string(),
+    )
+
+    def fill_int(mask):
+        """Integer special (timestamps): ``int(v) if v.isdigit()`` in
+        Arrow — digits-regex + cast; rows where the regex and isdigit
+        could disagree (non-ASCII digits) fall back."""
+        mnp = mask.to_numpy(zero_copy_only=False).astype(bool)
+        sel = vals.filter(mask)
+        ok = pc.match_substring_regex(sel, r"^[0-9]+$")
+        bad = pc.filter(sel, pc.invert(ok))
+        if len(bad) and any(v.isdigit() for v in bad.to_pylist()):
+            raise _FallbackParse  # unicode digits: scalar semantics
+        try:
+            ints = pc.cast(
+                pc.if_else(ok, sel, pa.scalar(None, pa.large_string())),
+                pa.int64(),
+            )
+        except pa.ArrowInvalid:
+            raise _FallbackParse  # out-of-int64 digits
+        out = np.zeros(nrows, np.int64)
+        okr = np.zeros(nrows, bool)
+        rows = np.searchsorted(present, ent_kv[mnp])
+        # plain assignment: later occurrences overwrite (dict semantics)
+        out[rows] = pc.fill_null(ints, 0).to_numpy(zero_copy_only=False)
+        okr[rows] = pc.is_valid(ints).to_numpy(zero_copy_only=False)
+        return pa.array(out, pa.int64(), mask=~okr)
+
+    ts_i = fill_int(m_rt)
+    mono_i = fill_int(m_mono)
+    m_cur_np = m_cur.to_numpy(zero_copy_only=False).astype(bool)
+    cur = np.full(nrows, None, object)
+    cur[np.searchsorted(present, ent_kv[m_cur_np])] = (
+        vals.filter(m_cur).to_pylist())
+    cols = {
+        "fields_json": fields_json,
+        "ts": pc.cast(ts_i, pa.timestamp("us")),
+        "cursor": pa.array(cur, pa.string()),
+        "monotonic_us": mono_i,
+    }
+    if path:
+        cols["log.file.path"] = pa.array([path] * nrows, pa.string())
+    return pa.table(cols)
+
+
+def read_journal_export(paths: list[str] | str, include_path: bool = True,
+                        keys: list[str] | None = None):
     """Read exported journal files as a Dataset of journal entries —
     file-parallel (one scanner task per file, the harvester model;
-    input.go:186 runs one journalctl per journal path)."""
+    input.go:186 runs one journalctl per journal path). ``keys`` is the
+    projection pushdown (see :func:`parse_journal_export`): pass the
+    journal field names a downstream conversion actually consumes —
+    including any keys its journalctl-style filters match on — and
+    everything else is dropped at the scan."""
     import ray.data
 
     if isinstance(paths, str):
@@ -222,7 +581,7 @@ def read_journal_export(paths: list[str] | str, include_path: bool = True):
     def parse(batch: dict) -> pa.Table:
         tables = [
             parse_journal_export(
-                bytes(data), path if include_path else ""
+                bytes(data), path if include_path else "", keys=keys
             )
             for data, path in zip(batch["bytes"], batch["path"])
         ]
@@ -428,6 +787,13 @@ def journald_conv(ds, *, include_matches=None, units=None, identifiers=None,
         out: dict[str, object] = {}
         # --- table-driven rename + integer conversion ---
         for jkey, (names, isint) in JOURNALD_FIELDS.items():
+            if jkey not in fields.column_names:
+                # absent key (possibly projection-pruned at the scan):
+                # emit typed nulls without a pandas round-trip
+                arr = pa.nulls(n, pa.int64() if isint else pa.string())
+                for name in names:
+                    out[name] = arr
+                continue
             col = raw(jkey)
             if isint:
                 # strconv.ParseInt with the ',username' fallback

@@ -288,3 +288,75 @@ def test_journal_export_roundtrip_text_equality(ray_session, sf0001_dir):
     pd.testing.assert_frame_equal(got, want)
     # the corpus' multiline turns really exercised the binary framing
     assert got["message"].str.contains("\n").any()
+
+
+def test_scanner_vectorized_vs_scalar_randomized(ray_session):
+    """The vectorized scanner must agree BYTE-identically with the
+    scalar reference scanner (or fall back to it) on randomized inputs
+    covering every structural feature: binary framing, blank-line runs,
+    '=' in values, unicode, tabs/CRs, quotes/backslashes, empty keys,
+    dup keys (fallback), truncation at every byte class, and the
+    projection pushdown."""
+    import random
+
+    from beats_ray.sources.journald import (
+        _parse_export_arrow,
+        _parse_export_python,
+    )
+
+    rng = random.Random(20260820)
+    keysets = [None, ["MESSAGE"], ["MESSAGE", "K1"], ["NOPE"]]
+    pool_k = ["MESSAGE", "K1", "K2", "_PID", "JUNK", ""]
+    pool_v = ["plain", "a=b=c", "new\nline", "tab\there", 'q"b\\s',
+              "ünïcode", "", "cr\rhere", "x\n\ny", "0", "123456"]
+    for trial in range(200):
+        buf = bytearray()
+        for _ in range(rng.randrange(0, 5)):
+            n_fields = rng.randrange(0, 5)
+            if rng.random() < 0.7:
+                buf += f"__CURSOR=c{trial}\n".encode()
+                buf += f"__REALTIME_TIMESTAMP={rng.randrange(10**9)}\n".encode()
+            used = []
+            for _ in range(n_fields):
+                k = rng.choice(pool_k)
+                used.append(k)
+                v = rng.choice(pool_v)
+                raw = v.encode()
+                if "\n" in v or rng.random() < 0.1:
+                    buf += k.encode() + b"\n" + struct.pack(
+                        "<Q", len(raw)) + raw + b"\n"
+                else:
+                    buf += k.encode() + b"=" + raw + b"\n"
+            buf += b"\n"
+            if rng.random() < 0.2:
+                buf += b"\n"  # extra blank line
+        data = bytes(buf)
+        if rng.random() < 0.3 and data:
+            data = data[: rng.randrange(len(data))]  # truncate anywhere
+        for keys in keysets:
+            p = _parse_export_python(data, "f", keys)
+            try:
+                a = _parse_export_arrow(data, "f", keys)
+            except Exception as ex:
+                from beats_ray.sources.journald import _FallbackParse
+
+                assert isinstance(ex, _FallbackParse)
+                continue
+            assert a.equals(p), (trial, keys, data,
+                                 a.to_pydict(), p.to_pydict())
+
+
+def test_scanner_projection_pushdown(ray_session):
+    """keys= prunes fields_json to the requested keys (+ specials out
+    of band); entries with nothing left and no special vanish."""
+    data = _export_bytes([
+        {"__CURSOR": "c", "__REALTIME_TIMESTAMP": "5", "MESSAGE": "m",
+         "JUNK": "j"},
+        {"JUNK": "only"},
+        {"MESSAGE": "multi\nline", "JUNK": "x\ny"},
+    ])
+    t = parse_journal_export(data, "p", keys=["MESSAGE"])
+    assert t.num_rows == 2
+    f = [json.loads(s) for s in t["fields_json"].to_pylist()]
+    assert f == [{"MESSAGE": "m"}, {"MESSAGE": "multi\nline"}]
+    assert t["cursor"][0].as_py() == "c"
