@@ -36,6 +36,35 @@ def grouped_count(ds, keys: list[str], name: str = "n"):
     )
 
 
+def grouped_sum(ds, key: str, cols, buckets: int = 32,
+                small_limit: int = 200_000):
+    """Exact per-key sums of already-partial rows — replaces
+    ``groupby(key).aggregate(Sum(...))`` whose sort-based exchange on a
+    string key is pure fixed cost (the same rewrite that took
+    hll_distinct 14.8 s -> 2.4 s). Adaptive: the partials are
+    materialized once (they are blocks x distinct-per-block, far
+    smaller than the corpus scan that produced them); if at most
+    ``small_limit`` rows they merge in one driver pandas groupby (the
+    rank-select histogram-partials convention), else ONE co-locating
+    bucket pass (hash exchange on a small int column, merge inside the
+    bucket task). ``small_limit=0`` forces the distributed path."""
+    import ray.data as rd
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[cols].sum()
+
+    parts = ds.materialize()
+    if small_limit:
+        head = parts.limit(small_limit + 1).to_pandas()
+        if len(head) <= small_limit:
+            if not len(head):
+                return parts  # empty: keep the (possibly schemaless) ds
+            return rd.from_pandas(merge(head))
+    return map_buckets(parts, key, merge, buckets=buckets)
+
+
 def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):
     """Add a stable hash-bucket column (FNV-1a of the key, hashed once
     per unique value per batch). Arrow-native so the downstream

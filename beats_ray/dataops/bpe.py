@@ -57,9 +57,8 @@ def fit_bpe(docs, n_merges: int = 20, vocab_k: int = 5000,
     words (ws-token split of lower(text), counted WITH multiplicity).
     Returns the ordered merge list; stops early when no adjacent pair
     remains."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -70,11 +69,10 @@ def fit_bpe(docs, n_merges: int = 20, vocab_k: int = 5000,
         return pa.table({"word": vc.field("values"),
                          "c": pc.cast(vc.field("counts"), pa.int64())})
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(partial, batch_format="pyarrow"),
+        "word", "c",
     )
     top = top_k_by(counts, "c", "word", vocab_k).to_pandas()
     if "word" not in top.columns or not len(top):

@@ -174,15 +174,28 @@ class _CCShard:
 
 def connected_components(edges, nodes, node_col: str = "id",
                          label_col: str = "cluster_id", buckets: int = 8,
-                         max_iters: int = 40, verbose: bool = False):
+                         max_iters: int = 40, verbose: bool = False,
+                         small_limit: int = 200_000):
     """Label every node with the MINIMUM node id reachable from it.
 
     ``edges``: Dataset with int columns (a, b) — undirected pairs.
     ``nodes``: Dataset with ``node_col`` — every node (isolated nodes
     keep their own id as the label). Returns a Dataset
     [node_col, label_col]. See module docstring for the BSP shape.
+
+    Adaptive: a pair graph with at most ``small_limit`` edges resolves
+    with a driver-side union-find over the EDGE-TOUCHED nodes only
+    (bounded by 2x|edges| — never the node set), broadcast back and
+    applied to ``nodes`` in one streaming pass; larger graphs take the
+    BSP actor path. ``small_limit=0`` forces the distributed path.
+    The same adaptive convention as the dedup drop-set broadcast.
     """
     import time as _time
+
+    if small_limit:
+        head = edges.limit(small_limit + 1).to_pandas()
+        if len(head) <= small_limit:
+            return _cc_small(head, nodes, node_col, label_col)
 
     shards = [_CCShard.remote(i, buckets) for i in range(buckets)]
 
@@ -256,6 +269,56 @@ def connected_components(edges, nodes, node_col: str = "id",
     for s in shards:
         ray.kill(s)
     return out
+
+
+def _cc_small(edge_df: pd.DataFrame, nodes, node_col: str,
+              label_col: str):
+    """Small-graph closure: union-find with path compression over the
+    edge-touched ids (bounded by 2x|edges|), component min as the
+    label, broadcast once; every node NOT in the table keeps its own
+    id. The label application is a streaming map_batches over
+    ``nodes`` — nothing node-sized ever lands on the driver."""
+    if len(edge_df):
+        a = edge_df["a"].astype("int64").to_numpy()
+        b = edge_df["b"].astype("int64").to_numpy()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[rx] = ry
+        label: dict[int, int] = {}
+        for x in parent:
+            r = find(x)
+            label[r] = min(label.get(r, r), x)
+        ids = np.fromiter(parent.keys(), np.int64, len(parent))
+        labs = np.fromiter((label[find(int(x))] for x in ids), np.int64,
+                           len(ids))
+        order = np.argsort(ids)
+        table_ref = ray.put((ids[order], labs[order]))
+    else:
+        table_ref = None
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[node_col].astype("int64").to_numpy()
+        labs = ids.copy()
+        if table_ref is not None:
+            tids, tlabs = ray.get(table_ref)
+            pos = np.searchsorted(tids, ids)
+            pos_c = np.minimum(pos, max(len(tids) - 1, 0))
+            hit = (pos < len(tids)) & (tids[pos_c] == ids)
+            labs[hit] = tlabs[pos_c[hit]]
+        return pd.DataFrame({node_col: ids, label_col: labs})
+
+    return nodes.map_batches(apply, batch_format="pandas")
 
 
 def dup_cluster_survivors(edges, nodes, node_col: str = "id",

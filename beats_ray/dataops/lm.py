@@ -45,9 +45,8 @@ def fit_unigram_lm(docs, text_col: str = "text", model_k: int = 10_000):
     the smoothing denominator is corpus-exact however small ``model_k``
     is. One grouped shuffle total; the counts Dataset is materialized
     once and feeds both the top-k and the total."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -60,13 +59,11 @@ def fit_unigram_lm(docs, text_col: str = "text", model_k: int = 10_000):
             "c": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("c", alias_name="c"))
-        .materialize()
-    )
+        .map_batches(partial, batch_format="pyarrow"),
+        "term", "c",
+    ).materialize()
     total = counts.sum("c") or 0
     model = top_k_by(counts, "c", "term", model_k).to_pandas()
     if "term" not in model.columns:
@@ -209,9 +206,8 @@ def fit_bigram_lm(docs, text_col: str = "text", model_k: int = 10_000,
     whitespace so the joined string is unambiguous), bigrams filtered
     to contexts present in the unigram vocab. Returns
     (uni DataFrame[term, c], bi DataFrame[bigram, c])."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     uni, _total = fit_unigram_lm(docs, text_col=text_col, model_k=model_k)
 
@@ -237,11 +233,10 @@ def fit_bigram_lm(docs, text_col: str = "text", model_k: int = 10_000,
         return pa.table({"bigram": pa.array(u.astype(object), pa.string()),
                          "c": pa.array(c.astype(np.int64))})
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(partial, batch_format="pyarrow"),
+        "bigram", "c",
     )
     vocab = set(uni["term"])
 
@@ -361,9 +356,8 @@ def fit_nb_classifier(docs, text_col: str = "text", label_col: str = "lang",
     Tp, Tn, Np, Nn). Totals count EVERY token of each class (the
     smoothing denominators are corpus-exact however small ``model_k``);
     Np/Nn are per-class document counts for the prior."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -393,13 +387,11 @@ def fit_nb_classifier(docs, text_col: str = "text", label_col: str = "lang",
             "cn": pa.concat_arrays(cns),
         })
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col, label_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("cp", alias_name="cp"), Sum("cn", alias_name="cn"))
-        .materialize()
-    )
+        .map_batches(partial, batch_format="pyarrow"),
+        "term", ["cp", "cn"],
+    ).materialize()
 
     def only_docs(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["term"], ""))

@@ -77,9 +77,8 @@ def fit_df_model(docs, text_col: str = "text", model_k: int = 10_000):
     lowercased ws-tokens (the CountVectorizer max_features rule).
     Distributed: per-batch DISTINCT (doc, term) fold → grouped count →
     top-k (df desc, term asc); the driver holds only the k-row model."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -93,11 +92,10 @@ def fit_df_model(docs, text_col: str = "text", model_k: int = 10_000):
         return pa.table({"term": pa.array(list(terms), pa.string()),
                          "df": pa.array(list(terms.values()), pa.int64())})
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(partial, batch_format="pyarrow"),
+        "term", "df",
     )
     model = top_k_by(counts, "df", "term", model_k).to_pandas()
     if "term" not in model.columns:
@@ -236,9 +234,8 @@ def fit_bigram_model(docs, text_col: str = "text", model_k: int = 10_000):
     count-desc, bigram-asc tie-break). Distributed: per-batch Arrow
     partial counts → global sum → top_k_by; the driver holds only the
     k-row model."""
-    from ray.data.aggregate import Sum
 
-    from .agg import top_k_by
+    from .agg import grouped_sum, top_k_by
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -253,11 +250,10 @@ def fit_bigram_model(docs, text_col: str = "text", model_k: int = 10_000):
         g = flat.group_by(["bigram"]).aggregate([([], "count_all")])
         return g.rename_columns(["bigram", "n"])
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(partial, batch_format="pyarrow"),
+        "bigram", "n",
     )
     model = top_k_by(counts, "n", "bigram", model_k).to_pandas()
     if "bigram" not in model.columns:

@@ -254,7 +254,7 @@ def word_freq_spectrum(docs, text_col: str = "text"):
 
     from ray.data.aggregate import Sum
 
-    from .agg import grouped_count
+    from .agg import grouped_count, grouped_sum
 
     def partial(t: pa.Table) -> pa.Table:
         text = pc.utf8_lower(pc.fill_null(t[text_col].combine_chunks(), ""))
@@ -267,11 +267,10 @@ def word_freq_spectrum(docs, text_col: str = "text"):
             "c": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    counts = (
+    counts = grouped_sum(
         docs.select_columns([text_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(partial, batch_format="pyarrow"),
+        "term", "c",
     )
     spectrum = grouped_count(counts, ["c"], name="n_terms")
     return spectrum.map_batches(

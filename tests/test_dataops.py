@@ -915,14 +915,15 @@ def test_connected_components_chain_and_isolates(ray_session):
         pd.DataFrame({"a": list(range(63)), "b": list(range(1, 64))})
     )
     nodes = rd.from_pandas(pd.DataFrame({"id": list(range(64)) + [99]}))
-    out = (
-        connected_components(edges, nodes, buckets=4)
-        .to_pandas()
-        .sort_values("id")
-        .reset_index(drop=True)
-    )
-    assert out[out["id"] < 64]["cluster_id"].eq(0).all()
-    assert out[out["id"] == 99]["cluster_id"].eq(99).all()
+    for sl in (200_000, 0):  # driver union-find path AND the BSP path
+        out = (
+            connected_components(edges, nodes, buckets=4, small_limit=sl)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert out[out["id"] < 64]["cluster_id"].eq(0).all(), sl
+        assert out[out["id"] == 99]["cluster_id"].eq(99).all(), sl
 
     surv = sorted(
         dup_cluster_survivors(edges, nodes, buckets=4)
@@ -937,13 +938,14 @@ def test_connected_components_triangle_plus_pair(ray_session):
 
     edges = rd.from_pandas(pd.DataFrame({"a": [1, 2, 5], "b": [0, 1, 6]}))
     nodes = rd.from_pandas(pd.DataFrame({"id": [0, 1, 2, 5, 6, 9]}))
-    out = (
-        connected_components(edges, nodes, buckets=4)
-        .to_pandas()
-        .sort_values("id")
-        .reset_index(drop=True)
-    )
-    assert out["cluster_id"].tolist() == [0, 0, 0, 5, 5, 9]
+    for sl in (200_000, 0):
+        out = (
+            connected_components(edges, nodes, buckets=4, small_limit=sl)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert out["cluster_id"].tolist() == [0, 0, 0, 5, 5, 9], sl
 
 
 def test_token_stats_regexes_match_re2_on_unicode_edges():
@@ -1076,16 +1078,18 @@ def test_connected_components_random_vs_union_find(ray_session):
                 parent[max(rx, ry)] = min(rx, ry)
         want = {int(i): find(int(i)) for i in ids}
 
-        out = (
-            connected_components(
-                rd.from_pandas(pd.DataFrame({"a": a, "b": b})),
-                rd.from_pandas(pd.DataFrame({"id": ids})),
-                buckets=3 + trial,
+        for sl in (200_000, 0):  # union-find path AND BSP path
+            out = (
+                connected_components(
+                    rd.from_pandas(pd.DataFrame({"a": a, "b": b})),
+                    rd.from_pandas(pd.DataFrame({"id": ids})),
+                    buckets=3 + trial, small_limit=sl,
+                )
+                .to_pandas()
             )
-            .to_pandas()
-        )
-        got = dict(zip(out["id"].astype(int), out["cluster_id"].astype(int)))
-        assert got == want, trial
+            got = dict(zip(out["id"].astype(int),
+                           out["cluster_id"].astype(int)))
+            assert got == want, (trial, sl)
 
 
 @pytest.mark.parametrize("trial", [1, 2, 3])  # the adversarial kinds;
@@ -1528,3 +1532,24 @@ def test_curate_corpus_composed(ray_session):
     m5 = out.loc[out["doc_id"] == 5, "masked_text"].iloc[0]
     assert "<EMAIL>" in m5 and "<IP>" in m5
     assert "alice@example.com" not in m5
+
+
+def test_grouped_sum_driver_and_bucket_paths_equal(ray_session):
+    """grouped_sum's bounded driver merge and its co-locating bucket
+    fallback must agree exactly (multi-column sums, negative values,
+    single-key corner)."""
+    from beats_ray.dataops.agg import grouped_sum
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "term": rng.choice(["a", "b", "c", "dd", "e" * 30], size=500),
+        "c": rng.randint(-50, 50, size=500).astype("int64"),
+        "d": rng.randint(0, 9, size=500).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    want = (df.groupby("term", as_index=False)[["c", "d"]].sum()
+              .sort_values("term").reset_index(drop=True))
+    for sl in (200_000, 0):  # driver path AND bucket path
+        got = (grouped_sum(ds, "term", ["c", "d"], small_limit=sl)
+               .to_pandas().sort_values("term").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want), sl

@@ -491,7 +491,7 @@ def probe_cc_scale() -> dict:
     )
     t0 = time.time()
     labels = connected_components(
-        edges.union(chain), nodes, buckets=16
+        edges.union(chain), nodes, buckets=16, small_limit=0,  # BSP path
     ).to_pandas()
     wall = time.time() - t0
     assert len(labels) == n
