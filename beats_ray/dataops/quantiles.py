@@ -141,9 +141,27 @@ def _resolve_ranks(sub, col: str, ranks: list[int], lo: int, hi: int,
 
 
 def rank_select(ds, col: str, ranks: list[int], *, nbins: int = 4096,
-                resolve_limit: int = 1_000_000) -> dict[int, int]:
-    """Exact value at each 0-based ascending rank of integer ``col``."""
+                resolve_limit: int = 1_000_000,
+                small_limit: int = 500_000) -> dict[int, int]:
+    """Exact value at each 0-based ascending rank of integer ``col``.
+
+    Adaptive: a column of at most ``small_limit`` rows collects once
+    and resolves with one np.partition (the refinement loop's fixed
+    per-round scan cost dwarfs a bounded collect); larger inputs run
+    the distributed histogram-refinement loop. ``small_limit=0``
+    forces the distributed path."""
     from ray.data.aggregate import Max, Min
+
+    if small_limit:
+        head = ds.limit(small_limit + 1).to_pandas()
+        if len(head) <= small_limit:
+            if not len(head):
+                raise ValueError("rank_select over an empty dataset")
+            v = head[col].dropna().to_numpy(np.int64)
+            want = sorted({r for r in ranks if 0 <= r < len(v)})
+            if want:
+                v = np.partition(v, want)
+            return {int(r): int(v[r]) for r in want}
 
     rng = ds.aggregate(Min(col, alias_name="lo"),
                        Max(col, alias_name="hi"))  # one fused scan

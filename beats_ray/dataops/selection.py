@@ -88,12 +88,35 @@ def _range_filter(sub, col: str, flo: int, fhi: int):
 
 def take_token_budget(ds, budget: int, *, score: str, tokens: str,
                       key: str, nbins: int = 4096,
-                      resolve_limit: int = 1_000_000):
+                      resolve_limit: int = 1_000_000,
+                      small_limit: int = 500_000):
     """Rows whose cumulative ``tokens`` in (``score`` DESC, ``key``
     ASC) order is <= ``budget`` — cumulative sum INCLUDING the row;
-    ``score``/``tokens``/``key`` must be integer columns."""
+    ``score``/``tokens``/``key`` must be integer columns.
+
+    Adaptive: when the corpus has at most ``small_limit`` rows, the
+    three integer columns collect once and the cutoff resolves with
+    one driver sort — the histogram loop's fixed per-pass scans cost
+    more than the bounded collect. Larger inputs run the distributed
+    histogram-refinement loop unchanged (``small_limit=0`` forces it).
+    The returned cutoff feeds the same streaming ``_keep`` filter
+    either way."""
     if budget <= 0:
         return _keep(ds, score, key, np.iinfo(np.int64).max, None)
+
+    if small_limit:
+        cols = list(dict.fromkeys((score, tokens, key)))
+        head = ds.select_columns(cols).limit(small_limit + 1).to_pandas()
+        if len(head) <= small_limit:
+            if not len(head):
+                return ds
+            rows = head.sort_values([score, key], ascending=[False, True])
+            csum = rows[tokens].to_numpy(np.int64).cumsum()
+            kept = rows[csum <= int(budget)]
+            if kept.empty:
+                return _keep(ds, score, key, np.iinfo(np.int64).max, None)
+            return _keep(ds, score, key, int(kept[score].iloc[-1]),
+                         int(kept[key].iloc[-1]))
 
     from ray.data.aggregate import Max, Min
 

@@ -74,8 +74,9 @@ def test_empty_dataset(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": np.array([], np.int64)}))
     got = exact_quantiles(ds, "v", [0.5])
     assert len(got) == 0
-    with pytest.raises(ValueError):
-        rank_select(ds, "v", [0])
+    for sl in (500_000, 0):
+        with pytest.raises(ValueError):
+            rank_select(ds, "v", [0], small_limit=sl)
 
 
 def test_rank_select_every_rank_tiny(ray_session):
@@ -85,9 +86,11 @@ def test_rank_select_every_rank_tiny(ray_session):
     rng = np.random.default_rng(11)
     vals = rng.integers(-3, 4, 60).astype(np.int64)
     ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
-    got = rank_select(ds, "v", list(range(60)), nbins=4, resolve_limit=5)
     s = np.sort(vals)
-    assert [got[k] for k in range(60)] == s.tolist()
+    for sl in (500_000, 0):  # bounded-collect path AND refinement loop
+        got = rank_select(ds, "v", list(range(60)), nbins=4,
+                          resolve_limit=5, small_limit=sl)
+        assert [got[k] for k in range(60)] == s.tolist(), sl
 
 
 def test_grouped_quantiles_vs_duckdb(ray_session):

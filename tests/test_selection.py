@@ -38,8 +38,10 @@ def test_randomized_vs_prefix_sum_oracle(ray_session, seed, heavy_ties):
     for budget in [0, 1, total // 10, total // 2, total - 1, total,
                    total + 10]:
         ds = rd.from_pandas(df).repartition(6)
-        got = _got(ds, budget, nbins=16, resolve_limit=40)
-        assert got == _oracle(df, budget), f"budget={budget}"
+        for sl in (500_000, 0):  # bounded-collect path AND histogram loop
+            got = _got(ds, budget, nbins=16, resolve_limit=40,
+                       small_limit=sl)
+            assert got == _oracle(df, budget), (budget, sl)
 
 
 def test_boundary_semantics(ray_session):
@@ -50,8 +52,9 @@ def test_boundary_semantics(ray_session):
                        "score": [9, 5, 5, 5],
                        "tok": [10, 10, 10, 10]})
     ds = rd.from_pandas(df)
-    assert _got(ds, 9) == set()          # best row alone exceeds
-    assert _got(ds, 10) == {1}           # exactly fits
-    assert _got(ds, 25) == {1, 2}        # tie kept in key order
-    assert _got(ds, 35) == {1, 2, 3}
-    assert _got(ds, 10**9) == {1, 2, 3, 4}
+    for sl in (500_000, 0):
+        assert _got(ds, 9, small_limit=sl) == set()   # best row exceeds
+        assert _got(ds, 10, small_limit=sl) == {1}    # exactly fits
+        assert _got(ds, 25, small_limit=sl) == {1, 2}  # ties key ASC
+        assert _got(ds, 35, small_limit=sl) == {1, 2, 3}
+        assert _got(ds, 10**9, small_limit=sl) == {1, 2, 3, 4}
