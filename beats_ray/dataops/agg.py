@@ -130,7 +130,7 @@ def key_histogram(ds, key: str, top: int = 20):
 
 
 def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
-                hot_factor: float = 4.0):
+                hot_factor: float = 4.0, small_limit: int = 0):
     """Hash-partition by ``key`` and apply ``fn`` once per bucket
     (vectorized over all of the bucket's rows; the bucket column is
     stripped before fn).
@@ -142,9 +142,26 @@ def map_buckets(ds, key: str, fn, buckets: int = 32, skew_aware: bool = False,
     straggles nor overflows a shared bucket. Per-key semantics are
     preserved exactly — a key's rows stay together (salting that SPLITS
     a key is only valid for decomposable aggregations, which
-    grouped_count already handles via partials)."""
+    grouped_count already handles via partials).
+
+    ``small_limit`` (opt-in, default off) adds the bounded-collect
+    convention for call sites whose input is known to be cheap to
+    probe (materialized, or a thin column read): at most that many
+    rows collect once and ``fn`` runs driver-side on the whole frame —
+    valid because the contract on ``fn`` is only that a key's rows
+    arrive together, which one frame trivially satisfies."""
 
     from .joins import coalesce_if_fragmented
+
+    if small_limit:
+        import ray.data as rd
+
+        head = ds.limit(small_limit + 1).to_pandas()
+        if len(head) <= small_limit:
+            if not len(head):
+                return ds  # schemaless-empty in, same out
+            out = fn(head)
+            return rd.from_pandas(out)
 
     # a materialized input that arrives as hundreds of tiny blocks
     # (row-wise pair lists, id sets) would explode the sort shuffle

@@ -778,7 +778,8 @@ class _KMeansAssign:
 
 
 def kmeans_clusters(embeddings, k: int = 4, iters: int = 2,
-                    id_col: str = "vec_id", col: str = "embedding"):
+                    id_col: str = "vec_id", col: str = "embedding",
+                    small_limit: int = 200_000):
     """Full-corpus Lloyd k-means: Dataset[(id, cluster, dist2_um2)].
 
     Deterministic init: the quantized embeddings of the k smallest ids
@@ -812,25 +813,48 @@ def kmeans_clusters(embeddings, k: int = 4, iters: int = 2,
         idx = np.argsort(df[id_col].to_numpy(), kind="stable")[:k]
         return df.iloc[idx]
 
+    # bounded-collect fast path: a corpus under the broadcast class
+    # runs the IDENTICAL per-batch kernels on one frame — same integer
+    # arithmetic, zero per-iteration scheduling; above it, each Lloyd
+    # iteration is one distributed partials pass as documented
+    head = (sel.limit(small_limit + 1).to_pandas()
+            if small_limit else pd.DataFrame())
+    small = small_limit and len(head) <= small_limit
+
+    def _iterate(cents, partials_of):
+        scols = [f"s{j}" for j in range(cents.shape[1])]
+        for _ in range(iters):
+            parts = partials_of(cents)
+            g = parts.groupby("cluster", as_index=False).sum()
+            new = cents.copy()
+            idx = g["cluster"].to_numpy().astype(np.int64)
+            new[idx] = _trunc_div_rows(
+                g[scols].to_numpy().astype(np.int64),
+                g["n"].to_numpy().astype(np.int64))
+            cents = new
+        return cents
+
+    if small:
+        seeds = (seed_partial(head).sort_values(id_col).head(k)
+                 .reset_index(drop=True))
+        cents = np.floor(
+            EMB_SCALE * _batch_matrix(seeds, col)).astype(np.int64)
+        k = len(cents)
+        cents = _iterate(
+            cents, lambda c: _KMeansPartials(ray.put(c), col)(head))
+        out = _KMeansAssign(ray.put(cents), id_col, col)(head)
+        import ray.data as rd
+
+        return rd.from_pandas(out)
+
     seeds = (sel.map_batches(seed_partial, batch_format="pandas")
              .to_pandas().sort_values(id_col).head(k)
              .reset_index(drop=True))
     cents = np.floor(EMB_SCALE * _batch_matrix(seeds, col)).astype(np.int64)
     k = len(cents)
-    scols = [f"s{j}" for j in range(cents.shape[1])]
-
-    for _ in range(iters):
-        ref = ray.put(cents)
-        parts = sel.map_batches(
-            task_stage(_KMeansPartials, ref=ref, col=col),
-            batch_format="pandas").to_pandas()
-        g = parts.groupby("cluster", as_index=False).sum()
-        new = cents.copy()
-        idx = g["cluster"].to_numpy().astype(np.int64)
-        new[idx] = _trunc_div_rows(
-            g[scols].to_numpy().astype(np.int64),
-            g["n"].to_numpy().astype(np.int64))
-        cents = new
+    cents = _iterate(cents, lambda c: sel.map_batches(
+        task_stage(_KMeansPartials, ref=ray.put(c), col=col),
+        batch_format="pandas").to_pandas())
 
     ref = ray.put(cents)
     return sel.map_batches(

@@ -528,8 +528,9 @@ def dup_cluster_best_survivors(edges, nodes, scores, node_col: str = "id",
             return best(g)
 
         return map_buckets(labels, "cluster_id", best_bcast,
-                           buckets=buckets)
+                           buckets=buckets, small_limit=500_000)
 
     scored = bucket_hash_join(
         labels, scores, node_col, node_col, buckets=buckets)
-    return map_buckets(scored, "cluster_id", best, buckets=buckets)
+    return map_buckets(scored, "cluster_id", best, buckets=buckets,
+                       small_limit=500_000)

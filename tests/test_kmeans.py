@@ -60,13 +60,15 @@ def _random_df(n, dims, seed):
 def test_kmeans_matches_scalar_replica(ray_session):
     for seed, n, dims, k, iters in [(1, 60, 8, 4, 2), (2, 45, 5, 3, 3)]:
         df = _random_df(n, dims, seed)
-        got = (kmeans_clusters(rd.from_pandas(df), k=k, iters=iters)
-               .to_pandas().sort_values("vec_id").reset_index(drop=True))
         want = (scalar_kmeans(df, k, iters)
                 .sort_values("vec_id").reset_index(drop=True))
-        pd.testing.assert_frame_equal(
-            got.astype({"cluster": np.int64, "dist2_um2": np.int64}),
-            want.astype({"cluster": np.int64, "dist2_um2": np.int64}))
+        for sl in (200_000, 0):  # bounded-collect path AND per-iter passes
+            got = (kmeans_clusters(rd.from_pandas(df), k=k, iters=iters,
+                                   small_limit=sl)
+                   .to_pandas().sort_values("vec_id").reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got.astype({"cluster": np.int64, "dist2_um2": np.int64}),
+                want.astype({"cluster": np.int64, "dist2_um2": np.int64}))
 
 
 def test_kmeans_layout_independent(ray_session):
