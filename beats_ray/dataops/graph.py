@@ -464,30 +464,35 @@ def textrank_scores(docs, vocab_k: int = 300, iters: int = 3,
         # scheduling on partial-count row sets)
         return idx_stage(g.groupby("bigram", as_index=False)["w"].sum())
 
-    edges = map_buckets(
-        docs.select_columns([text_col])
-        .map_batches(task_stage(_TextRankEdges, ref=vref, text_col=text_col),
-                     batch_format="pyarrow"),
-        "bigram", merge_index, buckets=32,
-    ).materialize()
+    # the corpus-sized work is the partials pass; the merged edge set
+    # is bounded by vocab_k^2 BY CONSTRUCTION, so it collects and the
+    # power iterations run driver-side on the identical kernel — no
+    # per-iteration dataset execution at any corpus size
+    parts = (docs.select_columns([text_col])
+             .map_batches(task_stage(_TextRankEdges, ref=vref,
+                                     text_col=text_col),
+                          batch_format="pyarrow")
+             .materialize())
+    edges_df = map_buckets(parts, "bigram", merge_index, buckets=32,
+                           small_limit=2_000_000).to_pandas()
+    if "src_idx" not in edges_df.columns:  # zero co-occurrences
+        edges_df = pd.DataFrame({"src_idx": pd.Series(dtype="int32"),
+                                 "dst_idx": pd.Series(dtype="int32"),
+                                 "w": pd.Series(dtype="int64")})
 
     ow = np.zeros(n, dtype=np.int64)
-    for part in edges.iter_batches(batch_format="pandas"):
-        np.add.at(ow, part["src_idx"].to_numpy(),
-                  part["w"].to_numpy().astype(np.int64))
+    np.add.at(ow, edges_df["src_idx"].to_numpy(),
+              edges_df["w"].to_numpy().astype(np.int64))
     ow_safe = np.maximum(ow, 1)  # srcs with ow=0 have no edges to divide
 
     start = scale // n
     base = (15 * start) // 100
     r = np.full(n, start, dtype=np.int64)
     for _ in range(iters):
-        ref = ray.put((r, ow_safe))
+        part = _TextRankPass((r, ow_safe))(edges_df)
         incoming = np.zeros(n, dtype=np.int64)
-        for part in edges.map_batches(
-                task_stage(_TextRankPass, ref=ref),
-                batch_format="pandas").iter_batches(batch_format="pandas"):
-            np.add.at(incoming, part["dst_idx"].to_numpy(),
-                      part["s"].to_numpy().astype(np.int64))
+        np.add.at(incoming, part["dst_idx"].to_numpy(),
+                  part["s"].to_numpy().astype(np.int64))
         r = base + (85 * incoming) // 100
 
     return pd.DataFrame({"term": terms.astype(str), "rank_ur": r})
