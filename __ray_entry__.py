@@ -2872,6 +2872,70 @@ def q_tpch_q14(sf_dir: str):
                          "total_um": pd.array([total_um], dtype="int64")})
 
 
+def q_tpch_q13(sf_dir: str, broadcast_limit: int = 1_000_000):
+    """TPC-H Q13-shaped: customer order-count DISTRIBUTION through a
+    LEFT OUTER join — customers whose every order is excluded (or who
+    never ordered) land in the c_count=0 bin, the bin an inner join
+    silently drops. Order counts pre-aggregate per custkey (bounded by
+    |customer|); the outer join is adaptive — under the limit the
+    sorted count table broadcasts and each customer batch probes it
+    with searchsorted (miss → 0) while emitting its histogram partial
+    in the same pass, else bucket_hash_join(how='left') + per-batch
+    partials; the final histogram merges via grouped_sum."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import grouped_count, grouped_sum
+    from beats_ray.dataops.joins import _resolve_ref, bucket_hash_join
+
+    orders = _table(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"], blocks=16
+    ).map_batches(
+        lambda t: t.filter(pc.invert(pc.match_like(
+            t["o_orderpriority"], "%SPECIFIED%"
+        ))).drop_columns(["o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    counts = grouped_count(orders, ["o_custkey"], name="c_count")
+    counts = counts.materialize()
+    cust = _table(sf_dir, "customer", ["c_custkey"])
+
+    def hist_table(cc: np.ndarray) -> pa.Table:
+        u, n = np.unique(cc, return_counts=True)
+        return pa.table({"c_count": pa.array(u, pa.int64()),
+                         "custdist": pa.array(n.astype(np.int64))})
+
+    if counts.count() <= broadcast_limit:
+        df = counts.to_pandas()
+        kk = df["o_custkey"].to_numpy(np.int64)
+        vv = df["c_count"].to_numpy(np.int64)
+        o = np.argsort(kk)
+        ref = ray.put((kk[o], vv[o]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            kk2, vv2 = _resolve_ref(ref)
+            keys = t["c_custkey"].to_numpy()
+            pos = np.searchsorted(kk2, keys)
+            posc = np.minimum(pos, max(len(kk2) - 1, 0))
+            hit = (pos < len(kk2)) & (kk2[posc] == keys)
+            return hist_table(np.where(hit, vv2[posc], 0))
+
+        parts = cust.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = bucket_hash_join(cust, counts, "c_custkey", "o_custkey",
+                                  how="left")
+
+        def hist(df: pd.DataFrame) -> pa.Table:
+            cc = df["c_count"].fillna(0).to_numpy(np.int64)
+            return hist_table(cc)
+
+        parts = joined.map_batches(hist, batch_format="pandas")
+
+    out = grouped_sum(parts, "c_count", "custdist").to_pandas()
+    out = out.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return out.astype({"c_count": "int64", "custdist": "int64"})
+
+
 def q_word_freq_spectrum(sf_dir: str):
     """Zipf/Good-Turing frequency spectrum of the documents corpus:
     (word frequency f → count of distinct words at f); two bounded
@@ -3082,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q22": q_tpch_q22,
         "cross_source_dups": q_cross_source_dups,
@@ -4184,6 +4249,16 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority""",
+        # Q13: LEFT OUTER join keeps the zero-order customers
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority NOT LIKE '%SPECIFIED%'
+              GROUP BY c.c_custkey)
+            GROUP BY c_count""",
         # Q14 revenue carried as exact cents×percent integers
         # (round(ep·100) · (100 − round(disc·100))) on both sides
         "tpch_q14": """

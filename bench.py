@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "redis_slowlog_events",
     "mqtt_messages",
     "tpch_q5",
+    "tpch_q13",
     "line_dedup_turns",
     "unigram_logprob",
     "dsir_weights",

@@ -72,3 +72,18 @@ def test_adaptive_join_paths_equal(entrymod, monkeypatch, name, limits):
     slow = entrymod.queries()[name]("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True))
+
+
+def test_tpch_q13_outer_join_paths_equal(entrymod):
+    """Q13's broadcast-probe path and the bucket left-outer-join
+    fallback must return the identical distribution, including the
+    c_count=0 bin an inner join would drop."""
+    a = entrymod.q_tpch_q13("/root/testdata/sf0.001")
+    b = entrymod.q_tpch_q13("/root/testdata/sf0.001", broadcast_limit=0)
+    pd.testing.assert_frame_equal(a, b)
+    # the distribution covers every customer exactly once
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_metadata(
+        "/root/testdata/sf0.001/customer.parquet").num_rows
+    assert int(a["custdist"].sum()) == n_cust
