@@ -1520,6 +1520,32 @@ def q_tool_sequences(sf_dir: str):
     return out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
 
 
+def q_rolling_turn_chars(sf_dir: str):
+    """Per-key ordered ROLLING window aggregate: each turn's character
+    volume summed over its conversation's last 4 turns (ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW) — the moving-context-size signal a
+    truncation policy reads. One co-locating bucket pass keeps each
+    conversation whole; the frame math is pandas' C rolling kernel,
+    integer-exact both sides."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import rolling_sum_per_key
+
+    turns = _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(t["text"].combine_chunks(), "")), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return rolling_sum_per_key(
+        turns, key="conv_id", order="turn_idx", value="n_chars",
+        window=4, out="roll_chars", buckets=16,
+    ).select_columns(["conv_id", "turn_idx", "roll_chars"])
+
+
 def q_lang_char_ranks(sf_dir: str):
     """Distributed window function: SQL `rank()` of every document's
     length within its language partition (+ the partition size) — the
@@ -3205,6 +3231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": q_textrank_keywords,
         "shuffled_shards": q_shuffled_shards,
         "tool_sequences": q_tool_sequences,
+        "rolling_turn_chars": q_rolling_turn_chars,
         "lang_char_ranks": q_lang_char_ranks,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
@@ -3834,6 +3861,13 @@ def oracle_sql() -> dict[str, str]:
                FROM t WHERE tool <> 'none'
              ) WHERE tool_b IS NOT NULL
              GROUP BY tool_a, tool_b""",
+        "rolling_turn_chars": tr
+        + """SELECT conv_id, turn_idx,
+             CAST(SUM(length(coalesce(text, ''))) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS roll_chars
+             FROM t""",
         "conv_stats": tr
         + """SELECT conv_id, COUNT(*) AS n_turns,
              CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,

@@ -14,6 +14,7 @@ vectorized pandas function per bucket (B python calls total) instead of
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -63,6 +64,27 @@ def grouped_sum(ds, key: str, cols, buckets: int = 32,
                 return parts  # empty: keep the (possibly schemaless) ds
             return rd.from_pandas(merge(head))
     return map_buckets(parts, key, merge, buckets=buckets)
+
+
+def rolling_sum_per_key(ds, key: str, order: str, value: str,
+                        window: int, out: str = "roll",
+                        buckets: int = 32):
+    """Per-key ordered rolling sum over the last ``window`` rows
+    (current row inclusive — the ``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW`` frame). One co-locating bucket pass keeps every key's
+    rows together; inside the bucket the frame sorts once by
+    (key, order) and pandas' C rolling kernel does the rest — no
+    per-key Python. Integer-exact when ``value`` is integer."""
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        r = (g.groupby(key, sort=False)[value]
+             .rolling(window, min_periods=1).sum()
+             .reset_index(drop=True))
+        g = g.reset_index(drop=True)
+        g[out] = r.to_numpy(np.int64)
+        return g
+
+    return map_buckets(ds, key, roll, buckets=buckets)
 
 
 def hash_bucket(ds, key: str, buckets: int = 32, col: str = "_bucket"):

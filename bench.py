@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "tool_sequences",
     "lang_char_ranks",
+    "rolling_turn_chars",
 ]
 
 

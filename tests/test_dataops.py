@@ -1553,3 +1553,27 @@ def test_grouped_sum_driver_and_bucket_paths_equal(ray_session):
         got = (grouped_sum(ds, "term", ["c", "d"], small_limit=sl)
                .to_pandas().sort_values("term").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want), sl
+
+
+def test_rolling_sum_per_key_vs_pandas(ray_session):
+    """rolling_sum_per_key == pandas groupby.rolling on shuffled
+    multi-block input (frame = last N rows per key, current row
+    inclusive, min_periods=1)."""
+    from beats_ray.dataops.agg import rolling_sum_per_key
+
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "long-key"], size=n),
+        "o": rng.permutation(n).astype("int64"),
+        "v": rng.randint(-100, 100, size=n).astype("int64"),
+    })
+    got = (rolling_sum_per_key(
+        rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(7),
+        key="k", order="o", value="v", window=3, out="r", buckets=4)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    want["r"] = (want.groupby("k", sort=False)["v"]
+                 .rolling(3, min_periods=1).sum()
+                 .reset_index(drop=True).to_numpy(np.int64))
+    pd.testing.assert_frame_equal(got[["k", "o", "v", "r"]], want)
