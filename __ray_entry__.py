@@ -1546,6 +1546,30 @@ def q_rolling_turn_chars(sf_dir: str):
     ).select_columns(["conv_id", "turn_idx", "roll_chars"])
 
 
+def q_running_turn_chars(sf_dir: str):
+    """Expanding-frame window (ROWS UNBOUNDED PRECEDING): each turn's
+    cumulative conversation character volume — the running context
+    size a truncation/budget policy tracks. Same co-locating machinery
+    as the rolling frame, per-key cumsum inside the bucket."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import rolling_sum_per_key
+
+    turns = _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]).map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.fill_null(t["text"].combine_chunks(), "")), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return rolling_sum_per_key(
+        turns, key="conv_id", order="turn_idx", value="n_chars",
+        window=None, out="cum_chars", buckets=16,
+    ).select_columns(["conv_id", "turn_idx", "cum_chars"])
+
+
 def q_lang_char_ranks(sf_dir: str):
     """Distributed window function: SQL `rank()` of every document's
     length within its language partition (+ the partition size) — the
@@ -3232,6 +3256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_shards": q_shuffled_shards,
         "tool_sequences": q_tool_sequences,
         "rolling_turn_chars": q_rolling_turn_chars,
+        "running_turn_chars": q_running_turn_chars,
         "lang_char_ranks": q_lang_char_ranks,
         "trending_terms": q_trending_terms,
         "repetition_score": q_repetition_score,
@@ -3867,6 +3892,13 @@ def oracle_sql() -> dict[str, str]:
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS roll_chars
+             FROM t""",
+        "running_turn_chars": tr
+        + """SELECT conv_id, turn_idx,
+             CAST(SUM(length(coalesce(text, ''))) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_chars
              FROM t""",
         "conv_stats": tr
         + """SELECT conv_id, COUNT(*) AS n_turns,

@@ -67,19 +67,24 @@ def grouped_sum(ds, key: str, cols, buckets: int = 32,
 
 
 def rolling_sum_per_key(ds, key: str, order: str, value: str,
-                        window: int, out: str = "roll",
+                        window: int | None, out: str = "roll",
                         buckets: int = 32):
     """Per-key ordered rolling sum over the last ``window`` rows
     (current row inclusive — the ``ROWS BETWEEN window-1 PRECEDING AND
-    CURRENT ROW`` frame). One co-locating bucket pass keeps every key's
-    rows together; inside the bucket the frame sorts once by
-    (key, order) and pandas' C rolling kernel does the rest — no
-    per-key Python. Integer-exact when ``value`` is integer."""
+    CURRENT ROW`` frame); ``window=None`` is the expanding frame
+    (``ROWS UNBOUNDED PRECEDING`` — the per-key running total). One
+    co-locating bucket pass keeps every key's rows together; inside
+    the bucket the frame sorts once by (key, order) and pandas' C
+    rolling/cumsum kernel does the rest — no per-key Python.
+    Integer-exact when ``value`` is integer."""
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, order], kind="mergesort")
-        r = (g.groupby(key, sort=False)[value]
-             .rolling(window, min_periods=1).sum()
-             .reset_index(drop=True))
+        grp = g.groupby(key, sort=False)[value]
+        if window is None:
+            r = grp.cumsum()
+        else:
+            r = (grp.rolling(window, min_periods=1).sum()
+                 .reset_index(drop=True))
         g = g.reset_index(drop=True)
         g[out] = r.to_numpy(np.int64)
         return g

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "tool_sequences",
     "lang_char_ranks",
     "rolling_turn_chars",
+    "running_turn_chars",
 ]
 
 

@@ -1577,3 +1577,11 @@ def test_rolling_sum_per_key_vs_pandas(ray_session):
                  .rolling(3, min_periods=1).sum()
                  .reset_index(drop=True).to_numpy(np.int64))
     pd.testing.assert_frame_equal(got[["k", "o", "v", "r"]], want)
+    # expanding frame (window=None) == per-key cumsum
+    got_c = (rolling_sum_per_key(
+        rd.from_pandas(df).repartition(5),
+        key="k", order="o", value="v", window=None, out="c", buckets=4)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want_c = want.drop(columns=["r"])
+    want_c["c"] = want_c.groupby("k", sort=False)["v"].cumsum().to_numpy(np.int64)
+    pd.testing.assert_frame_equal(got_c[["k", "o", "v", "c"]], want_c)
