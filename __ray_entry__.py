@@ -1570,6 +1570,19 @@ def q_running_turn_chars(sf_dir: str):
     ).select_columns(["conv_id", "turn_idx", "cum_chars"])
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed exact-integer Gram matrix over the embedding corpus
+    (the PCA/whitening second-moment precursor): per-batch dims×dims
+    int64 matmul partials, arbitrary-precision driver accumulation,
+    upper triangle out. Oracle replays floor(1e6·x) products via
+    unnest + self-join in SQL."""
+    from beats_ray.dataops.ann import gram_matrix
+
+    return gram_matrix(
+        _table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    )
+
+
 def q_lang_char_ranks(sf_dir: str):
     """Distributed window function: SQL `rank()` of every document's
     length within its language partition (+ the partition size) — the
@@ -3251,6 +3264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "embedding_outliers": q_embedding_outliers,
         "embedding_kmeans": q_embedding_kmeans,
+        "embedding_gram": q_embedding_gram,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "textrank_keywords": q_textrank_keywords,
         "shuffled_shards": q_shuffled_shards,
@@ -5394,6 +5408,16 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_sql(punct, stop_rx),
         "contamination_screen": _contamination_sql(),
         "bloom_contamination": _bloom_contamination_sql(),
+        "embedding_gram": """
+            WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(floor(1e6 * unnest(embedding)) AS BIGINT) AS xi
+              FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(a.xi * b.xi) AS BIGINT) AS s_um2
+            FROM q a JOIN q b USING (vec_id) WHERE b.i >= a.i
+            GROUP BY a.i, b.i""",
         "cms_word_counts": r"""
             WITH w AS (
               SELECT unnest(list_filter(

@@ -646,6 +646,39 @@ def _trunc_div(a: np.ndarray, b: int) -> np.ndarray:
     return np.sign(a) * (np.abs(a) // b)
 
 
+def gram_matrix(embeddings, col: str = "embedding") -> pd.DataFrame:
+    """Exact-integer Gram matrix Σ x·xᵀ over the quantized embedding
+    corpus (floor(1e6·x) components) — the second-moment table PCA /
+    whitening / ZCA preprocessing starts from. Per-batch partials are
+    one dims×dims int64 matmul (bounded by dims², never by rows); the
+    driver accumulates them in arbitrary-precision Python ints so no
+    corpus size overflows, and asserts the final entries fit int64
+    (they do for unit-scale embeddings well past 10^6 vectors).
+    Returns the upper triangle as DataFrame[(i, j, s_um2)] with
+    1-based indices (SQL ``generate_subscripts`` convention)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.floor(EMB_SCALE * _batch_matrix(df, col)).astype(np.int64)
+        g = m.T @ m  # exact int64 matmul; per-batch magnitude bounded
+        dims = g.shape[0]
+        i, j = np.triu_indices(dims)
+        return pd.DataFrame({"i": (i + 1).astype(np.int64),
+                             "j": (j + 1).astype(np.int64),
+                             "s_um2": g[i, j]})
+
+    parts = embeddings.select_columns([col]).map_batches(
+        partial, batch_format="pandas").to_pandas()  # blocks × dims²
+    if not len(parts):
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "s_um2": pd.Series(dtype="int64")})
+    parts["s_um2"] = parts["s_um2"].astype(object)  # python-int sums
+    out = (parts.groupby(["i", "j"], as_index=False)["s_um2"].sum()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    assert all(abs(int(x)) < 2 ** 63 for x in out["s_um2"]), "overflow"
+    out["s_um2"] = out["s_um2"].astype(np.int64)
+    return out
+
+
 def centroid_outliers(embeddings, label_col: str = "label",
                       id_col: str = "vec_id", col: str = "embedding"):
     """Per-vector squared distance to its label's centroid:

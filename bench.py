@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ccnet_ppl_buckets",
     "cross_source_dups",
     "embedding_kmeans",
+    "embedding_gram",
     "cluster_balanced_sample",
     "textrank_keywords",
     "shuffled_shards",

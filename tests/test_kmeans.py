@@ -141,3 +141,19 @@ def test_dup_cluster_best_survivors_policy(ray_session):
         broadcast_limit=0,
     ).to_pandas()
     assert sorted(keep2["id"]) == [2, 4, 5]
+
+
+def test_gram_matrix_vs_numpy(ray_session):
+    """gram_matrix == the quantized numpy second-moment, independent of
+    block layout."""
+    from beats_ray.dataops.ann import EMB_SCALE, gram_matrix
+
+    df = _random_df(120, 5, seed=13)
+    m = np.floor(EMB_SCALE * np.stack(df["embedding"].to_numpy())
+                 .astype(np.float64)).astype(np.int64)
+    want_full = m.T @ m
+    for parts in (1, 9):
+        got = gram_matrix(rd.from_pandas(df).repartition(parts))
+        for _, r in got.iterrows():
+            assert want_full[int(r["i"]) - 1, int(r["j"]) - 1] == r["s_um2"]
+        assert len(got) == 5 * 6 // 2
