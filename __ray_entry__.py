@@ -3154,6 +3154,573 @@ def q_tpch_q22(sf_dir: str):
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def _sorted_cols(ds_or_df, by: str, cols: list[str]):
+    """Collect a SMALL (dim-sized / pre-bounded) Dataset or frame and
+    return the named int64 columns sorted by ``by``. An empty filtered
+    Dataset reaches pandas schemaless — this is the house guard for the
+    broadcast-side collects in the adaptive joins."""
+    df = ds_or_df if isinstance(ds_or_df, pd.DataFrame) else ds_or_df.to_pandas()
+    if by not in df.columns:
+        return tuple(np.array([], dtype=np.int64) for _ in cols)
+    df = df.sort_values(by)
+    return tuple(df[c].to_numpy(dtype="int64") for c in cols)
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15-shaped: top supplier(s) by 3-month shipped revenue.
+    Lineitem pre-aggregates per-suppkey integer revenue partials inside
+    map_batches (the shuffle input shrinks from rows to distinct keys
+    per block), ``grouped_sum`` bounds the exchange at |suppliers|
+    keys, the MAX + equality filter (the reference's revenue view +
+    subquery) run distributed, and only the tie set — result-sized —
+    ever reaches the driver, where names attach from the supplier dim."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import grouped_sum
+
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1996-04-01").to_datetime64()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        sub = df[m]
+        um = (np.round(sub["l_extendedprice"].to_numpy() * 100)
+              .astype(np.int64)
+              * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+                 .astype(np.int64)))
+        return (pd.DataFrame({"s_suppkey": sub["l_suppkey"].to_numpy(),
+                              "total_revenue_um": um})
+                .groupby("s_suppkey", as_index=False)["total_revenue_um"]
+                .sum())
+
+    parts = _table(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=16,
+    ).map_batches(partial, batch_format="pandas")
+    total = grouped_sum(parts, "s_suppkey", "total_revenue_um").materialize()
+    mx_raw = total.max("total_revenue_um") if total.count() else None
+    if mx_raw is None:
+        return pd.DataFrame({"s_suppkey": pd.array([], "int64"),
+                             "s_name": pd.array([], dtype=object),
+                             "total_revenue_um": pd.array([], "int64")})
+    mx = int(mx_raw)
+    best = total.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_um"],
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # tie set only — result-sized
+    supp = _table(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["s_suppkey"],
+            value_set=pa.array(best["s_suppkey"].to_numpy(dtype="int64")))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = best.merge(supp, on="s_suppkey").sort_values("s_suppkey")
+    return (out[["s_suppkey", "s_name", "total_revenue_um"]]
+            .astype({"s_suppkey": "int64", "total_revenue_um": "int64"})
+            .reset_index(drop=True))
+
+
+def q_tpch_q10(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue in a
+    quarter. The date-windowed orders side joins adaptively (sorted
+    o_orderkey→o_custkey broadcast probed per batch under the limit;
+    bucket hash join above it — both paths tested equal), revenue
+    partials pre-aggregate per custkey inside the lineitem scan,
+    ``grouped_sum`` bounds the exchange at |customers|, the top 20
+    resolve via the distributed ``top_k_by`` combiner (the driver only
+    ever sees k rows), and customer/nation attributes attach to just
+    those 20 keys."""
+    import pyarrow.compute as pc
+
+    from beats_ray.dataops.agg import grouped_sum, top_k_by
+    from beats_ray.dataops.joins import _resolve_ref, bucket_hash_join
+    from beats_ray.dataops.stagecache import task_stage
+
+    lo = pd.Timestamp("1995-10-01").to_datetime64()
+    hi = pd.Timestamp("1996-01-01").to_datetime64()
+    orders = _table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        blocks=16,
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    li_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+
+    class _RetRev:
+        """Per-batch: returned rows only, revenue um, probe the
+        broadcast order window, partial-aggregate per custkey."""
+
+        def __init__(self, ref):
+            self.ok, self.oc = _resolve_ref(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["l_returnflag"].to_numpy() == "R"]
+            key = sub["l_orderkey"].to_numpy()
+            if not len(self.ok):
+                return pd.DataFrame({"o_custkey": pd.array([], "int64"),
+                                     "revenue_um": pd.array([], "int64")})
+            pos = np.minimum(np.searchsorted(self.ok, key), len(self.ok) - 1)
+            found = self.ok[pos] == key
+            sub = sub.loc[found]
+            um = (np.round(sub["l_extendedprice"].to_numpy() * 100)
+                  .astype(np.int64)
+                  * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+                     .astype(np.int64)))
+            return (pd.DataFrame({"o_custkey": self.oc[pos[found]], "revenue_um": um})
+                    .groupby("o_custkey", as_index=False)["revenue_um"].sum())
+
+    if orders.count() <= broadcast_limit:
+        ref = ray.put(_sorted_cols(orders, "o_orderkey",
+                                   ["o_orderkey", "o_custkey"]))
+        parts = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_RetRev, ref=ref), batch_format="pandas")
+    else:
+        def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["l_returnflag"].to_numpy() == "R"]
+            um = (np.round(sub["l_extendedprice"].to_numpy() * 100)
+                  .astype(np.int64)
+                  * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+                     .astype(np.int64)))
+            return (pd.DataFrame({"l_orderkey": sub["l_orderkey"].to_numpy(),
+                                  "revenue_um": um})
+                    .groupby("l_orderkey", as_index=False)["revenue_um"].sum())
+
+        li = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            li_partial, batch_format="pandas")
+
+        def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_custkey", as_index=False)["revenue_um"].sum()
+            return g.astype({"o_custkey": "int64", "revenue_um": "int64"})
+
+        parts = bucket_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                                 post=per_cust)
+
+    per_cust_rev = grouped_sum(parts, "o_custkey", "revenue_um")
+    top = top_k_by(per_cust_rev, "revenue_um", "o_custkey", 20).to_pandas()
+    if "o_custkey" not in top.columns:  # empty corpus slice
+        return pd.DataFrame({
+            "c_custkey": pd.array([], "int64"),
+            "c_name": pd.array([], dtype=object),
+            "n_name": pd.array([], dtype=object),
+            "acctbal_um": pd.array([], "int64"),
+            "revenue_um": pd.array([], "int64")})
+    keys = pa.array(top["o_custkey"].to_numpy(dtype="int64"))
+    cust = _table(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow",
+    ).to_pandas()  # exactly the 20 winners
+    nation = _table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out["acctbal_um"] = np.round(out["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    out = out.sort_values(["revenue_um", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "acctbal_um", "revenue_um"]
+               ].astype({"c_custkey": "int64", "revenue_um": "int64"})
+
+
+def q_tpch_q7(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """TPC-H Q7-shaped: bilateral shipping volume between two nations
+    by year. Supplier (the smallest fact dim) broadcasts as a sorted
+    suppkey→nationkey probe restricted to the two nations; the
+    two-nation customer dim joins orders adaptively (broadcast probe /
+    bucket hash join); the lineitem scan fuses the date window, both
+    probes, the bilateral-pair filter and the per-(supp_nation,
+    cust_nation, year) partial aggregate into one pass when the order
+    side fits, else the partials meet the order side in a bucket join
+    with the aggregate fused into the merge task. Revenue in exact
+    integer cents×percent."""
+    from beats_ray.dataops.joins import _resolve_ref, bucket_hash_join
+    from beats_ray.dataops.stagecache import task_stage
+
+    import pyarrow.compute as pc
+
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    k1 = int(nation.loc[nation["n_name"] == n1, "n_nationkey"].iloc[0])
+    k2 = int(nation.loc[nation["n_name"] == n2, "n_nationkey"].iloc[0])
+    kset = pa.array([k1, k2], pa.int64())
+
+    supp = _table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=kset)),
+        batch_format="pyarrow",
+    )
+    supp_ref = ray.put(_sorted_cols(supp, "s_suppkey",
+                                    ["s_suppkey", "s_nationkey"]))
+
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=kset)),
+        batch_format="pyarrow",
+    ).materialize()
+    orders = _table(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=16)
+    if cust.count() <= broadcast_limit:
+        ck_ref = ray.put(_sorted_cols(cust, "c_custkey",
+                                      ["c_custkey", "c_nationkey"]))
+
+        class _OrdProbe:
+            def __init__(self, ref):
+                self.ck, self.cn = _resolve_ref(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ok = t["o_custkey"].to_numpy()
+                if not len(self.ck):
+                    found = np.zeros(len(ok), dtype=bool)
+                    pos = np.zeros(len(ok), dtype=np.int64)
+                else:
+                    pos = np.minimum(np.searchsorted(self.ck, ok),
+                                     len(self.ck) - 1)
+                    found = self.ck[pos] == ok
+                return pa.table({
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy()[found], pa.int64()),
+                    "c_nationkey": pa.array(self.cn[pos][found], pa.int64()),
+                })
+
+        oc = orders.map_batches(task_stage(_OrdProbe, ref=ck_ref),
+                                batch_format="pyarrow").materialize()
+    else:
+        oc = bucket_hash_join(
+            orders, cust, "o_custkey", "c_custkey",
+            post=lambda df: df[["o_orderkey", "c_nationkey"]],
+        ).materialize()
+
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1998-01-01").to_datetime64()
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]
+
+    class _LiVol:
+        """Date window + supplier probe (+ fused order-side probe and
+        bilateral filter when ``oc_ref`` is set) + partial aggregate."""
+
+        def __init__(self, ref, oc_ref=None):
+            self.sk, self.sn = _resolve_ref(ref)
+            self.oc = _resolve_ref(oc_ref) if oc_ref is not None else None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+            sub = df[m]
+            key = sub["l_suppkey"].to_numpy()
+            if not len(self.sk):
+                found = np.zeros(len(key), dtype=bool)
+                pos = np.zeros(len(key), dtype=np.int64)
+            else:
+                pos = np.minimum(np.searchsorted(self.sk, key),
+                                 len(self.sk) - 1)
+                found = self.sk[pos] == key
+            sub = sub.loc[found]
+            um = (np.round(sub["l_extendedprice"].to_numpy() * 100)
+                  .astype(np.int64)
+                  * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+                     .astype(np.int64)))
+            flat = pd.DataFrame({
+                "l_orderkey": sub["l_orderkey"].to_numpy(),
+                "supp_nat": self.sn[pos[found]],
+                "l_year": sub["l_shipdate"].dt.year.to_numpy(np.int64),
+                "um": um,
+            })
+            if self.oc is None:
+                return flat.groupby(["l_orderkey", "supp_nat", "l_year"],
+                                    as_index=False)["um"].sum()
+            okeys, onats = self.oc
+            if not len(okeys):
+                return pd.DataFrame({
+                    "supp_nat": pd.array([], "int64"),
+                    "cust_nat": pd.array([], "int64"),
+                    "l_year": pd.array([], "int64"),
+                    "um": pd.array([], "int64")})
+            p = np.minimum(np.searchsorted(okeys, flat["l_orderkey"].to_numpy()),
+                           len(okeys) - 1)
+            hit = okeys[p] == flat["l_orderkey"].to_numpy()
+            flat = flat.loc[hit].assign(cust_nat=onats[p[hit]])
+            flat = flat.loc[flat["supp_nat"] != flat["cust_nat"]]
+            g = flat.groupby(["supp_nat", "cust_nat", "l_year"],
+                             as_index=False)["um"].sum()
+            return g.astype({"supp_nat": "int64", "cust_nat": "int64",
+                             "l_year": "int64", "um": "int64"})
+
+    if oc.count() <= broadcast_limit:
+        oc_ref = ray.put(_sorted_cols(oc, "o_orderkey",
+                                      ["o_orderkey", "c_nationkey"]))
+        parts = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiVol, ref=supp_ref, oc_ref=oc_ref),
+            batch_format="pandas").to_pandas()
+    else:
+        li = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiVol, ref=supp_ref), batch_format="pandas")
+
+        def bilateral(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.loc[df["supp_nat"] != df["c_nationkey"]]
+            g = (m.rename(columns={"c_nationkey": "cust_nat"})
+                 .groupby(["supp_nat", "cust_nat", "l_year"],
+                          as_index=False)["um"].sum())
+            return g.astype({"supp_nat": "int64", "cust_nat": "int64",
+                             "l_year": "int64", "um": "int64"})
+
+        parts = bucket_hash_join(li, oc, "l_orderkey", "o_orderkey",
+                                 post=bilateral).to_pandas()
+    if "supp_nat" not in parts.columns:  # empty corpus slice
+        parts = pd.DataFrame({c: pd.array([], "int64") for c in
+                              ("supp_nat", "cust_nat", "l_year", "um")})
+    out = parts.groupby(["supp_nat", "cust_nat", "l_year"],
+                        as_index=False)["um"].sum()
+    out["supp_nation"] = out["supp_nat"].map(name_of)
+    out["cust_nation"] = out["cust_nat"].map(name_of)
+    out = out.rename(columns={"um": "revenue_um"}).sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue_um"]
+               ].astype({"l_year": "int64", "revenue_um": "int64"})
+
+
+def q_tpch_q8(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """TPC-H Q8-shaped: national market share — per order-year, the
+    target nation's supplied volume (numerator) and all-nations volume
+    (denominator) over PROMO parts sold to one region's customers.
+    Exactness rule: both sums are returned as integer cents×percent
+    columns instead of dividing to a float share. Part keys and the
+    supplier nation map broadcast once; the region-filtered customer
+    dim joins the date-windowed orders adaptively; the lineitem scan
+    fuses part filter + supplier probe + order probe + per-year partial
+    sums into one pass under the limit (bucket-join fallback above)."""
+    from beats_ray.dataops.joins import _resolve_ref, bucket_hash_join
+    from beats_ray.dataops.stagecache import task_stage
+
+    import pyarrow.compute as pc
+
+    nation = _table(sf_dir, "nation",
+                    ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _table(sf_dir, "region").to_pandas()
+    amer_rk = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
+    amer_keys = pa.array(
+        nation.loc[nation["n_regionkey"].isin(amer_rk), "n_nationkey"]
+        .to_numpy(dtype="int64"))
+    k_target = int(
+        nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+
+    promo = _table(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "PROMO")),
+        batch_format="pyarrow",
+    )
+    (pk,) = _sorted_cols(promo, "p_partkey", ["p_partkey"])
+    pk_ref = ray.put(pk)
+
+    supp_ref = ray.put(_sorted_cols(
+        _table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", ["s_suppkey", "s_nationkey"]))
+
+    cust = _table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=amer_keys))
+        .drop_columns(["c_nationkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+    lo = pd.Timestamp("1996-01-01").to_datetime64()
+    hi = pd.Timestamp("1998-01-01").to_datetime64()
+    orders = _table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"], blocks=16
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))),
+        batch_format="pyarrow",
+    )
+    if cust.count() <= broadcast_limit:
+        (ck,) = _sorted_cols(cust, "c_custkey", ["c_custkey"])
+        ck_ref = ray.put(ck)
+
+        class _OrdYear:
+            def __init__(self, ref):
+                self.ck = _resolve_ref(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ok = t["o_custkey"].to_numpy()
+                if not len(self.ck):
+                    found = np.zeros(len(ok), dtype=bool)
+                else:
+                    pos = np.minimum(np.searchsorted(self.ck, ok),
+                                     len(self.ck) - 1)
+                    found = self.ck[pos] == ok
+                yr = (t["o_orderdate"].to_pandas().dt.year
+                      .to_numpy(np.int64)[found])
+                return pa.table({
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy()[found], pa.int64()),
+                    "o_year": pa.array(yr, pa.int64()),
+                })
+
+        oc = orders.map_batches(task_stage(_OrdYear, ref=ck_ref),
+                                batch_format="pyarrow").materialize()
+    else:
+        def keep_year(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["o_orderkey"]].copy()
+            out["o_year"] = df["o_orderdate"].dt.year.to_numpy(np.int64)
+            return out.astype({"o_orderkey": "int64", "o_year": "int64"})
+
+        oc = bucket_hash_join(
+            orders, cust, "o_custkey", "c_custkey", post=keep_year,
+        ).materialize()
+
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]
+
+    class _LiShare:
+        def __init__(self, pk, sup, oc_ref=None):
+            self.pk = _resolve_ref(pk)
+            self.sk, self.sn = _resolve_ref(sup)
+            self.oc = _resolve_ref(oc_ref) if oc_ref is not None else None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["l_partkey"].to_numpy()
+            if not len(self.pk):
+                keep = np.zeros(len(key), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(self.pk, key),
+                                 len(self.pk) - 1)
+                keep = self.pk[pos] == key
+            sub = df.loc[keep]
+            sp = np.minimum(np.searchsorted(self.sk,
+                                            sub["l_suppkey"].to_numpy()),
+                            max(len(self.sk) - 1, 0))
+            um = (np.round(sub["l_extendedprice"].to_numpy() * 100)
+                  .astype(np.int64)
+                  * (100 - np.round(sub["l_discount"].to_numpy() * 100)
+                     .astype(np.int64)))
+            flat = pd.DataFrame({
+                "l_orderkey": sub["l_orderkey"].to_numpy(),
+                "num_um": np.where(self.sn[sp] == k_target, um, 0),
+                "den_um": um,
+            })
+            if self.oc is None:
+                return flat.groupby("l_orderkey", as_index=False)[
+                    ["num_um", "den_um"]].sum()
+            okeys, oyears = self.oc
+            if not len(okeys):
+                return pd.DataFrame({"o_year": pd.array([], "int64"),
+                                     "num_um": pd.array([], "int64"),
+                                     "den_um": pd.array([], "int64")})
+            p = np.minimum(np.searchsorted(okeys,
+                                           flat["l_orderkey"].to_numpy()),
+                           len(okeys) - 1)
+            hit = okeys[p] == flat["l_orderkey"].to_numpy()
+            g = (flat.loc[hit].assign(o_year=oyears[p[hit]])
+                 .groupby("o_year", as_index=False)[["num_um", "den_um"]]
+                 .sum())
+            return g.astype({"o_year": "int64", "num_um": "int64",
+                             "den_um": "int64"})
+
+    if oc.count() <= broadcast_limit:
+        oc_ref = ray.put(_sorted_cols(oc, "o_orderkey",
+                                      ["o_orderkey", "o_year"]))
+        parts = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiShare, pk=pk_ref, sup=supp_ref, oc_ref=oc_ref),
+            batch_format="pandas").to_pandas()
+    else:
+        li = _table(sf_dir, "lineitem", li_cols, blocks=16).map_batches(
+            task_stage(_LiShare, pk=pk_ref, sup=supp_ref),
+            batch_format="pandas")
+
+        def per_year(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("o_year", as_index=False)[["num_um", "den_um"]].sum()
+            return g.astype({"o_year": "int64", "num_um": "int64",
+                             "den_um": "int64"})
+
+        parts = bucket_hash_join(li, oc, "l_orderkey", "o_orderkey",
+                                 post=per_year).to_pandas()
+    if "o_year" not in parts.columns:  # empty corpus slice
+        parts = pd.DataFrame({c: pd.array([], "int64") for c in
+                              ("o_year", "num_um", "den_um")})
+    out = (parts.groupby("o_year", as_index=False)[["num_um", "den_um"]].sum()
+           .sort_values("o_year").reset_index(drop=True))
+    return out.astype({"o_year": "int64", "num_um": "int64",
+                       "den_um": "int64"})
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17-shaped: revenue from small-quantity orders of one
+    part family (brand+type stand in for the reference's
+    brand+container — this corpus carries no p_container). The
+    correlated AVG becomes the exact integer cross-product test
+    5·qty·cnt < sum_qty (no division): pass 1 computes per-partkey
+    (sum_qty, cnt) over the family-pruned lineitem scan (bounded by
+    the filtered part count via ``grouped_sum``), the stats broadcast
+    back, and pass 2 re-scans the same pruned rows applying the mask +
+    price sum — both scans prune columns AND rows at the batch level."""
+    from beats_ray.dataops.agg import grouped_sum
+    from beats_ray.dataops.joins import _resolve_ref
+    from beats_ray.dataops.stagecache import task_stage
+
+    import pyarrow.compute as pc
+
+    fam = _table(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["p_brand"], "Brand#23"),
+                                   pc.equal(t["p_type"], "MEDIUM"))),
+        batch_format="pyarrow",
+    )
+    (pk,) = _sorted_cols(fam, "p_partkey", ["p_partkey"])
+    pk_ref = ray.put(pk)
+
+    class _QtyStats:
+        def __init__(self, pk):
+            self.pk = _resolve_ref(pk)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["l_partkey"].to_numpy()
+            if not len(self.pk):
+                keep = np.zeros(len(key), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(self.pk, key),
+                                 len(self.pk) - 1)
+                keep = self.pk[pos] == key
+            sub = df.loc[keep]
+            qty = np.round(sub["l_quantity"].to_numpy()).astype(np.int64)
+            return (pd.DataFrame({"l_partkey": sub["l_partkey"].to_numpy(),
+                                  "sum_qty": qty,
+                                  "cnt": np.ones(len(qty), dtype=np.int64)})
+                    .groupby("l_partkey", as_index=False)[["sum_qty", "cnt"]]
+                    .sum())
+
+    stats = grouped_sum(
+        _table(sf_dir, "lineitem", ["l_partkey", "l_quantity"], blocks=16)
+        .map_batches(task_stage(_QtyStats, pk=pk_ref), batch_format="pandas"),
+        "l_partkey", ["sum_qty", "cnt"],
+    )  # bounded by the filtered part family
+    st_ref = ray.put(_sorted_cols(stats, "l_partkey",
+                                  ["l_partkey", "sum_qty", "cnt"]))
+
+    class _SmallQty:
+        def __init__(self, st):
+            self.pk, self.sq, self.ct = _resolve_ref(st)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["l_partkey"].to_numpy()
+            if not len(self.pk):
+                return pd.DataFrame({"total_um": pd.array([0], "int64")})
+            pos = np.minimum(np.searchsorted(self.pk, key), len(self.pk) - 1)
+            keep = self.pk[pos] == key
+            qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+            small = keep & (5 * qty * self.ct[pos] < self.sq[pos])
+            cents = np.round(
+                df["l_extendedprice"].to_numpy()[small] * 100).astype(np.int64)
+            return pd.DataFrame({"total_um": pd.array([int(cents.sum())],
+                                                      "int64")})
+
+    parts = _table(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"],
+        blocks=16,
+    ).map_batches(task_stage(_SmallQty, st=st_ref), batch_format="pandas")
+    total = int(parts.sum("total_um") or 0)
+    return pd.DataFrame({"total_um": pd.array([total], dtype="int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -3212,6 +3779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q22": q_tpch_q22,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "cross_source_dups": q_cross_source_dups,
         "word_freq_spectrum": q_word_freq_spectrum,
         "bm25_topk": q_bm25_topk,
@@ -4378,6 +4950,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
                    CAST(SUM(um) AS BIGINT) AS totacctbal_um
             FROM sel GROUP BY c_nationkey""",
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS revenue_um
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3""",
+        "tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                        THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        ELSE 0 END), 0) AS BIGINT) AS num_um,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS den_um
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1""",
+        "tpch_q10": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                          AS BIGINT) AS revenue_um
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+                AND l_returnflag = 'R'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_um,
+                   revenue_um
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_um DESC, c_custkey
+            LIMIT 20""",
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                          AS BIGINT) AS total_revenue_um
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT supplier.s_suppkey, s_name, total_revenue_um
+            FROM supplier JOIN rev ON supplier.s_suppkey = rev.s_suppkey
+            WHERE total_revenue_um =
+                  (SELECT MAX(total_revenue_um) FROM rev)
+            ORDER BY supplier.s_suppkey""",
+        "tpch_q17": """
+            WITH fam AS (
+              SELECT p_partkey FROM part
+              WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+            ), st AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS s,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem JOIN fam ON p_partkey = l_partkey
+              GROUP BY 1)
+            SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                     AS total_um
+            FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey
+            WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s""",
         # BM25 replay: identical double expression per (term, doc) —
         # floor to micro-units BEFORE the per-doc sum, same literal
         # k1/b constants and op order as the numpy kernel

@@ -74,6 +74,43 @@ def test_adaptive_join_paths_equal(entrymod, monkeypatch, name, limits):
         fast.reset_index(drop=True), slow.reset_index(drop=True))
 
 
+@pytest.mark.parametrize("name", ["tpch_q7", "tpch_q8", "tpch_q10"])
+def test_tpch_join_shape_paths_equal(entrymod, name):
+    """The new join-shape queries (bilateral Q7, market-share Q8,
+    returned-item top-k Q10) take broadcast_limit directly: the fused
+    broadcast-probe path and the bucket hash-join fallback must return
+    identical frames."""
+    fn = entrymod.queries()[name]
+    fast = fn("/root/testdata/sf0.001")
+    slow = fn("/root/testdata/sf0.001", broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True))
+
+
+def test_tpch_q17_small_quantity_mask(entrymod):
+    """Q17's integer cross-product test 5·qty·cnt < sum_qty must agree
+    with a pandas replay of qty < 0.2·avg(qty) per part (exact because
+    both sides are integers)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.q_tpch_q17(sf)
+    part = pq.read_table(sf + "/part.parquet").to_pandas()
+    li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+    fam = part.loc[(part["p_brand"] == "Brand#23")
+                   & (part["p_type"] == "MEDIUM"), "p_partkey"]
+    sub = li[li["l_partkey"].isin(fam)].copy()
+    sub["qty"] = np.round(sub["l_quantity"]).astype("int64")
+    st = sub.groupby("l_partkey")["qty"].agg(["sum", "count"])
+    s = st["sum"].reindex(sub["l_partkey"]).to_numpy()
+    c = st["count"].reindex(sub["l_partkey"]).to_numpy()
+    mask = 5 * sub["qty"].to_numpy() * c < s
+    want = int(np.round(
+        sub.loc[mask, "l_extendedprice"].to_numpy() * 100).astype("int64").sum())
+    assert int(out["total_um"].iloc[0]) == want
+
+
 def test_tpch_q13_outer_join_paths_equal(entrymod):
     """Q13's broadcast-probe path and the bucket left-outer-join
     fallback must return the identical distribution, including the
