@@ -3721,6 +3721,73 @@ def q_tpch_q17(sf_dir: str):
     return pd.DataFrame({"total_um": pd.array([total], dtype="int64")})
 
 
+def q_embedding_pca(sf_dir: str):
+    """Top-principal-component projection of every embedding (the PCA
+    /whitening first step): exact-integer power iteration on the
+    distributed Gram matrix (fit state bounded by dims², never rows),
+    then one shuffle-free broadcast projection pass. The oracle inlines
+    the component from an INDEPENDENT no-Ray scalar replica (the BPE
+    convention) and replays the projection in SQL."""
+    from beats_ray.dataops.ann import pca_top_component
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_top_component(emb, iters=3)
+
+
+def q_embedding_rp(sf_dir: str):
+    """Johnson–Lindenstrauss sign projection to 8 components (long
+    form: vec_id, j, y_um): the md5-derived ±1 matrix means the
+    'model' is dims×8 int64s shipped once however large the corpus,
+    and the SQL replay derives the identical signs (the Count-Min
+    convention)."""
+    from beats_ray.dataops.ann import random_projection
+
+    emb = _table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_projection(emb, k=8)
+
+
+def q_tool_pair_pmi(sf_dir: str):
+    """Pointwise mutual information of consecutive tool-call pairs —
+    'which tool follows which more often than chance' association
+    mining over agent transcripts. Rides the tool_sequences pair
+    counts (one co-locating conversation-bucket pass; result bounded
+    by tool-vocabulary²); PMI resolves on that bounded table in exact
+    integer micro-nats: floor(10⁶·ln((n_xy·N)/(n_x·n_y))) with all
+    products exact ints and one double division (< 2⁵³ so the SQL
+    replay is bit-exact)."""
+    import math
+
+    pairs = q_tool_sequences(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"tool_a": pd.array([], dtype=object),
+                             "tool_b": pd.array([], dtype=object),
+                             "n_pairs": pd.array([], "int64"),
+                             "pmi_um": pd.array([], "int64")})
+    n_total = int(pairs["n_pairs"].sum())
+    ca = pairs.groupby("tool_a")["n_pairs"].sum()
+    cb = pairs.groupby("tool_b")["n_pairs"].sum()
+    num = pairs["n_pairs"].to_numpy(np.int64) * n_total
+    den = (ca.reindex(pairs["tool_a"]).to_numpy(np.int64)
+           * cb.reindex(pairs["tool_b"]).to_numpy(np.int64))
+    pairs = pairs.copy()
+    pairs["pmi_um"] = pd.array(
+        [math.floor(1_000_000 * math.log(int(a) / int(b)))
+         for a, b in zip(num, den)], dtype="int64")
+    return pairs.reset_index(drop=True)
+
+
+def q_doc_word_info(sf_dir: str):
+    """Per-document Shannon information of the unigram distribution
+    (10⁶·T·H in integer micro-nats) — the entropy-based
+    templated-text/degenerate-output quality signal. Shuffle-free
+    per-batch kernel; ln once per distinct (T, c) pair via libm so the
+    SQL replay is bit-exact."""
+    from beats_ray.dataops.textnorm import word_info
+
+    docs = _table(sf_dir, "documents", ["doc_id", "text"])
+    return word_info(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship parse→enrich→route
@@ -3784,6 +3851,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "embedding_pca": q_embedding_pca,
+        "embedding_rp": q_embedding_rp,
+        "tool_pair_pmi": q_tool_pair_pmi,
+        "doc_word_info": q_doc_word_info,
         "cross_source_dups": q_cross_source_dups,
         "word_freq_spectrum": q_word_freq_spectrum,
         "bm25_topk": q_bm25_topk,
@@ -4385,6 +4456,14 @@ def oracle_sql() -> dict[str, str]:
         for i, (a, b) in enumerate(_bpe_m)
     ) or "(0, ' \x00 \x00 ', ' \x00\x00 ')"  # unreachable filler
     bpe_n = len(_bpe_m)
+    # PCA oracle: component from an INDEPENDENT no-Ray scalar replica
+    # (same exact-integer Gram + power iteration), inlined as VALUES
+    from beats_ray.dataops.ann import pca_component_replica
+
+    _pca_v = pca_component_replica(
+        "/root/testdata/sf0.01/embeddings.parquet", iters=3)
+    pca_vals = ", ".join(
+        f"({d + 1}, {v})" for d, v in enumerate(_pca_v)) or "(1, 0)"
     return {
         "route_counts": tr + "SELECT sink, COUNT(*) AS n FROM r GROUP BY sink",
         "routed_rows": tr + "SELECT conv_id, turn_idx, sink, text FROM r",
@@ -4472,6 +4551,31 @@ def oracle_sql() -> dict[str, str]:
                FROM t WHERE tool <> 'none'
              ) WHERE tool_b IS NOT NULL
              GROUP BY tool_a, tool_b""",
+        "tool_pair_pmi": tr
+        + """, pr AS (
+               SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM (
+                 SELECT conv_id, tool AS tool_a,
+                        lead(tool) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS tool_b
+                 FROM t WHERE tool <> 'none'
+               ) WHERE tool_b IS NOT NULL
+               GROUP BY tool_a, tool_b
+             ),
+             tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n FROM pr),
+             ma AS (SELECT tool_a, CAST(SUM(n_pairs) AS BIGINT) AS ca
+                    FROM pr GROUP BY 1),
+             mb AS (SELECT tool_b, CAST(SUM(n_pairs) AS BIGINT) AS cb
+                    FROM pr GROUP BY 1)
+             SELECT pr.tool_a, pr.tool_b, pr.n_pairs,
+                    CAST(FLOOR(1000000 * ln(
+                      CAST(pr.n_pairs * tot.n AS DOUBLE)
+                      / CAST(ma.ca * mb.cb AS DOUBLE))) AS BIGINT)
+                      AS pmi_um
+             FROM pr
+             CROSS JOIN tot
+             JOIN ma ON pr.tool_a = ma.tool_a
+             JOIN mb ON pr.tool_b = mb.tool_b""",
         "rolling_turn_chars": tr
         + """SELECT conv_id, turn_idx,
              CAST(SUM(length(coalesce(text, ''))) OVER (
@@ -5039,6 +5143,59 @@ def oracle_sql() -> dict[str, str]:
                      AS total_um
             FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey
             WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s""",
+        "embedding_pca": f"""
+            WITH v(d, val) AS (VALUES {pca_vals}),
+            q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                     CAST(floor(1e6 * unnest(embedding)) AS BIGINT) AS x
+              FROM embeddings
+            )
+            SELECT q.vec_id,
+                   CAST(SUM(q.x * v.val) AS BIGINT) AS proj_um
+            FROM q JOIN v USING (d) GROUP BY q.vec_id""",
+        "embedding_rp": """
+            WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                     CAST(floor(1e6 * unnest(embedding)) AS BIGINT) AS x
+              FROM embeddings
+            ),
+            js AS (SELECT unnest(generate_series(1, 8)) AS j),
+            s AS (
+              SELECT d, j,
+                     CASE WHEN ('0x' || substr(md5('rp:' || d || ':' || j),
+                                               1, 16))::UBIGINT % 2 = 0
+                          THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT DISTINCT d FROM q) CROSS JOIN js
+            )
+            SELECT q.vec_id, CAST(s.j AS BIGINT) AS j,
+                   CAST(SUM(q.x * s.sgn) AS BIGINT) AS y_um
+            FROM q JOIN s USING (d) GROUP BY q.vec_id, s.j""",
+        "doc_word_info": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '')) AS word
+              FROM documents
+            ),
+            c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM w GROUP BY 1, 2),
+            t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t
+                  FROM c GROUP BY 1),
+            terms AS (
+              SELECT c.doc_id,
+                     CAST(FLOOR((1000000 * c.c)
+                          * ln(CAST(t.t AS DOUBLE) / c.c)) AS BIGINT)
+                       AS term_um
+              FROM c JOIN t USING (doc_id)
+            ),
+            info AS (SELECT doc_id, CAST(SUM(term_um) AS BIGINT) AS info_um
+                     FROM terms GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.t, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(info.info_um, 0) AS BIGINT) AS info_um
+            FROM documents d
+            LEFT JOIN t USING (doc_id)
+            LEFT JOIN info USING (doc_id)""",
         # BM25 replay: identical double expression per (term, doc) —
         # floor to micro-units BEFORE the per-doc sum, same literal
         # k1/b constants and op order as the numpy kernel

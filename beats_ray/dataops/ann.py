@@ -893,3 +893,177 @@ def kmeans_clusters(embeddings, k: int = 4, iters: int = 2,
     return sel.map_batches(
         task_stage(_KMeansAssign, ref=ref, id_col=id_col, col=col),
         batch_format="pandas")
+
+
+# ------------------------------------------------------------------ PCA
+# Top principal component of the (uncentered) second-moment matrix via
+# power iteration — the PCA/whitening first step over an embedding
+# corpus. Exact-integer contract throughout so the result is replayable
+# bit-for-bit: the Gram matrix is the exact int sum of quantized outer
+# products (gram_matrix above), every iteration runs in
+# arbitrary-precision Python ints (Gram entries × 1e6-scale vectors
+# overflow int64, so numpy is NOT used here — the matrix is dims², the
+# cost is nil), and renormalization is symmetric truncating division
+# sign·((1e6·|gv|)//max|gv|) — the same op sequence an independent
+# scalar replica (and a SQL replay with HUGEINT) produces.
+
+
+def power_iter_int(gram: list[list[int]], iters: int = 3) -> list[int]:
+    """Exact-integer power iteration on a dims×dims Python-int matrix.
+    Start vector is all-1e6; after each multiply the vector rescales to
+    max|v| = 1e6 by symmetric truncating division; the returned
+    component is sign-fixed so its first nonzero entry is positive
+    (eigenvectors are sign-ambiguous; ties must not flip between the
+    engine and the replica)."""
+    dims = len(gram)
+    v = [EMB_SCALE] * dims
+    for _ in range(iters):
+        gv = [sum(gram[i][j] * v[j] for j in range(dims))
+              for i in range(dims)]
+        mx = max(abs(x) for x in gv) if gv else 0
+        if mx == 0:
+            break
+        v = [(EMB_SCALE * x) // mx if x >= 0 else -((EMB_SCALE * -x) // mx)
+             for x in gv]
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v
+
+
+def _gram_dense(gram_df: pd.DataFrame) -> list[list[int]]:
+    """Upper-triangle (i, j, s_um2) rows → symmetric dense Python-int
+    matrix."""
+    if not len(gram_df):
+        return []
+    dims = int(gram_df["j"].max())
+    g = [[0] * dims for _ in range(dims)]
+    for i, j, s in zip(gram_df["i"], gram_df["j"], gram_df["s_um2"]):
+        g[int(i) - 1][int(j) - 1] = int(s)
+        g[int(j) - 1][int(i) - 1] = int(s)
+    return g
+
+
+def pca_top_component(embeddings, iters: int = 3, id_col: str = "vec_id",
+                      col: str = "embedding"):
+    """Project every embedding onto the corpus' top principal
+    component: Dataset[(vec_id, proj_um)] with
+    proj_um = Σ_d floor(1e6·x_d)·v_d (exact int64; |v| ≤ 1e6 and dims
+    ≤ ~10³ keep the sum far under 2⁶³). The fit is the distributed
+    exact-integer Gram (bounded by dims², never rows) + driver power
+    iteration; scoring is one shuffle-free broadcast pass."""
+    from .joins import _resolve_ref
+    from .stagecache import task_stage
+
+    v = power_iter_int(_gram_dense(gram_matrix(embeddings, col)), iters)
+    ref = ray.put(np.array(v, dtype=np.int64))
+
+    class _Project:
+        def __init__(self, ref, id_col, col):
+            self.v = _resolve_ref(ref)
+            self.id_col, self.col = id_col, col
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.floor(EMB_SCALE * _batch_matrix(df, self.col)
+                         ).astype(np.int64)
+            proj = (m @ self.v if m.shape[1] == len(self.v)
+                    else np.zeros(len(df), dtype=np.int64))
+            return pd.DataFrame({
+                self.id_col: df[self.id_col].to_numpy(),
+                "proj_um": proj.astype(np.int64),
+            })
+
+    return embeddings.select_columns([id_col, col]).map_batches(
+        task_stage(_Project, ref=ref, id_col=id_col, col=col),
+        batch_format="pandas")
+
+
+def pca_component_replica(parquet_path: str, iters: int = 3,
+                          col: str = "embedding") -> list[int]:
+    """INDEPENDENT scalar replica of the PCA fit (no Ray): reads the
+    parquet directly, builds the exact-integer Gram in Python ints,
+    runs the same power iteration. Used to inline the component into
+    the SQL oracle (the BPE-oracle convention) — integer addition is
+    associative, so the replica's Gram equals the distributed one."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[col])
+    rows = tbl.column(col).to_pylist()
+    if not rows:
+        return []
+    m = np.floor(EMB_SCALE * np.array(rows, dtype=np.float64)
+                 ).astype(np.int64)
+    dims = m.shape[1]
+    g = [[0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            s = int(np.multiply(m[:, i], m[:, j], dtype=np.int64).sum())
+            g[i][j] = s
+            g[j][i] = s
+    return power_iter_int(g, iters)
+
+
+# ------------------------------------------------ random projection
+# Johnson–Lindenstrauss sign projection: y_j = Σ_d x_um_d · s(d, j)
+# with s(d, j) ∈ {±1} derived from md5 — deterministic, shared
+# bit-for-bit with the SQL replay (the Count-Min convention), and
+# shipped as a dims×k broadcast so however large the corpus the
+# "model" is one tiny matrix.
+
+
+def rp_sign_matrix(dims: int, k: int) -> np.ndarray:
+    """±1 sign matrix (dims×k), s[d-1, j-1] = +1 iff the first 16 hex
+    chars of md5('rp:{d}:{j}') are even (1-based d/j to match SQL
+    generate_subscripts)."""
+    import hashlib
+
+    s = np.empty((dims, k), dtype=np.int64)
+    for d in range(1, dims + 1):
+        for j in range(1, k + 1):
+            h = int(hashlib.md5(f"rp:{d}:{j}".encode()
+                                ).hexdigest()[:16], 16)
+            s[d - 1, j - 1] = 1 if h % 2 == 0 else -1
+    return s
+
+
+def random_projection(embeddings, k: int = 8, id_col: str = "vec_id",
+                      col: str = "embedding"):
+    """JL dimensionality reduction to ``k`` sign-projected components:
+    Dataset[(vec_id, j, y_um)] (long form, j 1-based), exact int64.
+    One shuffle-free pass; the sign matrix derives from md5 so no
+    state ships beyond dims×k int64s."""
+    from .joins import _resolve_ref
+    from .stagecache import task_stage
+
+    class _RP:
+        def __init__(self, ref, id_col, col, k):
+            self.ref, self.id_col, self.col, self.k = ref, id_col, col, k
+            self.s = _resolve_ref(ref) if ref is not None else None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.floor(EMB_SCALE * _batch_matrix(df, self.col)
+                         ).astype(np.int64)
+            dims = m.shape[1]
+            s = self.s
+            if s is None or s.shape[0] != dims:
+                s = rp_sign_matrix(dims, self.k)
+            y = m @ s  # (n × k) exact int64
+            n = len(df)
+            return pd.DataFrame({
+                self.id_col: np.repeat(df[self.id_col].to_numpy(), self.k),
+                "j": np.tile(np.arange(1, self.k + 1, dtype=np.int64), n),
+                "y_um": y.reshape(-1).astype(np.int64),
+            })
+
+    # probe one row for dims so the matrix broadcasts prebuilt (falls
+    # back to a per-worker build if a batch disagrees)
+    head = embeddings.select_columns([col]).limit(1).to_pandas()
+    ref = None
+    if len(head):
+        dims = len(head[col].iloc[0])
+        ref = ray.put(rp_sign_matrix(dims, k))
+    return embeddings.select_columns([id_col, col]).map_batches(
+        task_stage(_RP, ref=ref, id_col=id_col, col=col, k=k),
+        batch_format="pandas")

@@ -445,3 +445,55 @@ def dedup_lines_global(corpus, text_col: str = "text",
         batch_format="pandas",
     )
     return tagged.groupby("_kb").map_groups(reassemble, batch_format="pandas")
+
+
+def word_info(docs, field: str = "text"):
+    """Per-doc word-entropy information content in integer micro-nats:
+    Dataset[(doc_id, n_words, info_um)] with
+    info_um = Σ_w floor((10⁶·c_w)·ln(T/c_w)) over the doc's distinct
+    words (c_w = word count, T = total words) — i.e. 10⁶·T·H(doc), the
+    Shannon information of the doc's unigram distribution. The
+    templated/degenerate-text signal entropy-based quality filters
+    threshold on. Same ws_tokens tokenizer as lexical_diversity.
+
+    Exactness: ln evaluates once per DISTINCT (T, c) pair via
+    ``math.log`` (the same libm ``ln`` DuckDB calls — numpy's SIMD log
+    can differ in the last ulp, which a floor would amplify); T/c is an
+    exact int÷int double under 2⁵³ and (10⁶·c) promotes exactly, so
+    the SQL replay reproduces every term bit-for-bit. Empty docs score
+    (0, 0)."""
+    import math
+
+    import numpy as np
+
+    from .dedup import ws_tokens
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[field].fillna("").str.lower().map(ws_tokens)
+        ridx = np.arange(len(df))
+        lens = words.str.len().to_numpy()
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        exploded = pd.DataFrame(
+            {"_r": np.repeat(ridx, lens),
+             "w": words.explode().dropna().to_numpy()})
+        if exploded.empty:
+            out["n_words"] = pd.array([0] * len(df), dtype="int64")
+            out["info_um"] = pd.array([0] * len(df), dtype="int64")
+            return out
+        per = exploded.groupby(["_r", "w"]).size()
+        rows = per.index.get_level_values("_r").to_numpy()
+        c = per.to_numpy(np.int64)
+        t_per_doc = per.groupby("_r").sum()
+        t = t_per_doc.reindex(rows).to_numpy(np.int64)
+        pairs = np.stack([t, c], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        terms = np.array(
+            [math.floor((1_000_000 * int(cc)) * math.log(int(tt) / int(cc)))
+             for tt, cc in uniq], dtype=np.int64)
+        info = pd.Series(terms[inv]).groupby(rows).sum()
+        out["n_words"] = (t_per_doc.reindex(ridx).fillna(0)
+                          .astype("int64").to_numpy())
+        out["info_um"] = info.reindex(ridx).fillna(0).astype("int64").to_numpy()
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
