@@ -3776,6 +3776,107 @@ def q_tool_pair_pmi(sf_dir: str):
     return pairs.reset_index(drop=True)
 
 
+def q_role_latency(sf_dir: str):
+    """Turn-taking latency analytics over agent transcripts: for every
+    consecutive turn pair inside a conversation, the (role → role)
+    transition count and total inter-turn gap in exact integer
+    microseconds — the 'how long does the assistant take after a tool
+    result' signal. One co-locating conversation-bucket pass (the
+    multiline convention); the driver merge is bounded by roles²."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def gaps_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy(dtype=object)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(df) < 2:
+            return pd.DataFrame({"role_a": pd.Series(dtype="string"),
+                                 "role_b": pd.Series(dtype="string"),
+                                 "n_pairs": pd.Series(dtype="int64"),
+                                 "sum_dt_us": pd.Series(dtype="int64")})
+        m = conv[1:] == conv[:-1]
+        out = pd.DataFrame({"role_a": role[:-1][m], "role_b": role[1:][m],
+                            "dt_us": (ts_us[1:] - ts_us[:-1])[m]})
+        g = out.groupby(["role_a", "role_b"], as_index=False).agg(
+            n_pairs=("dt_us", "size"), sum_dt_us=("dt_us", "sum"))
+        return g.astype({"n_pairs": "int64", "sum_dt_us": "int64"})
+
+    partials = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "role", "ts"]),
+        "conv_id", gaps_in_bucket, buckets=16).to_pandas()
+    if not len(partials):
+        return pd.DataFrame({"role_a": pd.array([], dtype=object),
+                             "role_b": pd.array([], dtype=object),
+                             "n_pairs": pd.array([], "int64"),
+                             "sum_dt_us": pd.array([], "int64")})
+    out = (partials.groupby(["role_a", "role_b"], as_index=False)
+           [["n_pairs", "sum_dt_us"]].sum())
+    return (out.astype({"n_pairs": "int64", "sum_dt_us": "int64"})
+            .sort_values(["role_a", "role_b"]).reset_index(drop=True))
+
+
+def q_lang_confusion(sf_dir: str):
+    """Classifier-eval analytics: confusion matrix of the stored lang
+    label vs the LangId prediction. The label rides the same batch as
+    the text so scoring is shuffle-free; per-batch Arrow partial counts
+    finish in a tiny grouped sum bounded by langs²."""
+    from ray.data.aggregate import Sum
+
+    from beats_ray.dataops.stagecache import task_stage
+    from beats_ray.dataops.textstats import LangId
+
+    class _Confusion(LangId):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = super().__call__(t)
+            g = (pa.table({"lang": t["lang"],
+                           "lang_pred": preds["lang_pred"]})
+                 .group_by(["lang", "lang_pred"])
+                 .aggregate([([], "count_all")]))
+            return (g.rename_columns(["lang", "lang_pred", "n"])
+                    .replace_schema_metadata(None))
+
+    out = (
+        _table(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(task_stage(_Confusion), batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by langs²
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def q_role_latency_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of the inter-turn gap per (role → role)
+    transition — the tail-latency view of turn-taking. Two co-locating
+    shuffles: conversation buckets emit the raw (pair, dt_us)
+    transitions (gaps need conversation contiguity), then the
+    pair-bucketed grouped-quantile pass sorts each pair's gaps once
+    (quantiles don't merge, so the second exchange is irreducible)."""
+    from beats_ray.dataops.agg import map_buckets
+    from beats_ray.dataops.quantiles import grouped_quantiles
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy(dtype=object)
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        if len(df) < 2:
+            return pd.DataFrame({"pair": pd.Series(dtype="string"),
+                                 "dt_us": pd.Series(dtype="int64")})
+        m = conv[1:] == conv[:-1]
+        pair = np.char.add(np.char.add(role[:-1][m].astype(str), "->"),
+                           role[1:][m].astype(str))
+        return pd.DataFrame({"pair": pair,
+                             "dt_us": (ts_us[1:] - ts_us[:-1])[m]})
+
+    raw = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "role", "ts"]),
+        "conv_id", gaps, buckets=16)
+    return grouped_quantiles(raw, "dt_us", "pair", [0.5, 0.9, 0.99])
+
+
 def q_doc_word_info(sf_dir: str):
     """Per-document Shannon information of the unigram distribution
     (10⁶·T·H in integer micro-nats) — the entropy-based
@@ -3855,6 +3956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_rp": q_embedding_rp,
         "tool_pair_pmi": q_tool_pair_pmi,
         "doc_word_info": q_doc_word_info,
+        "role_latency": q_role_latency,
+        "role_latency_quantiles": q_role_latency_quantiles,
+        "lang_confusion": q_lang_confusion,
         "cross_source_dups": q_cross_source_dups,
         "word_freq_spectrum": q_word_freq_spectrum,
         "bm25_topk": q_bm25_topk,
@@ -4576,6 +4680,32 @@ def oracle_sql() -> dict[str, str]:
              CROSS JOIN tot
              JOIN ma ON pr.tool_a = ma.tool_a
              JOIN mb ON pr.tool_b = mb.tool_b""",
+        "role_latency": tr
+        + """SELECT role_a, role_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us
+             FROM (
+               SELECT conv_id, role AS role_a,
+                      lead(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS role_b,
+                      epoch_us(lead(ts) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx))
+                        - epoch_us(ts) AS dt_us
+               FROM t
+             ) WHERE role_b IS NOT NULL
+             GROUP BY role_a, role_b""",
+        "role_latency_quantiles": tr
+        + """SELECT role_a || '->' || role_b AS pair,
+                    quantile_disc(dt_us, 0.5) AS q0_5,
+                    quantile_disc(dt_us, 0.9) AS q0_9,
+                    quantile_disc(dt_us, 0.99) AS q0_99
+             FROM (
+               SELECT role AS role_a,
+                      lead(role) OVER w AS role_b,
+                      epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+               FROM t
+               WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+             ) WHERE role_b IS NOT NULL
+             GROUP BY 1""",
         "rolling_turn_chars": tr
         + """SELECT conv_id, turn_idx,
              CAST(SUM(length(coalesce(text, ''))) OVER (
@@ -6223,6 +6353,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id""",
         "simhash_pairs": _simhash_pairs_sql(6),
         "lang_id": _lang_id_sql(),
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY 1, 2""",
         "curate_corpus": _curate_sql(punct, stop_rx),
         "contamination_screen": _contamination_sql(),
         "bloom_contamination": _bloom_contamination_sql(),

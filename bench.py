@@ -91,6 +91,16 @@ BENCH_QUERIES = [
     "lang_char_ranks",
     "rolling_turn_chars",
     "running_turn_chars",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "embedding_pca",
+    "embedding_rp",
+    "doc_word_info",
+    "tool_pair_pmi",
+    "role_latency",
+    "role_latency_quantiles",
+    "lang_confusion",
 ]
 
 

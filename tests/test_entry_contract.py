@@ -111,6 +111,93 @@ def test_tpch_q17_small_quantity_mask(entrymod):
     assert int(out["total_um"].iloc[0]) == want
 
 
+def test_role_latency_matches_pandas(entrymod):
+    """The bucketed role-pair latency aggregate must equal a pandas
+    lead() replay over the whole corpus."""
+    import numpy as np
+
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = entrymod.q_role_latency("/root/testdata/sf0.001")
+    import glob
+
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = df.groupby("conv_id")
+    df["role_b"] = g["role"].shift(-1)
+    df["dt_us"] = (g["ts"].shift(-1) - df["ts"]).dt.total_seconds() * 1e6
+    sub = df[df["role_b"].notna()]
+    want = (sub.assign(dt_us=sub["dt_us"].round().astype("int64"))
+            .groupby(["role", "role_b"], as_index=False)
+            .agg(n_pairs=("dt_us", "size"), sum_dt_us=("dt_us", "sum"))
+            .rename(columns={"role": "role_a"})
+            .astype({"n_pairs": "int64", "sum_dt_us": "int64"})
+            .sort_values(["role_a", "role_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"role_a": object, "role_b": object}),
+        want.astype({"role_a": object, "role_b": object}))
+    assert (out["sum_dt_us"] >= 0).all()
+    assert int(out["n_pairs"].sum()) == len(sub)
+
+
+def test_role_latency_quantiles_match_pandas(entrymod):
+    """Per-pair gap quantiles must equal the quantile_disc rule
+    (1-based rank ceil(q·n)) replayed in pandas."""
+    import glob
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = (entrymod.q_role_latency_quantiles("/root/testdata/sf0.001")
+           .to_pandas().sort_values("pair").reset_index(drop=True))
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = df.groupby("conv_id")
+    df["role_b"] = g["role"].shift(-1)
+    df["dt_us"] = ((g["ts"].shift(-1) - df["ts"])
+                   .dt.total_seconds() * 1e6).round()
+    sub = df[df["role_b"].notna()].copy()
+    sub["pair"] = sub["role"] + "->" + sub["role_b"]
+    for pair, grp in sub.groupby("pair"):
+        v = np.sort(grp["dt_us"].to_numpy("int64"))
+        row = out[out["pair"] == pair].iloc[0]
+        for q, col in [(0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")]:
+            want = v[max(math.ceil(q * len(v)), 1) - 1]
+            assert int(row[col]) == want, (pair, col)
+
+
+def test_lang_confusion_totals_and_replay(entrymod):
+    """Confusion counts must cover every document exactly once and
+    match a scalar replay of the LangId kernel."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = entrymod.q_lang_confusion("/root/testdata/sf0.001")
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet"
+                         ).to_pandas()
+    assert int(out["n"].sum()) == len(docs)
+    # scalar replay via the engine's own single-batch kernel
+    import pyarrow as pa
+
+    from beats_ray.dataops.textstats import LangId
+
+    preds = LangId()(pa.Table.from_pandas(docs[["doc_id", "text"]])
+                     ).to_pandas()
+    merged = docs.merge(preds, on="doc_id")
+    want = (merged.groupby(["lang", "lang_pred"], as_index=False).size()
+            .rename(columns={"size": "n"}).astype({"n": "int64"})
+            .sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"lang": object, "lang_pred": object}),
+        want.astype({"lang": object, "lang_pred": object}))
+
+
 def test_tpch_q13_outer_join_paths_equal(entrymod):
     """Q13's broadcast-probe path and the bucket left-outer-join
     fallback must return the identical distribution, including the
