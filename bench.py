@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q10",
+    "tpch_q15",
+    "tpch_q17",
     "embedding_pca",
     "embedding_rp",
     "doc_word_info",
