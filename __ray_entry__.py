@@ -3721,6 +3721,133 @@ def q_tpch_q17(sf_dir: str):
     return pd.DataFrame({"total_um": pd.array([total], dtype="int64")})
 
 
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19-shaped: discounted revenue under a DISJUNCTION of
+    brand×size×quantity range predicates — the multi-clause pushdown
+    shape (the reference's shipmode/container clauses map to the
+    corpus' brand/size columns; documented adaptation). Part attrs
+    broadcast once as sorted arrays; the lineitem scan evaluates all
+    three conjunctive clauses vectorized and pre-sums revenue per
+    batch — one pass, no shuffle."""
+    from beats_ray.dataops.joins import _resolve_ref
+    from beats_ray.dataops.stagecache import task_stage
+
+    part = _table(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                  ).to_pandas().sort_values("p_partkey")
+    # brand encoded to its numeric suffix so the broadcast is all-int
+    brand_no = (part["p_brand"].str.removeprefix("Brand#")
+                .astype(np.int64).to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy(dtype="int64"), brand_no,
+                   part["p_size"].to_numpy(dtype="int64")))
+
+    class _Disj:
+        CLAUSES = ((12, 5, 1, 11), (23, 10, 10, 20), (24, 15, 20, 30))
+
+        def __init__(self, ref):
+            self.pk, self.brand, self.size = _resolve_ref(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["l_partkey"].to_numpy()
+            if not len(self.pk):
+                return pd.DataFrame({"revenue_um": pd.array([0], "int64")})
+            pos = np.minimum(np.searchsorted(self.pk, key),
+                             len(self.pk) - 1)
+            found = self.pk[pos] == key
+            qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+            brand, size = self.brand[pos], self.size[pos]
+            keep = np.zeros(len(df), dtype=bool)
+            for b, smax, qlo, qhi in self.CLAUSES:
+                keep |= ((brand == b) & (size >= 1) & (size <= smax)
+                         & (qty >= qlo) & (qty <= qhi))
+            keep &= found
+            um = (np.round(df["l_extendedprice"].to_numpy()[keep] * 100)
+                  .astype(np.int64)
+                  * (100 - np.round(df["l_discount"].to_numpy()[keep] * 100)
+                     .astype(np.int64)))
+            return pd.DataFrame({"revenue_um": pd.array([int(um.sum())],
+                                                        "int64")})
+
+    parts = _table(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        blocks=16,
+    ).map_batches(task_stage(_Disj, ref=ref), batch_format="pandas")
+    total = int(parts.sum("revenue_um") or 0)
+    return pd.DataFrame({"revenue_um": pd.array([total], dtype="int64")})
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16-shaped: distinct suppliers per surviving part family
+    (brand, type, size) — grouped COUNT DISTINCT after a join, with
+    NOT-predicates pruning the dim side (lineitem supplies the
+    part↔supplier evidence; the corpus carries no partsupp —
+    documented adaptation). Family attrs broadcast as a sorted-partkey
+    code table; the lineitem scan dedups (family, suppkey) pairs per
+    batch so the single co-locating shuffle moves ≤ blocks×families×
+    suppliers-per-block rows; the distinct count finishes per family
+    bucket."""
+    from beats_ray.dataops.agg import map_buckets
+    from beats_ray.dataops.joins import _resolve_ref
+    from beats_ray.dataops.stagecache import task_stage
+
+    import pyarrow.compute as pc
+
+    fam = _table(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.and_(pc.not_equal(t["p_brand"], "Brand#5"),
+                            pc.not_equal(t["p_type"], "PROMO")),
+                    pc.is_in(t["p_size"], value_set=pa.array(
+                        [1, 4, 9, 14, 19, 23, 36, 45], pa.int64())))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(fam):
+        return pd.DataFrame({"p_brand": pd.array([], dtype=object),
+                             "p_type": pd.array([], dtype=object),
+                             "p_size": pd.array([], "int64"),
+                             "supplier_cnt": pd.array([], "int64")})
+    fam = fam.sort_values("p_partkey").reset_index(drop=True)
+    # family id = row index into the deduped (brand, type, size) table
+    attrs = (fam[["p_brand", "p_type", "p_size"]]
+             .drop_duplicates().reset_index(drop=True))
+    akey = {t: i for i, t in enumerate(
+        zip(attrs["p_brand"], attrs["p_type"], attrs["p_size"]))}
+    fid = np.array([akey[t] for t in
+                    zip(fam["p_brand"], fam["p_type"], fam["p_size"])],
+                   dtype=np.int64)
+    ref = ray.put((fam["p_partkey"].to_numpy(dtype="int64"), fid))
+
+    class _Pairs:
+        def __init__(self, ref):
+            self.pk, self.fid = _resolve_ref(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["l_partkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(self.pk, key),
+                             len(self.pk) - 1)
+            found = self.pk[pos] == key
+            out = pd.DataFrame({"fid": self.fid[pos[found]],
+                                "supp": df["l_suppkey"].to_numpy()[found]})
+            return out.drop_duplicates()
+
+    pairs = _table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+                   blocks=16).map_batches(task_stage(_Pairs, ref=ref),
+                                          batch_format="pandas")
+
+    def ndistinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates().groupby("fid", as_index=False)["supp"]
+               .size().rename(columns={"size": "supplier_cnt"}))
+        return out.astype({"fid": "int64", "supplier_cnt": "int64"})
+
+    counts = map_buckets(pairs, "fid", ndistinct, buckets=16).to_pandas()
+    out = attrs.iloc[counts["fid"].to_numpy()].reset_index(drop=True)
+    out["supplier_cnt"] = counts["supplier_cnt"].to_numpy()
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+
 def q_embedding_pca(sf_dir: str):
     """Top-principal-component projection of every embedding (the PCA
     /whitening first step): exact-integer power iteration on the
@@ -3952,6 +4079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q16": q_tpch_q16,
         "embedding_pca": q_embedding_pca,
         "embedding_rp": q_embedding_rp,
         "tool_pair_pmi": q_tool_pair_pmi,
@@ -5273,6 +5402,27 @@ def oracle_sql() -> dict[str, str]:
                      AS total_um
             FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey
             WHERE 5 * CAST(round(l_quantity) AS BIGINT) * c < s""",
+        "tpch_q19": """
+            SELECT CAST(COALESCE(SUM(
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))), 0)
+                   AS BIGINT) AS revenue_um
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""",
+        "tpch_q16": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
         "embedding_pca": f"""
             WITH v(d, val) AS (VALUES {pca_vals}),
             q AS (

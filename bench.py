@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "tpch_q10",
     "tpch_q15",
     "tpch_q17",
+    "tpch_q19",
+    "tpch_q16",
     "embedding_pca",
     "embedding_rp",
     "doc_word_info",

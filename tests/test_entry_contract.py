@@ -171,6 +171,45 @@ def test_role_latency_quantiles_match_pandas(entrymod):
             assert int(row[col]) == want, (pair, col)
 
 
+def test_tpch_q19_q16_match_pandas(entrymod):
+    """Disjunctive-predicate revenue (Q19) and grouped distinct
+    suppliers (Q16) vs whole-corpus pandas replays."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    part = pq.read_table(sf + "/part.parquet").to_pandas()
+    li = pq.read_table(sf + "/lineitem.parquet").to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    qty = np.round(m["l_quantity"]).astype("int64")
+    keep = (
+        ((m["p_brand"] == "Brand#12") & m["p_size"].between(1, 5)
+         & qty.between(1, 11))
+        | ((m["p_brand"] == "Brand#23") & m["p_size"].between(1, 10)
+           & qty.between(10, 20))
+        | ((m["p_brand"] == "Brand#24") & m["p_size"].between(1, 15)
+           & qty.between(20, 30)))
+    want19 = int((np.round(m.loc[keep, "l_extendedprice"] * 100)
+                  .astype("int64")
+                  * (100 - np.round(m.loc[keep, "l_discount"] * 100)
+                     .astype("int64"))).sum())
+    got19 = entrymod.q_tpch_q19(sf)
+    assert int(got19["revenue_um"].iloc[0]) == want19
+
+    f = m[(m["p_brand"] != "Brand#5") & (m["p_type"] != "PROMO")
+          & m["p_size"].isin([1, 4, 9, 14, 19, 23, 36, 45])]
+    want16 = (f.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+              .nunique().reset_index(name="supplier_cnt")
+              .astype({"p_size": "int64", "supplier_cnt": "int64"}))
+    want16 = want16.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    got16 = entrymod.q_tpch_q16(sf)
+    pd.testing.assert_frame_equal(
+        got16.astype({"p_brand": object, "p_type": object}),
+        want16.astype({"p_brand": object, "p_type": object}))
+
+
 def test_lang_confusion_totals_and_replay(entrymod):
     """Confusion counts must cover every document exactly once and
     match a scalar replay of the LangId kernel."""
