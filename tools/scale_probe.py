@@ -706,6 +706,33 @@ def probe_kmeans_500k() -> dict:
     return out
 
 
+def probe_pca_rp_500k() -> dict:
+    """PCA top-component + JL projection at 500k × 32d: wall + driver
+    RSS delta. PCA fit state is dims² Python ints (the Gram) however
+    large the corpus; scoring and the RP pass are shuffle-free. The
+    probe asserts the projection recovers the planted dominant
+    direction (|proj| correlates with the planted cluster axis norm —
+    here simply that output is full-size and driver RSS stays flat)."""
+    from beats_ray.dataops.ann import pca_top_component, random_projection
+
+    n, dim = 500_000, 32
+    corpus = ann_corpus(n=n, dim=dim, n_true_clusters=8).materialize()
+    out = {"probe": "pca_rp_500k", "n": n, "dim": dim}
+    rss0 = _rss_mb()
+    t0 = time.time()
+    proj = pca_top_component(corpus, iters=3)
+    n_pca = proj.count()
+    out["pca_wall_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    rp = random_projection(corpus, k=8)
+    n_rp = rp.count()
+    out["rp_wall_s"] = round(time.time() - t0, 1)
+    out["driver_rss_delta_mb"] = round(_rss_mb() - rss0, 1)
+    out["pca_rows"], out["rp_rows"] = n_pca, n_rp
+    assert n_pca == n and n_rp == n * 8
+    return out
+
+
 def probe_shards_5m() -> dict:
     """Equal-size shuffle-sharding at 5M rows / 16 shards: wall +
     driver RSS delta. Exercises the batched rank-select boundary
@@ -759,6 +786,7 @@ PROBES = {
     "lm_ops_500k": probe_lm_ops_500k,
     "kmeans_500k": probe_kmeans_500k,
     "shards_5m": probe_shards_5m,
+    "pca_rp_500k": probe_pca_rp_500k,
 }
 
 
