@@ -3974,6 +3974,45 @@ def q_lang_confusion(sf_dir: str):
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
+def q_tool_funnel(sf_dir: str):
+    """Funnel analytics: for every ordered tool pair (a, b), how many
+    conversations used a BEFORE b (first occurrence of a strictly
+    before the last occurrence of b; a ≠ b) — the 'search → edit
+    conversion' question. One conversation-bucket pass reduces each
+    conversation to its per-tool (first_idx, last_idx) extremes
+    (bounded by convs×tools) and counts qualifying pairs inside the
+    bucket (each conversation lives whole in one bucket, so the pair
+    count is exact there); the driver merge is bounded by tools²."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def funnel_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["tool"] != "none"]
+        if not len(df):
+            return pd.DataFrame({"tool_a": pd.Series(dtype="string"),
+                                 "tool_b": pd.Series(dtype="string"),
+                                 "n_convs": pd.Series(dtype="int64")})
+        ext = (df.groupby(["conv_id", "tool"])["turn_idx"]
+               .agg(["min", "max"]).reset_index())
+        pairs = ext.merge(ext, on="conv_id", suffixes=("_a", "_b"))
+        hit = pairs[(pairs["tool_a"] != pairs["tool_b"])
+                    & (pairs["min_a"] < pairs["max_b"])]
+        out = (hit.groupby(["tool_a", "tool_b"], as_index=False)
+               .size().rename(columns={"size": "n_convs"}))
+        return out.astype({"n_convs": "int64"})
+
+    partials = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "tool"]),
+        "conv_id", funnel_in_bucket, buckets=16).to_pandas()
+    if not len(partials):
+        return pd.DataFrame({"tool_a": pd.array([], dtype=object),
+                             "tool_b": pd.array([], dtype=object),
+                             "n_convs": pd.array([], "int64")})
+    out = (partials.groupby(["tool_a", "tool_b"], as_index=False)
+           ["n_convs"].sum())
+    return (out.astype({"n_convs": "int64"})
+            .sort_values(["tool_a", "tool_b"]).reset_index(drop=True))
+
+
 def q_role_latency_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of the inter-turn gap per (role → role)
     transition — the tail-latency view of turn-taking. Two co-locating
@@ -4084,6 +4123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": q_embedding_pca,
         "embedding_rp": q_embedding_rp,
         "tool_pair_pmi": q_tool_pair_pmi,
+        "tool_funnel": q_tool_funnel,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -4809,6 +4849,17 @@ def oracle_sql() -> dict[str, str]:
              CROSS JOIN tot
              JOIN ma ON pr.tool_a = ma.tool_a
              JOIN mb ON pr.tool_b = mb.tool_b""",
+        "tool_funnel": tr
+        + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
+             FROM (
+               SELECT a.conv_id, a.tool AS tool_a, b.tool AS tool_b
+               FROM (SELECT conv_id, tool, MIN(turn_idx) AS mn
+                     FROM t WHERE tool <> 'none' GROUP BY 1, 2) a
+               JOIN (SELECT conv_id, tool, MAX(turn_idx) AS mx
+                     FROM t WHERE tool <> 'none' GROUP BY 1, 2) b
+                 USING (conv_id)
+               WHERE a.tool <> b.tool AND a.mn < b.mx
+             ) GROUP BY 1, 2""",
         "role_latency": tr
         + """SELECT role_a, role_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                     CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us

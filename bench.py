@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "embedding_rp",
     "doc_word_info",
     "tool_pair_pmi",
+    "tool_funnel",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

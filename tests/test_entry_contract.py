@@ -210,6 +210,32 @@ def test_tpch_q19_q16_match_pandas(entrymod):
         want16.astype({"p_brand": object, "p_type": object}))
 
 
+def test_tool_funnel_matches_pandas(entrymod):
+    """Funnel counts (first(a) < last(b) within a conversation) vs a
+    whole-corpus pandas replay."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = entrymod.q_tool_funnel("/root/testdata/sf0.001")
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df[df["tool"] != "none"]
+    ext = (df.groupby(["conv_id", "tool"])["turn_idx"]
+           .agg(["min", "max"]).reset_index())
+    pairs = ext.merge(ext, on="conv_id", suffixes=("_a", "_b"))
+    hit = pairs[(pairs["tool_a"] != pairs["tool_b"])
+                & (pairs["min_a"] < pairs["max_b"])]
+    want = (hit.groupby(["tool_a", "tool_b"], as_index=False).size()
+            .rename(columns={"size": "n_convs"})
+            .astype({"n_convs": "int64"})
+            .sort_values(["tool_a", "tool_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"tool_a": object, "tool_b": object}),
+        want.astype({"tool_a": object, "tool_b": object}))
+
+
 def test_lang_confusion_totals_and_replay(entrymod):
     """Confusion counts must cover every document exactly once and
     match a scalar replay of the LangId kernel."""
