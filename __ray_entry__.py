@@ -3974,6 +3974,82 @@ def q_lang_confusion(sf_dir: str):
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
+def q_hopping_event_counts(sf_dir: str):
+    """HOPPING (overlapping) window aggregate: events counted into
+    10-minute windows sliding every 5 minutes — the overlap means each
+    event expands into exactly window/hop = 2 rows inside map_batches
+    (the flat-map shape tumbling windows don't need), partial counts
+    per (window_start, event_type) fold per batch, and one tiny
+    grouped sum finishes (key space bounded by time span × types, not
+    events)."""
+    from beats_ray.dataops.agg import grouped_count
+
+    W, H = 600, 300
+
+    def expand(t: pa.Table) -> pa.Table:
+        es = (t["ts"].cast(pa.int64()).to_numpy() // 1_000_000)
+        ws1 = (es // H) * H
+        ws = np.concatenate([ws1, ws1 - H])  # exactly W/H = 2 windows
+        et = t["event_type"].to_pandas().to_numpy(dtype=object)
+        return pa.table({
+            "window_start": pa.array(ws, pa.int64()),
+            "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+        })
+
+    counts = grouped_count(
+        _table(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            expand, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+    ).to_pandas()  # bounded by time-span/hop × event types
+    counts["n"] = counts["n"].astype("int64")
+    return (counts.sort_values(["window_start", "event_type"])
+            .reset_index(drop=True))
+
+
+def q_user_first_seen_curve(sf_dir: str):
+    """Cumulative-adoption curve: per day, how many DISTINCT users have
+    been seen so far. Per-user first-seen day is a per-batch min fold →
+    one co-locating grouped min (bounded by |users|); the per-day new
+    counts and the running sum resolve on the day-bounded table."""
+    from beats_ray.dataops.agg import grouped_sum
+
+    def first_seen(t: pa.Table) -> pa.Table:
+        day = ((t["ts"].cast(pa.int64()).to_numpy() // 1_000_000)
+               // 86_400)
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(), "day": day})
+             .groupby("user_id", as_index=False)["day"].min())
+        return pa.Table.from_pandas(
+            g.astype({"user_id": "int64", "day": "int64"}),
+            preserve_index=False)
+
+    parts = _table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        first_seen, batch_format="pyarrow")
+
+    def per_user_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["day"].min()
+
+    from beats_ray.dataops.agg import map_buckets
+
+    firsts = map_buckets(parts, "user_id", per_user_min, buckets=16)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("day", as_index=False).size()
+             .rename(columns={"size": "new_users"}))
+        return g.astype({"day": "int64", "new_users": "int64"})
+
+    days = grouped_sum(firsts.map_batches(day_partial,
+                                          batch_format="pandas"),
+                       "day", "new_users").to_pandas()  # bounded by days
+    if not len(days):
+        return pd.DataFrame({"day": pd.array([], "int64"),
+                             "new_users": pd.array([], "int64"),
+                             "cum_users": pd.array([], "int64")})
+    days = days.sort_values("day")
+    days["cum_users"] = days["new_users"].cumsum()
+    return (days.astype({"day": "int64", "new_users": "int64",
+                         "cum_users": "int64"}).reset_index(drop=True))
+
+
 def q_tool_funnel(sf_dir: str):
     """Funnel analytics: for every ordered tool pair (a, b), how many
     conversations used a BEFORE b (first occurrence of a strictly
@@ -4124,6 +4200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_rp": q_embedding_rp,
         "tool_pair_pmi": q_tool_pair_pmi,
         "tool_funnel": q_tool_funnel,
+        "hopping_event_counts": q_hopping_event_counts,
+        "user_first_seen_curve": q_user_first_seen_curve,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -4849,6 +4927,31 @@ def oracle_sql() -> dict[str, str]:
              CROSS JOIN tot
              JOIN ma ON pr.tool_a = ma.tool_a
              JOIN mb ON pr.tool_b = mb.tool_b""",
+        "hopping_event_counts": """
+            SELECT window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+              SELECT ((epoch_us(ts) // 1000000) // 300) * 300
+                       AS window_start, event_type
+              FROM events
+              UNION ALL
+              SELECT ((epoch_us(ts) // 1000000) // 300) * 300 - 300,
+                     event_type
+              FROM events
+            ) GROUP BY 1, 2
+            ORDER BY 1, 2""",
+        "user_first_seen_curve": """
+            WITH f AS (
+              SELECT user_id,
+                     MIN((epoch_us(ts) // 1000000) // 86400) AS day
+              FROM events GROUP BY 1
+            ),
+            d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT CAST(day AS BIGINT) AS day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d ORDER BY day""",
         "tool_funnel": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (

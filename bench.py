@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "doc_word_info",
     "tool_pair_pmi",
     "tool_funnel",
+    "hopping_event_counts",
+    "user_first_seen_curve",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

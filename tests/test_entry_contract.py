@@ -236,6 +236,39 @@ def test_tool_funnel_matches_pandas(entrymod):
         want.astype({"tool_a": object, "tool_b": object}))
 
 
+def test_hopping_and_first_seen_match_pandas(entrymod):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    es = ev["ts"].to_numpy("datetime64[us]").astype("int64") // 1_000_000
+
+    hop = entrymod.q_hopping_event_counts(sf)
+    # every event lands in exactly window/hop = 2 windows
+    assert int(hop["n"].sum()) == 2 * len(ev)
+    ws1 = (es // 300) * 300
+    rep = pd.DataFrame({
+        "window_start": np.concatenate([ws1, ws1 - 300]),
+        "event_type": np.concatenate([ev["event_type"]] * 2)})
+    want = (rep.groupby(["window_start", "event_type"], as_index=False)
+            .size().rename(columns={"size": "n"}).astype({"n": "int64"})
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        hop.astype({"event_type": object}),
+        want.astype({"event_type": object}))
+
+    curve = entrymod.q_user_first_seen_curve(sf)
+    assert int(curve["cum_users"].iloc[-1]) == ev["user_id"].nunique()
+    assert (curve["cum_users"].diff().dropna() > 0).all()
+    first = pd.DataFrame({"u": ev["user_id"], "day": es // 86_400}
+                         ).groupby("u")["day"].min()
+    want_days = first.value_counts().sort_index()
+    assert list(curve["day"]) == list(want_days.index)
+    assert list(curve["new_users"]) == list(want_days.to_numpy())
+
+
 def test_lang_confusion_totals_and_replay(entrymod):
     """Confusion counts must cover every document exactly once and
     match a scalar replay of the LangId kernel."""
