@@ -4050,6 +4050,55 @@ def q_user_first_seen_curve(sf_dir: str):
                          "cum_users": "int64"}).reset_index(drop=True))
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: distinct users active ``age`` days
+    after their cohort's first-seen day, per (first_day, age). One
+    co-locating user-bucket pass sees each user's full (user, day)
+    activity set (deduped per batch first), computes first_day + ages
+    locally, and emits partial counts; the grouped finish is bounded
+    by days² — classic product-analytics shape on the engine's keyed
+    co-location machinery."""
+    from beats_ray.dataops.agg import grouped_sum, map_buckets
+
+    def user_days(t: pa.Table) -> pa.Table:
+        day = ((t["ts"].cast(pa.int64()).to_numpy() // 1_000_000)
+               // 86_400)
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day": day}).drop_duplicates())
+        return pa.Table.from_pandas(
+            g.astype({"user_id": "int64", "day": "int64"}),
+            preserve_index=False)
+
+    pairs = _table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        user_days, batch_format="pyarrow")
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({"first_day": first.to_numpy(),
+                            "age": (g["day"] - first).to_numpy()})
+        return (out.groupby(["first_day", "age"], as_index=False)
+                .size().rename(columns={"size": "n_users"})
+                .astype({"first_day": "int64", "age": "int64",
+                         "n_users": "int64"}))
+
+    parts = map_buckets(pairs, "user_id", cohort_partial, buckets=16)
+    merged = grouped_sum(parts.map_batches(
+        lambda df: df.assign(
+            _k=df["first_day"] * 100_000 + df["age"]),
+        batch_format="pandas"), "_k", "n_users").to_pandas()
+    if not len(merged):
+        return pd.DataFrame({"first_day": pd.array([], "int64"),
+                             "age": pd.array([], "int64"),
+                             "n_users": pd.array([], "int64")})
+    out = pd.DataFrame({
+        "first_day": merged["_k"].to_numpy(np.int64) // 100_000,
+        "age": merged["_k"].to_numpy(np.int64) % 100_000,
+        "n_users": merged["n_users"].to_numpy(np.int64),
+    })
+    return (out.sort_values(["first_day", "age"]).reset_index(drop=True))
+
+
 def q_tool_funnel(sf_dir: str):
     """Funnel analytics: for every ordered tool pair (a, b), how many
     conversations used a BEFORE b (first occurrence of a strictly
@@ -4202,6 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_funnel": q_tool_funnel,
         "hopping_event_counts": q_hopping_event_counts,
         "user_first_seen_curve": q_user_first_seen_curve,
+        "retention_cohorts": q_retention_cohorts,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -4952,6 +5002,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM d ORDER BY day""",
+        "retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 1000000) // 86400 AS day
+              FROM events
+            ),
+            f AS (SELECT user_id, MIN(day) AS first_day
+                  FROM ud GROUP BY 1)
+            SELECT CAST(first_day AS BIGINT) AS first_day,
+                   CAST(day - first_day AS BIGINT) AS age,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ud JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "tool_funnel": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "tool_funnel",
     "hopping_event_counts",
     "user_first_seen_curve",
+    "retention_cohorts",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

@@ -269,6 +269,28 @@ def test_hopping_and_first_seen_match_pandas(entrymod):
     assert list(curve["new_users"]) == list(want_days.to_numpy())
 
 
+def test_retention_cohorts_match_pandas(entrymod):
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.q_retention_cohorts(sf)
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    day = (ev["ts"].to_numpy("datetime64[us]").astype("int64")
+           // 1_000_000 // 86_400)
+    ud = pd.DataFrame({"u": ev["user_id"], "day": day}).drop_duplicates()
+    first = ud.groupby("u")["day"].transform("min")
+    want = (pd.DataFrame({"first_day": first, "age": ud["day"] - first})
+            .groupby(["first_day", "age"], as_index=False).size()
+            .rename(columns={"size": "n_users"})
+            .astype({"first_day": "int64", "age": "int64",
+                     "n_users": "int64"})
+            .sort_values(["first_day", "age"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+    # age-0 rows cover every user exactly once
+    assert (int(out.loc[out["age"] == 0, "n_users"].sum())
+            == ud["u"].nunique())
+
+
 def test_lang_confusion_totals_and_replay(entrymod):
     """Confusion counts must cover every document exactly once and
     match a scalar replay of the LangId kernel."""
