@@ -4050,6 +4050,51 @@ def q_user_first_seen_curve(sf_dir: str):
                          "cum_users": "int64"}).reset_index(drop=True))
 
 
+def q_event_burst_pairs(sf_dir: str):
+    """Time-bounded THETA self-join: per user, the number of ordered
+    event pairs with 0 < Δt ≤ 60 s — the burst/flood-detection shape.
+    NOT materialized as a pair table (that's quadratic in burst size):
+    one co-locating user-bucket pass sorts each user's timestamps once
+    and counts partners with two vectorized searchsorted sweeps
+    (right(ts+60) − right(ts)); output is bounded by |users|."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def bursts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": pd.array([], "int64"),
+                "n_pairs": pd.array([], "int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        us = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        # remap each user's times onto a disjoint segment of one int64
+        # axis (offset > span + window) so ONE pair of searchsorted
+        # sweeps counts partners for every user at once — no per-user
+        # Python loop however many users share the bucket
+        new = np.concatenate([[True], us[1:] != us[:-1]])
+        rank = np.cumsum(new) - 1
+        rel = ts - ts.min()
+        off = int(rel.max()) + 120_000_000
+        assert (rank[-1] + 1) < (2 ** 62) // off, "offset remap overflow"
+        adj = rel + rank * off
+        hi = np.searchsorted(adj, adj + 60_000_000, side="right")
+        lo = np.searchsorted(adj, adj, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        g = (pd.DataFrame({"user_id": us, "n_pairs": cnt})
+             .groupby("user_id", as_index=False)["n_pairs"].sum())
+        g = g[g["n_pairs"] > 0]
+        return g.astype({"user_id": "int64", "n_pairs": "int64"})
+
+    out = map_buckets(
+        _table(sf_dir, "events", ["ts", "user_id"]),
+        "user_id", bursts, buckets=16).to_pandas()  # bounded by |users|
+    if not len(out):
+        return pd.DataFrame({"user_id": pd.array([], "int64"),
+                             "n_pairs": pd.array([], "int64")})
+    return (out.astype({"user_id": "int64", "n_pairs": "int64"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention matrix: distinct users active ``age`` days
     after their cohort's first-seen day, per (first_day, age). One
@@ -4252,6 +4297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_event_counts": q_hopping_event_counts,
         "user_first_seen_curve": q_user_first_seen_curve,
         "retention_cohorts": q_retention_cohorts,
+        "event_burst_pairs": q_event_burst_pairs,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -5002,6 +5048,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM d ORDER BY day""",
+        "event_burst_pairs": """
+            SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b ON a.user_id = b.user_id
+            WHERE b.ts > a.ts
+              AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+            GROUP BY a.user_id
+            ORDER BY a.user_id""",
         "retention_cohorts": """
             WITH ud AS (
               SELECT DISTINCT user_id,

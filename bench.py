@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "hopping_event_counts",
     "user_first_seen_curve",
     "retention_cohorts",
+    "event_burst_pairs",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

@@ -269,6 +269,26 @@ def test_hopping_and_first_seen_match_pandas(entrymod):
     assert list(curve["new_users"]) == list(want_days.to_numpy())
 
 
+def test_event_burst_pairs_match_bruteforce(entrymod):
+    """The searchsorted window count must equal the quadratic brute
+    force per user (strict lower bound excludes equal timestamps)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.q_event_burst_pairs(sf)
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ts = ev["ts"].to_numpy("datetime64[us]").astype("int64")
+    want = {}
+    for u, grp in pd.DataFrame({"u": ev["user_id"], "t": ts}).groupby("u"):
+        t = np.sort(grp["t"].to_numpy())
+        n = sum(int(((t > x) & (t <= x + 60_000_000)).sum()) for x in t)
+        if n:
+            want[int(u)] = n
+    got = dict(zip(out["user_id"].astype(int), out["n_pairs"].astype(int)))
+    assert got == want
+
+
 def test_retention_cohorts_match_pandas(entrymod):
     import pyarrow.parquet as pq
 
