@@ -772,6 +772,18 @@ def q_sample_exact_k(sf_dir: str):
     return sample_exact_k(_table(sf_dir, "documents", ["doc_id"]), 100)
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, weight = n_chars): long documents are proportionally more
+    likely to be kept — the size-biased corpus-mixing primitive.
+    Distributed block top-k; the driver sees only k rows."""
+    from beats_ray.dataops.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        100, weight_col="n_chars")
+
+
 def q_stratified_sample(sf_dir: str):
     """Corpus mixing: per-language sampling rates (down-sample the
     dominant 'en' to 12.5%, keep half of zh/es, default 25% for the
@@ -4322,6 +4334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coverage": q_bigram_coverage,
         "sample_docs": q_sample_docs,
         "sample_exact_k": q_sample_exact_k,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "sample_k_per_lang": q_sample_k_per_lang,
         "stratified_sample": q_stratified_sample,
         "token_budget_docs": q_token_budget_docs,
@@ -5923,6 +5936,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": """
             SELECT doc_id FROM documents
             ORDER BY ('0x'||substr(md5('xk:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT,
+                     doc_id
+            LIMIT 100""",
+        # A-Res selection key replayed with the identical IEEE op
+        # sequence: u = (double(h)+1)/2^64, key = -(ln(u)/w)
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars > 0
+            ORDER BY -(ln((CAST(('0x'||substr(md5('wk:'||CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                           AS DOUBLE) + 1) / 18446744073709551616.0)
+                       / CAST(n_chars AS DOUBLE)),
                      doc_id
             LIMIT 100""",
         "sample_k_per_lang": """

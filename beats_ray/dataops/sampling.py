@@ -210,6 +210,46 @@ def sample_exact_k(ds, k: int, key: str = "doc_id", salt: str = "xk"):
               .sort(["_h", key]).limit(k).drop_columns(["_h"]))
 
 
+def weighted_sample_k(ds, k: int, weight_col: str, key: str = "doc_id",
+                      salt: str = "wk"):
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    A-Res): keep the k rows with the LARGEST selection key ln(u)/w,
+    where u ∈ (0, 1] derives from the md5-64 of ``salt:key`` and
+    w > 0 is the integer weight — inclusion probability rises with
+    weight, the corpus-mixing primitive uniform hash sampling can't
+    provide. Distributed exactly like :func:`sample_exact_k`: per-block
+    top-k (the sort input shrinks to blocks × k rows) → one tiny global
+    sort + limit; the driver never sees more than k rows.
+
+    Exactness contract: u = (double(h) + 1) / 2⁶⁴ (the cast of the
+    >2⁵³ hash rounds identically in numpy and DuckDB), ln via
+    ``math.log`` (libm — the same ``ln`` DuckDB calls; numpy's SIMD
+    log can differ in the last ulp, which could flip a rank
+    comparison), and the two divisions are single IEEE ops — so the
+    SQL replay selects the identical rows. Rows with w ≤ 0 are
+    excluded (matches the SQL WHERE)."""
+    import math
+
+    from .dedup import _stable_hash64
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy()
+        df = df[w > 0]
+        w = w[w > 0].astype(np.float64)
+        h = np.fromiter(
+            (_stable_hash64(f"{salt}:{v}") for v in df[key].astype(str)),
+            dtype=np.uint64, count=len(df))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        lnu = np.fromiter((math.log(x) for x in u), dtype=np.float64,
+                          count=len(u))
+        out = df.copy()
+        out["_nk"] = -(lnu / w)  # ascending sort == descending key
+        return out.sort_values(["_nk", key]).head(k)
+
+    return (ds.map_batches(block_topk, batch_format="pandas")
+              .sort(["_nk", key]).limit(k).drop_columns(["_nk"]))
+
+
 def sample_exact_k_per_group(ds, k: int, group: str, key: str = "doc_id",
                              salt: str = "xk"):
     """EXACTLY-k-per-group deterministic sample (the balanced-subset

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "user_first_seen_curve",
     "retention_cohorts",
     "event_burst_pairs",
+    "weighted_sample_docs",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

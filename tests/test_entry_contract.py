@@ -269,6 +269,45 @@ def test_hopping_and_first_seen_match_pandas(entrymod):
     assert list(curve["new_users"]) == list(want_days.to_numpy())
 
 
+def test_weighted_sample_replay_and_bias(entrymod, ray_session):
+    """A-Res selection must equal a scalar replay, and heavy rows must
+    be over-represented relative to their population share."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from beats_ray.dataops.sampling import weighted_sample_k
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.q_weighted_sample_docs(sf)
+    got = set(out.to_pandas()["doc_id"])
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    docs = docs[docs["n_chars"] > 0]
+
+    def sel_key(doc_id, w):
+        h = int.from_bytes(hashlib.md5(f"wk:{doc_id}".encode())
+                           .digest()[:8], "big")
+        u = (np.float64(h) + 1.0) / 18446744073709551616.0
+        return -(math.log(u) / np.float64(w))
+
+    keys = [(sel_key(d, w), d) for d, w in
+            zip(docs["doc_id"], docs["n_chars"])]
+    want = {d for _, d in sorted(keys)[:100]}
+    assert got == want
+
+    # bias: two weight classes 1 vs 50 — the heavy class must win far
+    # more than its population share
+    df = pd.DataFrame({"doc_id": range(2000),
+                       "w": [50 if i < 200 else 1 for i in range(2000)]})
+    sel = (weighted_sample_k(rd.from_pandas(df), 200, weight_col="w")
+           .to_pandas())
+    heavy = int((sel["doc_id"] < 200).sum())
+    assert heavy > 120  # population share would give 20 of 200
+
+
 def test_event_burst_pairs_match_bruteforce(entrymod):
     """The searchsorted window count must equal the quadratic brute
     force per user (strict lower bound excludes equal timestamps)."""
