@@ -4062,6 +4062,45 @@ def q_user_first_seen_curve(sf_dir: str):
                          "cum_users": "int64"}).reset_index(drop=True))
 
 
+def q_events_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate: event counts at (event_type, day),
+    (event_type), and grand-total levels with NULL level markers — the
+    OLAP cube edge SQL spells GROUP BY ROLLUP. Only the FINEST level is
+    computed distributed (partial counts → grouped sum, bounded by
+    types×days); the coarser levels are exact sums over that bounded
+    table on the driver, so the rollup costs one shuffle however large
+    the corpus."""
+    from beats_ray.dataops.agg import grouped_count
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = ((t["ts"].cast(pa.int64()).to_numpy() // 1_000_000)
+               // 86_400)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(day, pa.int64()),
+        })
+
+    fine = grouped_count(
+        _table(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            keyed, batch_format="pyarrow"),
+        ["event_type", "day"],
+    ).to_pandas()  # bounded by types × days
+    fine = fine.astype({"day": "int64", "n": "int64"})
+    # rolled-up levels use explicit sentinels (day=-1, type='<all>')
+    # instead of SQL's NULL markers — NULL + BIGINT degrades to float64
+    # through pandas, which breaks the exact-dtype compare
+    by_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    by_type["day"] = np.int64(-1)
+    total = pd.DataFrame({"event_type": ["<all>"], "day": [-1],
+                          "n": [int(fine["n"].sum())]})
+    out = pd.concat([fine[["event_type", "day", "n"]],
+                     by_type[["event_type", "day", "n"]],
+                     total], ignore_index=True)
+    out = out.astype({"day": "int64", "n": "int64"})
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))
+
+
 def q_event_burst_pairs(sf_dir: str):
     """Time-bounded THETA self-join: per user, the number of ordered
     event pairs with 0 < Δt ≤ 60 s — the burst/flood-detection shape.
@@ -4310,6 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_seen_curve": q_user_first_seen_curve,
         "retention_cohorts": q_retention_cohorts,
         "event_burst_pairs": q_event_burst_pairs,
+        "events_rollup": q_events_rollup,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -5061,6 +5101,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM d ORDER BY day""",
+        "events_rollup": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   CAST(COALESCE((epoch_us(ts) // 1000000) // 86400, -1)
+                        AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY ROLLUP (event_type,
+                             (epoch_us(ts) // 1000000) // 86400)
+            ORDER BY 1, 2""",
         "event_burst_pairs": """
             SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM events a JOIN events b ON a.user_id = b.user_id

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "event_burst_pairs",
     "weighted_sample_docs",
+    "events_rollup",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

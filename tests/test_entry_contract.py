@@ -308,6 +308,30 @@ def test_weighted_sample_replay_and_bias(entrymod, ray_session):
     assert heavy > 120  # population share would give 20 of 200
 
 
+def test_events_rollup_levels_consistent(entrymod):
+    """Every rollup level must be an exact sum over the finest level,
+    and the finest level must match a pandas replay."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.q_events_rollup(sf)
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    day = (ev["ts"].to_numpy("datetime64[us]").astype("int64")
+           // 1_000_000 // 86_400)
+    fine = out[(out["day"] >= 0) & (out["event_type"] != "<all>")]
+    want = (pd.DataFrame({"event_type": ev["event_type"], "day": day})
+            .groupby(["event_type", "day"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+    assert len(fine) == len(want)
+    m = fine.merge(want, on=["event_type", "day"])
+    assert (m["n_x"] == m["n_y"]).all()
+    sub = out[(out["day"] == -1) & (out["event_type"] != "<all>")]
+    per_type = fine.groupby("event_type")["n"].sum()
+    assert dict(zip(sub["event_type"], sub["n"])) == per_type.to_dict()
+    grand = out[out["event_type"] == "<all>"]
+    assert len(grand) == 1 and int(grand["n"].iloc[0]) == len(ev)
+
+
 def test_event_burst_pairs_match_bruteforce(entrymod):
     """The searchsorted window count must equal the quadratic brute
     force per user (strict lower bound excludes equal timestamps)."""
