@@ -4108,37 +4108,12 @@ def q_event_burst_pairs(sf_dir: str):
     one co-locating user-bucket pass sorts each user's timestamps once
     and counts partners with two vectorized searchsorted sweeps
     (right(ts+60) − right(ts)); output is bounded by |users|."""
-    from beats_ray.dataops.agg import map_buckets
+    from beats_ray.dataops.agg import pair_counts_within
 
-    def bursts(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": pd.array([], "int64"),
-                "n_pairs": pd.array([], "int64")}
-        if not len(df):
-            return pd.DataFrame(cols)
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        us = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        # remap each user's times onto a disjoint segment of one int64
-        # axis (offset > span + window) so ONE pair of searchsorted
-        # sweeps counts partners for every user at once — no per-user
-        # Python loop however many users share the bucket
-        new = np.concatenate([[True], us[1:] != us[:-1]])
-        rank = np.cumsum(new) - 1
-        rel = ts - ts.min()
-        off = int(rel.max()) + 120_000_000
-        assert (rank[-1] + 1) < (2 ** 62) // off, "offset remap overflow"
-        adj = rel + rank * off
-        hi = np.searchsorted(adj, adj + 60_000_000, side="right")
-        lo = np.searchsorted(adj, adj, side="right")
-        cnt = (hi - lo).astype(np.int64)
-        g = (pd.DataFrame({"user_id": us, "n_pairs": cnt})
-             .groupby("user_id", as_index=False)["n_pairs"].sum())
-        g = g[g["n_pairs"] > 0]
-        return g.astype({"user_id": "int64", "n_pairs": "int64"})
-
-    out = map_buckets(
+    out = pair_counts_within(
         _table(sf_dir, "events", ["ts", "user_id"]),
-        "user_id", bursts, buckets=16).to_pandas()  # bounded by |users|
+        key="user_id", ts_col="ts", window_us=60_000_000,
+        buckets=16).to_pandas()  # bounded by |users|
     if not len(out):
         return pd.DataFrame({"user_id": pd.array([], "int64"),
                              "n_pairs": pd.array([], "int64")})

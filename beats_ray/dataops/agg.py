@@ -66,6 +66,44 @@ def grouped_sum(ds, key: str, cols, buckets: int = 32,
     return map_buckets(parts, key, merge, buckets=buckets)
 
 
+def pair_counts_within(ds, key: str, ts_col: str, window_us: int,
+                       buckets: int = 16):
+    """Per-key count of ordered row pairs with 0 < Δt ≤ ``window_us``
+    — the time-bounded THETA self-join (burst/flood detection) WITHOUT
+    materializing the quadratic pair table. One co-locating bucket
+    pass; inside it each key's times land on a disjoint segment of one
+    int64 axis (offset remap: offset > span + window) so a single pair
+    of vectorized searchsorted sweeps counts partners for every key at
+    once — no per-key Python loop however many keys share the bucket.
+    Equal timestamps never pair (strict lower bound). Returns a
+    Dataset[(key, n_pairs)] bounded by |keys| with n_pairs > 0."""
+    import numpy as np
+
+    def bursts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: pd.array([], "int64"),
+                "n_pairs": pd.array([], "int64")}
+        if not len(df):
+            return pd.DataFrame(cols)
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        ks = df[key].to_numpy()
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        rank = np.cumsum(new) - 1
+        rel = ts - ts.min()
+        off = int(rel.max()) + 2 * window_us
+        assert (rank[-1] + 1) < (2 ** 62) // off, "offset remap overflow"
+        adj = rel + rank * off
+        hi = np.searchsorted(adj, adj + window_us, side="right")
+        lo = np.searchsorted(adj, adj, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        g = (pd.DataFrame({key: ks, "n_pairs": cnt})
+             .groupby(key, as_index=False)["n_pairs"].sum())
+        g = g[g["n_pairs"] > 0]
+        return g.astype({key: "int64", "n_pairs": "int64"})
+
+    return map_buckets(ds, key, bursts, buckets=buckets)
+
+
 def rolling_sum_per_key(ds, key: str, order: str, value: str,
                         window: int | None, out: str = "roll",
                         buckets: int = 32):

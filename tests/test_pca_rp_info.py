@@ -151,6 +151,41 @@ def test_word_info_layout_independent(ray_session):
     assert a.loc[i, "info_um"] == want
 
 
+def test_pair_counts_within_random_vs_bruteforce(ray_session):
+    """The offset-remap searchsorted kernel must match the O(n²) brute
+    force on randomized corpora, including duplicate timestamps, dense
+    bursts, and single-row keys."""
+    import ray.data as rd
+
+    from beats_ray.dataops.agg import pair_counts_within
+
+    rng = np.random.RandomState(17)
+    for trial in range(5):
+        n = int(rng.randint(50, 400))
+        keys = rng.randint(0, 20, n)
+        # cluster times so windows genuinely overlap; include ties
+        ts = (rng.randint(0, 500, n) * 1_000_000
+              + rng.choice([0, 0, 250_000], n))
+        df = pd.DataFrame({
+            "user_id": keys.astype("int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+        })
+        got = (pair_counts_within(
+            rd.from_pandas(df).repartition(4), "user_id", "ts",
+            window_us=30_000_000).to_pandas())
+        got_d = dict(zip(got["user_id"].astype(int),
+                         got["n_pairs"].astype(int)))
+        want = {}
+        for u, grp in df.groupby("user_id"):
+            t = np.sort(grp["ts"].to_numpy("datetime64[us]")
+                        .astype("int64"))
+            c = sum(int(((t > x) & (t <= x + 30_000_000)).sum())
+                    for x in t)
+            if c:
+                want[int(u)] = c
+        assert got_d == want, trial
+
+
 def test_tool_pair_pmi_matches_pandas(ray_session):
     import __ray_entry__ as e
 
