@@ -282,6 +282,69 @@ def main(n_rows: int = 200_000):
     dt = bench(lambda d: scan_kafka_segment(
         d, topic="transcripts", partition=0), seg)
     out["rows_per_sec"]["kafka_segment_scan"] = round(kt.num_rows / dt)
+
+    # ---- final-session kernels ----
+    # word-info entropy (libm ln once per distinct (T, c) pair)
+    from beats_ray.dataops.textnorm import word_info  # noqa: F401 (kernel below)
+
+    info_docs = pd.DataFrame({
+        "doc_id": range(5000),
+        "text": [" ".join(f"w{(i * 7 + j) % 97}" for j in range(40))
+                 for i in range(5000)],
+    })
+
+    def info_kernel(d):
+        # the batch fn word_info wraps, run directly (no Ray)
+        import math
+
+        words = d["text"].str.lower().str.split()
+        ridx = np.arange(len(d))
+        lens = words.str.len().to_numpy()
+        exploded = pd.DataFrame({"_r": np.repeat(ridx, lens),
+                                 "w": words.explode().to_numpy()})
+        per = exploded.groupby(["_r", "w"]).size()
+        rows = per.index.get_level_values("_r").to_numpy()
+        c = per.to_numpy(np.int64)
+        t = per.groupby("_r").sum().reindex(rows).to_numpy(np.int64)
+        uniq, inv = np.unique(np.stack([t, c], 1), axis=0,
+                              return_inverse=True)
+        terms = np.array([math.floor((1_000_000 * int(cc))
+                                     * math.log(int(tt) / int(cc)))
+                          for tt, cc in uniq], dtype=np.int64)
+        return pd.Series(terms[inv]).groupby(rows).sum()
+
+    dt = bench(info_kernel, info_docs)
+    out["rows_per_sec"]["word_info_entropy"] = round(len(info_docs) / dt)
+
+    # burst theta-join kernel (offset-remap searchsorted)
+    rng2 = np.random.RandomState(1)
+    burst_df = pd.DataFrame({
+        "user_id": rng2.randint(0, 5000, 200_000).astype("int64"),
+        "ts": pd.to_datetime(
+            rng2.randint(0, 3600, 200_000) * 1_000_000, unit="us"),
+    })
+
+    def burst_kernel(d):
+        d = d.sort_values(["user_id", "ts"], kind="mergesort")
+        ks = d["user_id"].to_numpy()
+        ts = d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        rank = np.cumsum(new) - 1
+        rel = ts - ts.min()
+        adj = rel + rank * (int(rel.max()) + 120_000_000)
+        hi = np.searchsorted(adj, adj + 60_000_000, side="right")
+        lo = np.searchsorted(adj, adj, side="right")
+        return int((hi - lo).sum())
+
+    dt = bench(burst_kernel, burst_df)
+    out["rows_per_sec"]["burst_pair_count"] = round(len(burst_df) / dt)
+
+    # PCA projection (int64 matvec against the broadcast component)
+    vec_mat = np.floor(1e6 * np.random.RandomState(2).randn(200_000, 32)
+                       ).astype(np.int64)
+    comp = np.floor(1e6 * np.random.RandomState(3).rand(32)).astype(np.int64)
+    dt = bench(lambda m: m @ comp, vec_mat)
+    out["rows_per_sec"]["pca_project_32d"] = round(len(vec_mat) / dt)
     print(json.dumps(out))
 
 
