@@ -4062,6 +4062,47 @@ def q_user_first_seen_curve(sf_dir: str):
                          "cum_users": "int64"}).reset_index(drop=True))
 
 
+def q_conv_dedup(sf_dir: str):
+    """CONVERSATION-level exact dedup: conversations whose full
+    transcript (turn texts joined in turn order) is byte-identical
+    form one identity group; the min conv_id survives (first-
+    occurrence-wins, the line-dedup convention) and the group size is
+    reported. Two co-locating shuffles — conversations assemble whole
+    in their bucket (the multiline convention), then the md5-keyed
+    groups resolve in theirs; nothing id-sized on the driver beyond
+    the group-bounded result."""
+    import hashlib
+
+    from beats_ray.dataops.agg import map_buckets
+
+    def conv_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        full = (df.assign(text=df["text"].fillna(""))
+                .groupby("conv_id", sort=False)["text"]
+                .agg("\n".join))
+        return pd.DataFrame({
+            "conv_id": full.index.to_numpy(dtype=object),
+            "hh": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in full],
+        })
+
+    hashes = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]),
+        "conv_id", conv_hash, buckets=16)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("hh", as_index=False)
+               .agg(conv_id=("conv_id", "min"), n_convs=("conv_id", "size")))
+        return out[["conv_id", "n_convs"]].astype({"n_convs": "int64"})
+
+    out = map_buckets(hashes, "hh", resolve, buckets=16).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"conv_id": pd.array([], dtype=object),
+                             "n_convs": pd.array([], "int64")})
+    return (out.astype({"n_convs": "int64"})
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def q_events_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate: event counts at (event_type, day),
     (event_type), and grand-total levels with NULL level markers — the
@@ -4325,6 +4366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "event_burst_pairs": q_event_burst_pairs,
         "events_rollup": q_events_rollup,
+        "conv_dedup": q_conv_dedup,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -5105,6 +5147,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM ud JOIN f USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "conv_dedup": tr
+        + """, convfull AS (
+               SELECT conv_id,
+                      string_agg(coalesce(text, ''), chr(10)
+                                 ORDER BY turn_idx) AS fulltext
+               FROM t GROUP BY conv_id
+             )
+             SELECT MIN(conv_id) AS conv_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_convs
+             FROM (SELECT conv_id, md5(fulltext) AS hh FROM convfull) sub
+             GROUP BY hh""",
         "tool_funnel": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (

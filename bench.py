@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "event_burst_pairs",
     "weighted_sample_docs",
     "events_rollup",
+    "conv_dedup",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

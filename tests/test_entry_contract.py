@@ -308,6 +308,34 @@ def test_weighted_sample_replay_and_bias(entrymod, ray_session):
     assert heavy > 120  # population share would give 20 of 200
 
 
+def test_conv_dedup_matches_pandas(entrymod):
+    """Identity groups must match a pandas concat+md5 replay, and
+    survivors must cover every conversation exactly once."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = entrymod.q_conv_dedup("/root/testdata/sf0.001")
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    full = (df.assign(text=df["text"].fillna(""))
+            .groupby("conv_id", sort=False)["text"].agg("\n".join))
+    hh = full.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    want = (pd.DataFrame({"conv_id": hh.index, "hh": hh.to_numpy()})
+            .groupby("hh")
+            .agg(conv_id=("conv_id", "min"), n_convs=("conv_id", "size"))
+            .reset_index(drop=True)
+            .astype({"n_convs": "int64"})
+            .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"conv_id": object}),
+        want.astype({"conv_id": object}))
+    assert int(out["n_convs"].sum()) == df["conv_id"].nunique()
+
+
 def test_events_rollup_levels_consistent(entrymod):
     """Every rollup level must be an exact sum over the finest level,
     and the finest level must match a pandas replay."""
