@@ -4103,6 +4103,47 @@ def q_conv_dedup(sf_dir: str):
             .sort_values("conv_id").reset_index(drop=True))
 
 
+def q_conv_prefix_groups(sf_dir: str):
+    """Retry/fork + prompt-template detection: conversations whose
+    OPENING turn is byte-identical form a prefix group (shared system
+    prompts, retry storms, template forks); groups with ≥2 members are
+    reported as (min conv_id, n_convs). Same two-co-locating-shuffle
+    plan as conv_dedup, but hashing only the first turn by turn
+    order."""
+    import hashlib
+
+    from beats_ray.dataops.agg import map_buckets
+
+    def prefix_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        head = (df.assign(text=df["text"].fillna(""))
+                .groupby("conv_id", sort=False).head(1))
+        full = head.groupby("conv_id", sort=False)["text"].agg("\n".join)
+        return pd.DataFrame({
+            "conv_id": full.index.to_numpy(dtype=object),
+            "hh": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in full],
+        })
+
+    hashes = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "turn_idx", "text"]),
+        "conv_id", prefix_hash, buckets=16)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("hh", as_index=False)
+               .agg(conv_id=("conv_id", "min"),
+                    n_convs=("conv_id", "size")))
+        out = out[out["n_convs"] >= 2]
+        return out[["conv_id", "n_convs"]].astype({"n_convs": "int64"})
+
+    out = map_buckets(hashes, "hh", resolve, buckets=16).to_pandas()
+    if not len(out) or "conv_id" not in out.columns:
+        return pd.DataFrame({"conv_id": pd.array([], dtype=object),
+                             "n_convs": pd.array([], "int64")})
+    return (out.astype({"n_convs": "int64"})
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def q_events_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate: event counts at (event_type, day),
     (event_type), and grand-total levels with NULL level markers — the
@@ -4367,6 +4408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_burst_pairs": q_event_burst_pairs,
         "events_rollup": q_events_rollup,
         "conv_dedup": q_conv_dedup,
+        "conv_prefix_groups": q_conv_prefix_groups,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -5158,6 +5200,25 @@ def oracle_sql() -> dict[str, str]:
                     CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (SELECT conv_id, md5(fulltext) AS hh FROM convfull) sub
              GROUP BY hh""",
+        "conv_prefix_groups": tr
+        + """, firstturn AS (
+               SELECT conv_id, text, turn_idx FROM (
+                 SELECT conv_id, coalesce(text, '') AS text, turn_idx,
+                        row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS rn
+                 FROM t
+               ) WHERE rn <= 1
+             ),
+             pfx AS (
+               SELECT conv_id,
+                      md5(string_agg(text, chr(10) ORDER BY turn_idx))
+                        AS hh
+               FROM firstturn GROUP BY conv_id
+             )
+             SELECT MIN(conv_id) AS conv_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_convs
+             FROM pfx GROUP BY hh
+             HAVING COUNT(*) >= 2""",
         "tool_funnel": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "events_rollup",
     "conv_dedup",
+    "conv_prefix_groups",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

@@ -336,6 +336,35 @@ def test_conv_dedup_matches_pandas(entrymod):
     assert int(out["n_convs"].sum()) == df["conv_id"].nunique()
 
 
+def test_conv_prefix_groups_match_pandas(entrymod):
+    """First-turn prefix groups vs a pandas replay; every reported
+    group has ≥2 members."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = entrymod.q_conv_prefix_groups("/root/testdata/sf0.001")
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    first = (df.assign(text=df["text"].fillna(""))
+             .groupby("conv_id", sort=False).head(1)
+             .set_index("conv_id")["text"])
+    hh = first.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    g = (pd.DataFrame({"conv_id": hh.index, "hh": hh.to_numpy()})
+         .groupby("hh")
+         .agg(conv_id=("conv_id", "min"), n_convs=("conv_id", "size")))
+    want = (g[g["n_convs"] >= 2].reset_index(drop=True)
+            .astype({"n_convs": "int64"})
+            .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"conv_id": object}),
+        want.astype({"conv_id": object}))
+    assert (out["n_convs"] >= 2).all()
+
+
 def test_events_rollup_levels_consistent(entrymod):
     """Every rollup level must be an exact sum over the finest level,
     and the finest level must match a pandas replay."""
