@@ -4062,6 +4062,54 @@ def q_user_first_seen_curve(sf_dir: str):
                          "cum_users": "int64"}).reset_index(drop=True))
 
 
+def q_tool_cooccurrence(sf_dir: str):
+    """Set-overlap analytics: for every unordered tool pair, how many
+    conversations used BOTH (intersection) and how many used EITHER
+    (union) — the Jaccard numerator/denominator reported as exact
+    integers (house rule: no float division). One conversation-bucket
+    pass emits each conversation's distinct tool set as local pair +
+    singleton partials; the driver merge is bounded by tools²."""
+    from beats_ray.dataops.agg import map_buckets
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["tool"] != "none"]
+        if not len(df):
+            return pd.DataFrame({"tool_a": pd.Series(dtype="string"),
+                                 "tool_b": pd.Series(dtype="string"),
+                                 "n": pd.Series(dtype="int64")})
+        dt = df[["conv_id", "tool"]].drop_duplicates()
+        # pairs within each conversation (a < b) + per-tool singletons
+        pairs = dt.merge(dt, on="conv_id", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["tool_a"] < pairs["tool_b"]]
+        pair_n = (pairs.groupby(["tool_a", "tool_b"], as_index=False)
+                  .size().rename(columns={"size": "n"}))
+        single = (dt.groupby("tool", as_index=False).size()
+                  .rename(columns={"tool": "tool_a", "size": "n"}))
+        single["tool_b"] = single["tool_a"]
+        return (pd.concat([pair_n, single[["tool_a", "tool_b", "n"]]],
+                          ignore_index=True).astype({"n": "int64"}))
+
+    parts = map_buckets(
+        _transcripts(sf_dir, ["conv_id", "tool"]),
+        "conv_id", partials, buckets=16).to_pandas()  # ≤ buckets×tools²
+    if not len(parts):
+        return pd.DataFrame({"tool_a": pd.array([], dtype=object),
+                             "tool_b": pd.array([], dtype=object),
+                             "n_both": pd.array([], "int64"),
+                             "n_either": pd.array([], "int64")})
+    tot = (parts.groupby(["tool_a", "tool_b"], as_index=False)["n"].sum())
+    single = dict(zip(
+        tot.loc[tot["tool_a"] == tot["tool_b"], "tool_a"],
+        tot.loc[tot["tool_a"] == tot["tool_b"], "n"]))
+    out = tot[tot["tool_a"] < tot["tool_b"]].copy()
+    out["n_both"] = out["n"].astype("int64")
+    out["n_either"] = (out["tool_a"].map(single).astype("int64")
+                       + out["tool_b"].map(single).astype("int64")
+                       - out["n_both"])
+    return (out[["tool_a", "tool_b", "n_both", "n_either"]]
+            .sort_values(["tool_a", "tool_b"]).reset_index(drop=True))
+
+
 def q_conv_dedup(sf_dir: str):
     """CONVERSATION-level exact dedup: conversations whose full
     transcript (turn texts joined in turn order) is byte-identical
@@ -4409,6 +4457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "conv_dedup": q_conv_dedup,
         "conv_prefix_groups": q_conv_prefix_groups,
+        "tool_cooccurrence": q_tool_cooccurrence,
         "doc_word_info": q_doc_word_info,
         "role_latency": q_role_latency,
         "role_latency_quantiles": q_role_latency_quantiles,
@@ -5219,6 +5268,21 @@ def oracle_sql() -> dict[str, str]:
                     CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM pfx GROUP BY hh
              HAVING COUNT(*) >= 2""",
+        "tool_cooccurrence": tr
+        + """, dtl AS (SELECT DISTINCT conv_id, tool FROM t
+                       WHERE tool <> 'none'),
+             stool AS (SELECT tool, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dtl GROUP BY 1),
+             ptool AS (SELECT a.tool AS tool_a, b.tool AS tool_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_both
+                   FROM dtl a JOIN dtl b
+                     ON a.conv_id = b.conv_id AND a.tool < b.tool
+                   GROUP BY 1, 2)
+             SELECT ptool.tool_a, ptool.tool_b, ptool.n_both,
+                    CAST(sa.n + sb.n - ptool.n_both AS BIGINT) AS n_either
+             FROM ptool
+             JOIN stool sa ON ptool.tool_a = sa.tool
+             JOIN stool sb ON ptool.tool_b = sb.tool""",
         "tool_funnel": tr
         + """SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n_convs
              FROM (

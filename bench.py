@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "conv_dedup",
     "conv_prefix_groups",
+    "tool_cooccurrence",
     "role_latency",
     "role_latency_quantiles",
     "lang_confusion",

@@ -308,6 +308,30 @@ def test_weighted_sample_replay_and_bias(entrymod, ray_session):
     assert heavy > 120  # population share would give 20 of 200
 
 
+def test_tool_cooccurrence_matches_pandas(entrymod):
+    """Intersection/union counts per tool pair vs a pandas set replay;
+    inclusion-exclusion invariant holds."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from beats_ray.fixtures import ensure_transcripts
+
+    out = entrymod.q_tool_cooccurrence("/root/testdata/sf0.001")
+    files = sorted(glob.glob(ensure_transcripts(0.001) + "/part-*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    df = df[df["tool"] != "none"]
+    sets = df.groupby("tool")["conv_id"].agg(set)
+    for _, r in out.iterrows():
+        a, b = sets[r["tool_a"]], sets[r["tool_b"]]
+        assert int(r["n_both"]) == len(a & b)
+        assert int(r["n_either"]) == len(a | b)
+    # every co-occurring pair is present
+    tools = sorted(sets.index)
+    pairs = {(x, y) for i, x in enumerate(tools) for y in tools[i + 1:]
+             if sets[x] & sets[y]}
+    assert pairs == set(zip(out["tool_a"], out["tool_b"]))
+
+
 def test_conv_dedup_matches_pandas(entrymod):
     """Identity groups must match a pandas concat+md5 replay, and
     survivors must cover every conversation exactly once."""
