@@ -45,6 +45,27 @@ def test_query_oracle_key_consistency(entrymod):
         assert callable(fn), name
 
 
+def test_all_oracle_sql_plans(entrymod):
+    """Every oracle_sql() entry must at least PLAN in DuckDB against
+    the registered views — a fast whole-surface guard against SQL
+    typos (the full value-level sweep is tools/selfcheck.py's job)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001 - collect all failures
+            bad.append((name, str(exc).splitlines()[0]))
+    assert not bad, bad
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_sample_queries_run_small(entrymod, name):
     import ray.data
